@@ -1,0 +1,395 @@
+"""Driver-contract entrypoints: ``entry`` / ``queries`` / ``oracle_sql``.
+
+Every operator from SURVEY.md §2 is exposed twice: as a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and as an equivalent DuckDB SQL string
+over the same parquet tables. The pairs are hash-matched by the driver at
+sf0.01, so both sides are written against one shared determinism contract:
+
+- the evaluation instant is ``now = max(events.ts) + 5 s``, computed in
+  integer epoch-microseconds (`unix_micros` / `epoch_us`);
+- all decay arithmetic happens on those integers with exactly one
+  float step (`/ 1e6`, `* rate`) so IEEE results are bit-identical;
+- every computed column is aliased identically on both sides;
+- no timestamp columns in outputs (epoch-µs BIGINTs instead) — immune to
+  session-timezone skew between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forgettable_spark import operators as ops
+from forgettable_spark.sources import load_events, load_forget_events, events_to_forget_events
+
+# ---------------------------------------------------------------------------
+# Shared parameters (Spark and oracle must agree on every one of these).
+
+NOW_OFFSET_US = 5_000_000  # now = max(ts) + 5 s
+RATE_SLOW = 1e-3  # partial decay for event_type distributions at sf0.01
+RATE_DEFAULT = 0.5  # goforget --default-rate: wipe regime on stale dists
+RATE_USER = 1e-4  # user-keyed distributions, dt spread 5 s .. ~2.5e5 s
+RATE_PROPORTIONAL = 1e-6  # pyforget law on user-keyed distributions
+TOP_N = 10
+GET_FIELD_DIST = "purchase"
+GET_FIELD_BINS = ("7", "42", "99")
+SIGMA = 2.0
+
+
+def _fmt(rate: float) -> str:
+    """Rate as a scientific-notation SQL literal — parsed by strtod to the
+    same nearest-double as the Python float, sidestepping DECIMAL parsing."""
+    return f"{rate:e}"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders.
+
+
+def _now_us(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic evaluation instant (epoch µs)."""
+    row = (
+        load_events(spark, sf_dir)
+        .agg((F.unix_micros(F.max("ts")) + F.lit(NOW_OFFSET_US)).alias("now_us"))
+        .first()
+    )
+    return int(row["now_us"])
+
+
+def _user_dist_col() -> Column:
+    return F.concat(F.lit("u"), (F.col("user_id") % 1000).cast("string"))
+
+
+def _snap_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distribution := event_type, bin := user_id % 100 (FIXTURES.md §C)."""
+    return ops.snapshot(load_forget_events(spark, sf_dir))
+
+
+def _snap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distribution := 'u' || user_id % 1000, bin := event_type — the
+    many-distributions / few-bins regime (dbsize, expiry, pruning)."""
+    ev = load_forget_events(spark, sf_dir, distribution=_user_dist_col(), bin=F.col("event_type"))
+    return ops.snapshot(ev)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side builders (DuckDB SQL, CTE library mirroring the Spark plans).
+
+_EV_EVENT_TYPE = (
+    "SELECT event_type AS distribution, CAST(user_id % 100 AS VARCHAR) AS bin,"
+    " CAST(1 AS BIGINT) AS n, ts FROM events"
+)
+_EV_USER = (
+    "SELECT 'u' || CAST(user_id % 1000 AS VARCHAR) AS distribution, event_type AS bin,"
+    " CAST(1 AS BIGINT) AS n, ts FROM events"
+)
+
+
+def _state_cte(ev_sql: str) -> str:
+    """now_t + snapshot + per-distribution T, shared by every oracle."""
+    return f"""
+now_t AS (SELECT epoch_us(max(ts)) + {NOW_OFFSET_US} AS now_us FROM events),
+ev AS ({ev_sql}),
+snap AS (
+  SELECT distribution, bin, CAST(SUM(n) AS BIGINT) AS "count", MAX(ts) AS t_bin
+  FROM ev GROUP BY distribution, bin
+),
+state AS (
+  SELECT distribution, bin, "count",
+         MAX(t_bin) OVER (PARTITION BY distribution) AS t
+  FROM snap
+)"""
+
+
+def _decay_expr(rate: float, law: str, count_sql: str = '"count"') -> str:
+    dt = "((now_us - epoch_us(t)) / 1e6)"
+    if law == "linear":
+        return f"CAST(FLOOR(CAST({_fmt(rate)} AS DOUBLE) * {dt}) AS BIGINT)"
+    return (
+        f"CAST(FLOOR(CAST({count_sql} AS DOUBLE) * CAST({_fmt(rate)} AS DOUBLE) * {dt})"
+        " AS BIGINT)"
+    )
+
+
+def _decayed_cte(rate: float, prune: bool, law: str = "linear") -> str:
+    floor_at = 0 if prune else 1
+    where = 'WHERE "count" > 0' if prune else ""
+    return f"""
+decayed AS (
+  SELECT distribution, bin,
+         GREATEST("count" - {_decay_expr(rate, law)}, {floor_at}) AS "count"
+  FROM state, now_t
+),
+live AS (SELECT * FROM decayed {where})"""
+
+
+_NORM_CTE = """
+norm AS (
+  SELECT distribution, bin, "count",
+         CAST(SUM("count") OVER (PARTITION BY distribution) AS BIGINT) AS "Z"
+  FROM live
+)"""
+
+_P_EXPR = (
+    'CASE WHEN "Z" = 0 THEN CAST(0.0 AS DOUBLE)'
+    ' ELSE CAST("count" AS DOUBLE) / CAST("Z" AS DOUBLE) END AS p'
+)
+
+
+def _oracle_get_dist(ev_sql: str, rate: float, prune: bool, law: str, where: str = "") -> str:
+    return f"""WITH {_state_cte(ev_sql)}, {_decayed_cte(rate, prune, law)}, {_NORM_CTE}
+SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm {where}"""
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql() — paired definitions, one per operator.
+
+
+def q_n_most_probable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 /nmostprobable: top-N bins per distribution, rank on un-decayed
+    counts, decay applied to the selected rows (SURVEY.md §2.3 item 4)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.n_most_probable(snap, n=TOP_N, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW)
+
+
+ORACLE_N_MOST_PROBABLE = f"""WITH {_state_cte(_EV_EVENT_TYPE)},
+ranked AS (
+  SELECT state.*, now_us,
+         ROW_NUMBER() OVER (PARTITION BY distribution ORDER BY "count" DESC, bin ASC) AS rank
+  FROM state, now_t
+),
+decayed AS (
+  SELECT distribution, bin, rank,
+         GREATEST("count" - {_decay_expr(RATE_SLOW, "linear")}, 0) AS "count"
+  FROM ranked
+),
+live AS (SELECT * FROM decayed WHERE "count" > 0),
+norm AS (
+  SELECT distribution, bin, "count", rank,
+         CAST(SUM("count") OVER (PARTITION BY distribution) AS BIGINT) AS "Z"
+  FROM live
+)
+SELECT distribution, bin, "count", "Z", {_P_EXPR}, CAST(rank AS INT) AS rank
+FROM norm WHERE rank <= {TOP_N}"""
+
+
+def q_get_dist_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 /dist over every distribution: decay + renormalize (Z recomputed
+    from decayed counts — the reference ignores stored _Z here)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_dist(snap, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW)
+
+
+def q_get_dist_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 /dist?distribution=purchase — point query; the distribution
+    filter lands in the parquet scan (predicate pushdown)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_dist(
+        snap, now_us=_now_us(spark, sf_dir), distribution=GET_FIELD_DIST, rate=RATE_SLOW
+    )
+
+
+def q_get_dist_wipe_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 /dist at the goforget default rate 0.5/s: distributions idle
+    longer than ~2·count seconds decay to nothing and vanish — the
+    expected-mode analogue of the λ≳18.4 bin wipe (goforget/decay.go:17-19)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_dist(snap, now_us=_now_us(spark, sf_dir), rate=RATE_DEFAULT)
+
+
+def q_get_dist_noprune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 /dist with --prune=false: every bin floors at 1, distributions
+    never lose support (goforget/distribution.go:161-163)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_dist(snap, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW, prune=False)
+
+
+def q_get_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 /get: named-bin lookup; Z over the full decayed distribution
+    (normative full-Z mode)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_field(
+        snap,
+        fields=list(GET_FIELD_BINS),
+        now_us=_now_us(spark, sf_dir),
+        distribution=GET_FIELD_DIST,
+        rate=RATE_SLOW,
+    )
+
+
+def q_get_field_compat_partial_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 /get in reference-compat mode: p is computed from the un-decayed
+    counts against the stored (pre-decay) Z while count is post-decay —
+    reproducing the documented quirk (goforget/distribution.go:56-78)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_field(
+        snap,
+        fields=list(GET_FIELD_BINS),
+        now_us=_now_us(spark, sf_dir),
+        distribution=GET_FIELD_DIST,
+        rate=RATE_SLOW,
+        compat_partial_z=True,
+    )
+
+
+def q_db_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 /dbsize: exact distinct-distribution count."""
+    return ops.db_size(_snap_event_type(spark, sf_dir))
+
+
+def q_db_size_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 /dbsize over the many-distributions mapping (u0..u999)."""
+    return ops.db_size(_snap_user(spark, sf_dir))
+
+
+def q_live_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 expiry: distributions still inside their (σ+η)·η decay horizon."""
+    snap = _snap_user(spark, sf_dir)
+    out = ops.live_distributions(snap, now_us=_now_us(spark, sf_dir), rate=RATE_USER, sigma=SIGMA)
+    return out.select(
+        "distribution", "max_count", F.unix_micros("t").alias("t_us"), "horizon_sec"
+    )
+
+
+def q_snapshot_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 read side: the events→state aggregation itself (count, per-dist T)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return snap.select("distribution", "bin", "count", F.unix_micros("t").alias("t_us"))
+
+
+def q_decay_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 pyforget proportional law (λ = count·rate·dt), floor at 1
+    (pyforget/distribution.py:23-31,60), over user-keyed distributions."""
+    snap = _snap_user(spark, sf_dir)
+    return ops.get_dist(
+        snap,
+        now_us=_now_us(spark, sf_dir),
+        rate=RATE_PROPORTIONAL,
+        prune=False,
+        law="proportional",
+    )
+
+
+def q_incr_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 write path: append increments ('colors': red+5, blue+5 at
+    max(ts)+1s) to the log, then /dist the new distribution at now."""
+    base = load_forget_events(spark, sf_dir)
+    mx = load_events(spark, sf_dir).agg(F.max("ts").alias("mt"))
+    inc = mx.select(
+        F.lit("colors").alias("distribution"),
+        F.explode(F.array(F.lit("red"), F.lit("blue"))).alias("bin"),
+        F.lit(5).cast("bigint").alias("n"),
+        F.timestamp_micros(F.unix_micros(F.col("mt")) + F.lit(1_000_000)).alias("ts"),
+    )
+    snap = ops.snapshot(ops.incr(base, inc))
+    return ops.get_dist(
+        snap, now_us=_now_us(spark, sf_dir), distribution="colors", rate=RATE_DEFAULT
+    )
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: top-N most-probable bins per distribution at sf0.001."""
+    return q_n_most_probable(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = {
+        "n_most_probable": q_n_most_probable,
+        "get_dist_all": q_get_dist_all,
+        "get_dist_single": q_get_dist_single,
+        "get_dist_wipe_regime": q_get_dist_wipe_regime,
+        "get_dist_noprune": q_get_dist_noprune,
+        "get_field": q_get_field,
+        "get_field_compat_partial_z": q_get_field_compat_partial_z,
+        "db_size": q_db_size,
+        "db_size_users": q_db_size_users,
+        "live_distributions": q_live_distributions,
+        "snapshot_state": q_snapshot_state,
+        "decay_proportional": q_decay_proportional,
+        "incr_snapshot": q_incr_snapshot,
+    }
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    get_field_where = (
+        f"WHERE distribution = '{GET_FIELD_DIST}' AND bin IN "
+        f"({', '.join(repr(b) for b in GET_FIELD_BINS)})"
+    )
+    compat = f"""WITH {_state_cte(_EV_EVENT_TYPE)},
+norm0 AS (
+  SELECT distribution, bin, "count" AS c0, t,
+         CAST(SUM("count") OVER (PARTITION BY distribution) AS BIGINT) AS "Z"
+  FROM state
+),
+decayed AS (
+  SELECT distribution, bin, c0, "Z",
+         GREATEST(c0 - {_decay_expr(RATE_SLOW, "linear")}, 0) AS "count"
+  FROM norm0, now_t
+)
+SELECT distribution, bin, "count", "Z",
+       CASE WHEN "Z" = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(c0 AS DOUBLE) / CAST("Z" AS DOUBLE) END AS p
+FROM decayed
+WHERE "count" > 0 AND distribution = '{GET_FIELD_DIST}'
+  AND bin IN ({', '.join(repr(b) for b in GET_FIELD_BINS)})"""
+
+    live_dists = f"""WITH {_state_cte(_EV_USER)},
+per_dist AS (
+  SELECT distribution, MAX("count") AS max_count, MAX(t) AS t
+  FROM state GROUP BY distribution
+),
+h AS (
+  SELECT distribution, CAST(max_count AS BIGINT) AS max_count, t, now_us,
+         (CAST({SIGMA:e} AS DOUBLE) + SQRT(CAST(max_count AS DOUBLE) / CAST({_fmt(RATE_USER)} AS DOUBLE)))
+           * SQRT(CAST(max_count AS DOUBLE) / CAST({_fmt(RATE_USER)} AS DOUBLE)) AS horizon_sec
+  FROM per_dist, now_t
+)
+SELECT distribution, max_count, epoch_us(t) AS t_us, horizon_sec
+FROM h WHERE ((now_us - epoch_us(t)) / 1e6) <= horizon_sec"""
+
+    snapshot_state = f"""WITH {_state_cte(_EV_EVENT_TYPE)}
+SELECT distribution, bin, "count", epoch_us(t) AS t_us FROM state"""
+
+    incr_sql = f"""WITH now_t AS (SELECT epoch_us(max(ts)) + {NOW_OFFSET_US} AS now_us FROM events),
+ev AS (
+  {_EV_EVENT_TYPE}
+  UNION ALL
+  SELECT 'colors', x.bin, CAST(5 AS BIGINT),
+         make_timestamp(epoch_us((SELECT max(ts) FROM events)) + 1000000)
+  FROM (VALUES ('red'), ('blue')) x(bin)
+),
+snap AS (
+  SELECT distribution, bin, CAST(SUM(n) AS BIGINT) AS "count", MAX(ts) AS t_bin
+  FROM ev GROUP BY distribution, bin
+),
+state AS (
+  SELECT distribution, bin, "count",
+         MAX(t_bin) OVER (PARTITION BY distribution) AS t
+  FROM snap
+), {_decayed_cte(RATE_DEFAULT, True)}, {_NORM_CTE}
+SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm
+WHERE distribution = 'colors'"""
+
+    return {
+        "n_most_probable": ORACLE_N_MOST_PROBABLE,
+        "get_dist_all": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
+        "get_dist_single": _oracle_get_dist(
+            _EV_EVENT_TYPE, RATE_SLOW, True, "linear", f"WHERE distribution = '{GET_FIELD_DIST}'"
+        ),
+        "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
+        "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
+        "get_field": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear", get_field_where),
+        "get_field_compat_partial_z": compat,
+        "db_size": "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS db_size FROM events",
+        "db_size_users": (
+            "SELECT CAST(COUNT(DISTINCT 'u' || CAST(user_id % 1000 AS VARCHAR)) AS BIGINT)"
+            " AS db_size FROM events"
+        ),
+        "live_distributions": live_dists,
+        "snapshot_state": snapshot_state,
+        "decay_proportional": _oracle_get_dist(_EV_USER, RATE_PROPORTIONAL, False, "proportional"),
+        "incr_snapshot": incr_sql,
+    }

@@ -1,0 +1,17 @@
+"""Source connectors: driver parquet testdata and event-log projections."""
+
+from forgettable_spark.sources.tables import (
+    TABLES,
+    load_table,
+    load_events,
+    load_forget_events,
+    events_to_forget_events,
+)
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_events",
+    "load_forget_events",
+    "events_to_forget_events",
+]

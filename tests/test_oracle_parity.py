@@ -1,0 +1,35 @@
+"""The correctness gate, run locally: every ``queries()`` entry must match
+its ``oracle_sql()`` DuckDB twin exactly (row count + columns + values),
+at both sf0.001 and sf0.01 — stricter than the driver (exact value
+equality including float bit patterns via repr, not a tolerant hash).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from forgettable_spark import entrypoints as ep
+from tests.conftest import SF_ORACLE, SF_SMOKE, assert_frames_match, register_views
+
+QUERY_NAMES = sorted(ep.queries().keys())
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE], ids=["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name, sf_dir):
+    oracles = ep.oracle_sql()
+    assert name in oracles, f"{name} lacks an oracle_sql entry"
+    register_views(duck, sf_dir)
+    sdf = ep.queries()[name](spark, sf_dir)
+    rel = duck.sql(oracles[name])
+    assert_frames_match(sdf, rel)
+
+
+def test_every_oracle_has_query():
+    assert set(ep.oracle_sql().keys()) <= set(ep.queries().keys())
+
+
+def test_entry_returns_rows(spark):
+    df = ep.entry(spark)
+    assert df.count() > 0
+    assert {"distribution", "bin", "count", "Z", "p"} <= set(df.columns)
