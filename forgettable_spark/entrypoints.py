@@ -272,6 +272,15 @@ def q_decay_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_get_dist_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 stochastic mode: seeded Poisson decay (rows-only driver check —
+    not SQL-expressible; reproducibility is covered by tests/test_sampling)."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_dist(
+        snap, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW, mode="poisson", seed=42
+    )
+
+
 def q_incr_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 write path: append increments ('colors': red+5, blue+5 at
     max(ts)+1s) to the log, then /dist the new distribution at now."""
@@ -308,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "live_distributions": q_live_distributions,
         "snapshot_state": q_snapshot_state,
         "decay_proportional": q_decay_proportional,
+        "get_dist_poisson": q_get_dist_poisson,  # stochastic: rows-only check
         "incr_snapshot": q_incr_snapshot,
     }
     return q

@@ -30,18 +30,32 @@ def decayed_state(
     rate: float = GOFORGET_DEFAULT_RATE,
     prune: bool = True,
     law: str = "linear",
+    mode: str = "expected",
+    seed: int = 0,
 ) -> DataFrame:
     """Apply decay-at-read to a snapshot → (distribution, bin, count, t).
+
+    ``mode="expected"`` (default) is the deterministic pure-Catalyst law;
+    ``mode="poisson"`` is the faithful seeded stochastic sampler (a
+    vectorized pandas UDF — reproducible and partition-independent, see
+    :mod:`forgettable_spark.functions.sampling`).
 
     In prune mode bins decayed to 0 are dropped (reference removes them at
     write-back, ``goforget/redis_utils.go:163-172``); an entire distribution
     decaying away simply yields no rows (the reference discards the write
     and lets TTL expiry reap the keys, ``redis_utils.go:158-161``).
     """
-    out = snap.withColumn(
-        "count",
-        decayed_count(F.col("count"), F.col("t"), _now_col(now_us), rate, prune, law),
-    )
+    if mode == "expected":
+        c = decayed_count(F.col("count"), F.col("t"), _now_col(now_us), rate, prune, law)
+    elif mode == "poisson":
+        from forgettable_spark.functions.sampling import poisson_decay_column
+
+        c = poisson_decay_column(
+            F.col("count"), F.col("t"), _now_col(now_us), rate, prune, law, seed
+        )
+    else:
+        raise ValueError(f"unknown decay mode: {mode!r} (want 'expected' or 'poisson')")
+    out = snap.withColumn("count", c)
     if prune:
         out = out.filter(F.col("count") > 0)
     return out
@@ -54,6 +68,8 @@ def get_dist(
     rate: float = GOFORGET_DEFAULT_RATE,
     prune: bool = True,
     law: str = "linear",
+    mode: str = "expected",
+    seed: int = 0,
 ) -> DataFrame:
     """R1 ``/dist``: full-distribution scan + decay + normalize.
 
@@ -68,7 +84,7 @@ def get_dist(
     """
     if distribution is not None:
         snap = snap.filter(F.col("distribution") == distribution)
-    out = decayed_state(snap, now_us, rate, prune, law)
+    out = decayed_state(snap, now_us, rate, prune, law, mode, seed)
     return with_z_and_p(out).select("distribution", "bin", "count", "Z", "p")
 
 
