@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_poisson": q_get_dist_poisson,  # stochastic: rows-only check
         "incr_snapshot": q_incr_snapshot,
     }
+    from forgettable_spark import entrypoints_ext
+
+    q.update(entrypoints_ext.queries())
     return q
 
 
@@ -383,7 +386,9 @@ state AS (
 SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm
 WHERE distribution = 'colors'"""
 
-    return {
+    from forgettable_spark import entrypoints_ext
+
+    out = {
         "n_most_probable": ORACLE_N_MOST_PROBABLE,
         "get_dist_all": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "get_dist_single": _oracle_get_dist(
@@ -403,3 +408,5 @@ WHERE distribution = 'colors'"""
         "decay_proportional": _oracle_get_dist(_EV_USER, RATE_PROPORTIONAL, False, "proportional"),
         "incr_snapshot": incr_sql,
     }
+    out.update(entrypoints_ext.oracle_sql())
+    return out

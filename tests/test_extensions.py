@@ -1,0 +1,146 @@
+"""Extension operators: semantic checks beyond oracle parity — does dedup
+actually find the planted near-duplicates, does LSH agree with brute force,
+does the multimodal plumbing move real batches.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions import dedup, multimodal, similarity, text
+from forgettable_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_ngram_jaccard_finds_planted_dups(docs):
+    """The corpus plants near-duplicates (docs containing a 'dup' marker
+    are perturbed copies of an original); blocked brute-force Jaccard at
+    0.8 must surface them and every pair must involve a dup-marked doc."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(pairs) > 0
+    marked = {
+        r["doc_id"] for r in docs.filter(F.col("text").contains("dup")).select("doc_id").collect()
+    }
+    for p in pairs:
+        assert p["doc_a"] in marked or p["doc_b"] in marked
+
+
+def test_lsh_pairs_subset_of_bruteforce(docs):
+    """LSH is candidates+verify: every LSH pair must also pass brute-force
+    verification (precision 1.0); recall here should be total because the
+    planted dups are J≈0.95+ (far above the k=12,b=4 S-curve knee)."""
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    # brute force blocks on lang; LSH is unblocked — compare on the blocked set
+    assert brute <= lsh or brute == lsh  # LSH may legitimately find cross-lang pairs
+    high = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert high <= lsh
+
+
+def test_exact_dedup_no_false_groups(docs):
+    out = dedup.exact_dedup(docs)
+    assert out.filter(~F.col("is_canonical")).count() == 0  # corpus has no exact dups
+    assert out.count() == docs.count()
+
+
+def test_simhash_close_for_near_dups(docs):
+    """Near-duplicate docs should have small simhash hamming distance."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9).limit(5).collect()
+    sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash_sketch(docs).collect()}
+    for p in pairs:
+        h = bin(sk[p["doc_a"]] ^ sk[p["doc_b"]]).count("1")
+        assert h <= 10, f"near-dup pair {p} has hamming {h}"
+
+
+def test_brute_force_topk_sanity(emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r["neighbor_id"] != 0 for r in out)
+    assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_bucketed_ann_recall(emb):
+    """Bucketed ANN returns a subset ranking; its rank-1 neighbor must be
+    the brute-force rank-1 for a decent share of queries (same-bucket
+    vectors share the dominant component)."""
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, qs, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.bucketed_ann_topk(emb, qs, k=1).collect()
+    }
+    hits = sum(1 for q, n in approx.items() if brute.get(q) == n)
+    assert len(approx) > 0
+    assert hits / len(approx) >= 0.05  # coarse 64-way quantizer, sf0.001 corpus
+
+
+def test_language_id_prefers_en(docs):
+    out = text.language_id(docs)
+    dist = {r["lang_pred"]: r["cnt"] for r in out.groupBy("lang_pred").agg(F.count("*").alias("cnt")).collect()}
+    assert set(dist) <= {"en", "und", "de", "es", "fr", "zh"}
+    assert dist.get("en", 0) > 0  # 'the'/'a' are in the corpus vocabulary
+
+
+def test_multimodal_pipeline(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.extract_image_features(media).collect()
+    assert len(feats) == 10  # every 3rd synthetic row is an image
+    for f in feats:
+        assert f["feat_dim"] == 8 and f["n_bytes"] > 0 and len(f["sha256"]) == 64
+        assert 0.0 <= f["feat_mean"] <= 1.0
+    # deterministic: same input → same features
+    again = multimodal.extract_image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception):
+        multimodal.extract_image_features(media, use_fake_decoder=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert len(rows) > 0
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    for mid, frames in by_media.items():
+        assert frames == sorted(frames)
+        assert frames[0] == 0
+
+
+def test_repartition_by_bytes(spark):
+    media = multimodal.synthetic_media(spark, n=64)
+    out = multimodal.repartition_by_bytes(media, target_bytes_per_partition=1024)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 64
