@@ -1,0 +1,10 @@
+"""Structured Streaming forget-table: continuous increments → keyed
+decaying state with TTL eviction."""
+
+from forgettable_spark.streaming.forget_stream import (
+    read_increment_stream,
+    streaming_snapshot,
+    streaming_forget_table,
+)
+
+__all__ = ["read_increment_stream", "streaming_snapshot", "streaming_forget_table"]

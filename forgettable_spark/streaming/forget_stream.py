@@ -1,0 +1,206 @@
+"""Structured Streaming forget-table (reference parity-plus, SURVEY.md §7 M4).
+
+The reference system *is* a stream processor in disguise: a continuous
+``/incr`` stream mutates keyed state (per-distribution counts), reads decay
+that state against elapsed time, and a TTL evicts idle keys
+(``goforget/forget.go:28,68,247-256``; ``redis_utils.go:124-196``). The
+Structured Streaming mapping:
+
+- ``/incr`` stream            → ``readStream`` of forget_events rows
+- Redis keyed state           → ``applyInPandasWithState`` per-distribution
+                                 state (bins, counts, T)
+- decay at write-back         → decay applied per micro-batch as event time
+                                 advances (same expected-mode law as batch)
+- ``(σ+η)·η`` TTL             → event-time state timeout at T + horizon
+- late ``/incr``              → just adds to current counts, exactly the
+                                 reference semantics (SETNX ``_T`` means
+                                 writes never rewind T — SURVEY.md §2.2)
+
+Two tiers: :func:`streaming_snapshot` is the pure-builtin path (update-mode
+keyed aggregation — Spark maintains (distribution, bin) sums incrementally;
+decay stays a read-time projection over the sink). :func:`streaming_forget_
+table` is the custom stateful operator for when decayed state itself must
+live in the stream (the reference's write-back made durable).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from forgettable_spark.functions.decay import GOFORGET_DEFAULT_RATE
+from forgettable_spark.functions.expiry import DEFAULT_SIGMA
+from forgettable_spark.operators.snapshot import FORGET_EVENTS_SCHEMA
+
+#: Per-distribution state: parallel bin/count arrays + last-decay instant.
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bins", T.ArrayType(T.StringType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+        T.StructField("t_us", T.LongType(), False),
+    ]
+)
+
+#: Emitted rows: the distribution's full post-update state each batch.
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("distribution", T.StringType(), False),
+        T.StructField("bin", T.StringType(), False),
+        T.StructField("count", T.LongType(), False),
+        T.StructField("t_us", T.LongType(), False),
+    ]
+)
+
+
+def read_increment_stream(spark, path: str) -> DataFrame:
+    """File-based increment stream (one parquet file ≈ one micro-batch in
+    tests via ``maxFilesPerTrigger=1``; swap for Kafka etc. in production)."""
+    return (
+        spark.readStream.schema(FORGET_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def streaming_snapshot(events: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Built-in path: incrementally-maintained snapshot aggregation.
+
+    Update-mode ``groupBy(distribution, bin)`` running sums — Spark's state
+    store does the heavy lifting (RocksDB-backed at scale); decay remains a
+    read-time column expression over the sink, identical to batch. The
+    watermark bounds state for the companion windowed variants; plain keyed
+    aggregation keeps all keys (like the reference until TTL).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("distribution", "bin")
+        .agg(
+            F.sum("n").alias("count"),
+            F.unix_micros(F.max("ts")).alias("t_us"),
+        )
+    )
+
+
+def _decay_counts(counts: list[int], dt_sec: float, rate: float, prune: bool, law: str) -> list[int]:
+    """Expected-mode decay, pure-Python twin of functions.decay (same law,
+    applied inside the state update where no Column exists)."""
+    out = []
+    for c in counts:
+        lam = rate * dt_sec if law == "linear" else c * rate * dt_sec
+        k = math.floor(lam)
+        floor_at = 0 if prune else 1
+        out.append(max(c - k, floor_at))
+    return out
+
+
+def streaming_forget_table(
+    events: DataFrame,
+    rate: float = GOFORGET_DEFAULT_RATE,
+    sigma: float = DEFAULT_SIGMA,
+    prune: bool = True,
+    law: str = "linear",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-distribution decaying counts with
+    TTL eviction, emitted in update mode.
+
+    ``watermark`` is the allowed lateness: the reference accepts
+    arbitrarily late increments (they simply add to current counts —
+    SURVEY.md §2.2), so the default is generous; the cost is that TTL
+    timeouts fire one watermark-delay later in event time. Set it to
+    ``"0 seconds"`` for strict watermark semantics with prompt eviction.
+
+    Per micro-batch and distribution: decay existing state forward to the
+    batch's max event time (write-back analogue), fold in the new
+    increments, prune zeros, then arm an event-time timeout at
+    ``T + (σ+η)·η`` — when the watermark passes it the distribution's
+    state is dropped, exactly the Redis ``EXPIRE`` horizon
+    (``goforget/redis_utils.go:184-189``).
+
+    Scale: state is keyed by distribution and lives in Spark's state store
+    (RocksDB provider on real clusters); a micro-batch shuffles only its
+    increments, partially pre-aggregated.
+    """
+
+    def update(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (distribution,) = key
+        if state.hasTimedOut:
+            # TTL horizon passed with no traffic: drop the key group.
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
+
+        incr: dict[str, int] = {}
+        batch_t_us = 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"])
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            us = ts.astype("datetime64[us]").astype("int64")
+            if len(us):
+                batch_t_us = max(batch_t_us, int(us.max()))
+            for b, n in zip(pdf["bin"], pdf["n"]):
+                incr[b] = incr.get(b, 0) + int(n)
+
+        if state.exists:
+            bins, counts, t_us = state.get
+            bins, counts = list(bins), list(counts)
+        else:
+            bins, counts, t_us = [], [], batch_t_us
+
+        new_t_us = max(t_us, batch_t_us)
+        # decay existing mass forward to the new instant (write-back analogue)
+        if new_t_us > t_us and counts:
+            counts = _decay_counts(counts, (new_t_us - t_us) / 1e6, rate, prune, law)
+        # fold in increments (late events simply add — reference semantics)
+        index = {b: i for i, b in enumerate(bins)}
+        for b, n in incr.items():
+            if b in index:
+                counts[index[b]] += n
+            else:
+                bins.append(b)
+                counts.append(n)
+        if prune:
+            kept = [(b, c) for b, c in zip(bins, counts) if c > 0]
+            bins, counts = [b for b, _ in kept], [c for _, c in kept]
+
+        if not bins:
+            # whole distribution decayed away: discard (redis_utils.go:158-161)
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
+
+        state.update((bins, counts, new_t_us))
+        horizon_sec = (sigma + math.sqrt(max(counts) / rate)) * math.sqrt(max(counts) / rate)
+        state.setTimeoutTimestamp(new_t_us // 1000 + int(horizon_sec * 1000))
+        yield pd.DataFrame(
+            {
+                "distribution": distribution,
+                "bin": bins,
+                "count": counts,
+                "t_us": new_t_us,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("distribution")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

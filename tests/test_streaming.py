@@ -1,0 +1,272 @@
+"""Structured Streaming forget-table: multi-batch state evolution, decay on
+update, pruning, and TTL eviction — driven through real streaming queries
+over a file source (1 parquet file = 1 micro-batch).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgettable_spark.operators.snapshot import FORGET_EVENTS_SCHEMA
+from forgettable_spark.streaming import (
+    read_increment_stream,
+    streaming_forget_table,
+    streaming_snapshot,
+)
+
+T0 = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _ts(offset_sec: float) -> datetime:
+    return datetime.fromtimestamp(T0.timestamp() + offset_sec, tz=timezone.utc)
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="forget_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+_BATCH_SEQ = [0]
+
+
+def _write_batch(spark, path: str, name: str, rows) -> None:
+    """One real parquet file per micro-batch (the Spark writer would emit a
+    directory, which the file-stream source treats differently); mtimes are
+    staggered so the source processes batches in write order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "distribution": [r[0] for r in rows],
+            "bin": [r[1] for r in rows],
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array([r[3].replace(tzinfo=None) for r in rows], pa.timestamp("us")),
+        }
+    )
+    fp = f"{path}/{name}"
+    pq.write_table(table, fp)
+    _BATCH_SEQ[0] += 1
+    t = 1_700_000_000 + _BATCH_SEQ[0] * 60
+    os.utime(fp, (t, t))
+
+
+def _latest_sql(table: str) -> str:
+    """Latest emitted row per (distribution, bin) — update-mode memory sinks
+    append each batch's emissions."""
+    return (
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER"
+        f" (PARTITION BY distribution, bin ORDER BY t_us DESC) AS _rn FROM {table})"
+        f" WHERE _rn = 1"
+    )
+
+
+def _run_to_completion(stream_df, query_name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_snapshot_accumulates(spark, stream_dir):
+    _write_batch(
+        spark,
+        stream_dir,
+        "b1.parquet",
+        [("colors", "red", 3, _ts(0)), ("colors", "blue", 1, _ts(0))],
+    )
+    _write_batch(
+        spark,
+        stream_dir,
+        "b2.parquet",
+        [("colors", "red", 2, _ts(5)), ("animals", "cat", 1, _ts(5))],
+    )
+    stream = read_increment_stream(spark, stream_dir)
+    _run_to_completion(streaming_snapshot(stream), "snap_test")
+    rows = {
+        (r["distribution"], r["bin"]): r["count"]
+        for r in spark.sql("SELECT * FROM snap_test").collect()
+    }
+    # update mode emits per-batch rows; the latest value for a key wins
+    assert rows[("colors", "red")] == 5
+    assert rows[("colors", "blue")] == 1
+    assert rows[("animals", "cat")] == 1
+
+
+def test_streaming_forget_table_decays_between_batches(spark, stream_dir):
+    """batch1: red=10 at t=0; batch2: red+=1 at t=10s, rate=0.5 →
+    state decays floor(0.5·10)=5 before the increment: 10-5+1=6."""
+    _write_batch(spark, stream_dir, "b1.parquet", [("colors", "red", 10, _ts(0))])
+    _write_batch(spark, stream_dir, "b2.parquet", [("colors", "red", 1, _ts(10))])
+    stream = read_increment_stream(spark, stream_dir)
+    _run_to_completion(
+        streaming_forget_table(stream, rate=0.5), "forget_decay_test"
+    )
+    latest = (
+        spark.sql(_latest_sql("forget_decay_test")).collect()
+    )
+    rows = {(r["distribution"], r["bin"]): r["count"] for r in latest}
+    assert rows[("colors", "red")] == 6
+
+
+def test_streaming_forget_table_prunes_and_discards(spark, stream_dir):
+    """A bin decayed to zero vanishes; a whole distribution decayed to zero
+    is discarded from state (empty-write discard analogue)."""
+    _write_batch(
+        spark,
+        stream_dir,
+        "b1.parquet",
+        [("colors", "red", 10, _ts(0)), ("colors", "green", 2, _ts(0)),
+         ("stale", "old", 2, _ts(0))],
+    )
+    _write_batch(
+        spark,
+        stream_dir,
+        "b2.parquet",
+        # t=+8s: k=4 → green 2-4→0 pruned, red 10-4+1=7; stale gets no
+        # traffic so its state is untouched this batch (decay-at-update)
+        [("colors", "red", 1, _ts(8))],
+    )
+    stream = read_increment_stream(spark, stream_dir)
+    _run_to_completion(streaming_forget_table(stream, rate=0.5), "forget_prune_test")
+    latest = spark.sql(_latest_sql("forget_prune_test")).collect()
+    per_key = {(r["distribution"], r["bin"]): r["count"] for r in latest}
+    assert per_key[("colors", "red")] == 7
+    # green emitted in batch1 (count 2) but pruned from batch2's emission
+    batch2_bins = {
+        r["bin"]
+        for r in latest
+        if r["distribution"] == "colors" and r["t_us"] > int(T0.timestamp() * 1e6)
+    }
+    assert "green" not in batch2_bins
+
+
+class _FakeState:
+    """Duck-typed GroupState for exercising the update closure's timeout
+    and empty-discard branches, which a memory sink cannot observe."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _update_closure(**kwargs):
+    """Extract the stateful update function without starting a query."""
+    from forgettable_spark.streaming import forget_stream as fs
+
+    captured = {}
+
+    class _Probe:
+        def withWatermark(self, *a):
+            return self
+
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    fs.streaming_forget_table(_Probe(), **kwargs)
+    return captured["fn"]
+
+
+def test_timeout_branch_removes_state():
+    fn = _update_closure(rate=0.5)
+    state = _FakeState(value=(["red"], [5], 1_000_000), timed_out=True)
+    out = list(fn(("colors",), iter([]), state))
+    assert state.removed
+    assert sum(len(df) for df in out) == 0
+
+
+def test_whole_distribution_decay_discards_state():
+    """All bins decay to zero within one update → state removed (the
+    empty-write discard, goforget/redis_utils.go:158-161)."""
+    import pandas as pd
+
+    fn = _update_closure(rate=0.5)
+    t0_us = int(T0.timestamp() * 1e6)
+    state = _FakeState(value=(["red"], [2], t0_us))
+    batch = pd.DataFrame(
+        {
+            "distribution": ["colors"],
+            "bin": ["green"],
+            "n": [0],
+            "ts": [pd.Timestamp(T0.replace(tzinfo=None)) + pd.Timedelta(seconds=100)],
+        }
+    )
+    out = list(fn(("colors",), iter([batch]), state))
+    assert state.removed
+    assert sum(len(df) for df in out) == 0
+
+
+def test_timeout_armed_at_expiry_horizon():
+    """After an update the event-time timeout must sit at T + (σ+η)·η ms."""
+    import math
+
+    import pandas as pd
+
+    fn = _update_closure(rate=0.5, sigma=2.0)
+    t0_us = int(T0.timestamp() * 1e6)
+    state = _FakeState()
+    batch = pd.DataFrame(
+        {
+            "distribution": ["colors"],
+            "bin": ["red"],
+            "n": [8],
+            "ts": [pd.Timestamp(T0.replace(tzinfo=None))],
+        }
+    )
+    list(fn(("colors",), iter([batch]), state))
+    eta = math.sqrt(8 / 0.5)
+    expected_ms = t0_us // 1000 + int((2.0 + eta) * eta * 1000)
+    assert state.timeout_ms == expected_ms
+
+
+def test_streaming_forget_table_late_events_add(spark, stream_dir):
+    """A late event (older ts than state T) adds mass without rewinding T
+    — the reference's SETNX _T semantics."""
+    _write_batch(spark, stream_dir, "b1.parquet", [("colors", "red", 5, _ts(20))])
+    _write_batch(spark, stream_dir, "b2.parquet", [("colors", "red", 3, _ts(1))])
+    stream = read_increment_stream(spark, stream_dir)
+    _run_to_completion(streaming_forget_table(stream, rate=0.5), "forget_late_test")
+    emissions = spark.sql("SELECT * FROM forget_late_test").collect()
+    # both emissions carry the same t_us (T never rewinds nor advances on a
+    # late event), so assert on the emission set: batch1 → 5, batch2 → 5+3
+    counts = sorted(r["count"] for r in emissions)
+    assert counts == [5, 8]
+    assert all(r["t_us"] == int(_ts(20).timestamp() * 1e6) for r in emissions)
