@@ -48,14 +48,23 @@ def _fmt(rate: float) -> str:
 # Spark-side builders.
 
 
+_NOW_US_CACHE: dict[str, int] = {}
+
+
 def _now_us(spark: SparkSession, sf_dir: str) -> int:
-    """Deterministic evaluation instant (epoch µs)."""
-    row = (
-        load_events(spark, sf_dir)
-        .agg((F.unix_micros(F.max("ts")) + F.lit(NOW_OFFSET_US)).alias("now_us"))
-        .first()
-    )
-    return int(row["now_us"])
+    """Deterministic evaluation instant (epoch µs): max(ts) + 5 s.
+
+    Cached per sf_dir — the testdata is immutable, and at scale this
+    scalar would otherwise cost one full ts-column scan per query.
+    """
+    if sf_dir not in _NOW_US_CACHE:
+        row = (
+            load_events(spark, sf_dir)
+            .agg((F.unix_micros(F.max("ts")) + F.lit(NOW_OFFSET_US)).alias("now_us"))
+            .first()
+        )
+        _NOW_US_CACHE[sf_dir] = int(row["now_us"])
+    return _NOW_US_CACHE[sf_dir]
 
 
 def _user_dist_col() -> Column:

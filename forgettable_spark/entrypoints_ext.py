@@ -40,8 +40,15 @@ _SHINGLE_CTE = (
 )
 
 
-def _minhash_sql(i: int, src: str = "shingles") -> str:
-    return f"list_min(list_transform({src}, s -> md5('{i}:' || s)))"
+_MINHASH_BASE_SQL = (
+    "list_transform({src}, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % "
+    f"{text.MINHASH_P})"
+)
+
+
+def _minhash_sql(i: int, base: str = "mhb") -> str:
+    a, b = text.MINHASH_COEFFS[i]
+    return f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {text.MINHASH_P}))"
 
 
 _JACCARD_SQL = (
@@ -121,10 +128,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOC_FINGERPRINT = f"""WITH {_TOK_CTE}, {_SHINGLE_CTE}
+ORACLE_DOC_FINGERPRINT = f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+based AS (SELECT doc_id, text, {_MINHASH_BASE_SQL.format(src='shingles')} AS mhb FROM sh)
 SELECT doc_id, md5(text) AS fp_md5,
   concat_ws('|', {', '.join(_minhash_sql(i) for i in range(MINHASH_K))}) AS minhash_sig
-FROM sh"""
+FROM based"""
 
 
 # Dedup ----------------------------------------------------------------------
@@ -159,10 +167,11 @@ def _oracle_minhash_lsh() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+based AS (SELECT doc_id, shingles, {_MINHASH_BASE_SQL.format(src='shingles')} AS mhb FROM sh),
 sigs AS (
   SELECT doc_id, shingles,
          [{', '.join(_minhash_sql(i) for i in range(MINHASH_K))}] AS mh
-  FROM sh
+  FROM based
 ),
 banded AS (
   SELECT doc_id, shingles, unnest([{band_exprs}]) AS key,

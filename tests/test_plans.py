@@ -1,0 +1,88 @@
+"""Physical-plan audits: the properties that make the engine viable at
+100 TB must hold structurally, not accidentally — assert them on the
+optimized plans so a refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from forgettable_spark import entrypoints as ep
+from tests.conftest import SF_SMOKE
+
+
+def _formatted_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_single_distribution_filter_pushes_to_scan(spark):
+    """R1 point query: the distribution predicate must reach the parquet
+    reader (partition pruning / row-group skipping at scale)."""
+    plan = _formatted_plan(ep.queries()["get_dist_single"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_snapshot_uses_partial_aggregation(spark):
+    """W1 read side: map-side combine must collapse the raw log before the
+    shuffle — the difference between shuffling unique (dist, bin) pairs
+    and shuffling 100 TB of raw increments."""
+    plan = _formatted_plan(ep.queries()["snapshot_state"](spark, SF_SMOKE))
+    assert "partial_sum" in plan
+    assert "partial_max" in plan
+
+
+def test_n_most_probable_shares_one_window_exchange(spark):
+    """R3: the per-distribution T window, the rank window, and the Z window
+    must all ride one hash exchange on distribution (plus the aggregation
+    exchange) — re-sorts are fine, re-shuffles are not."""
+    plan = _formatted_plan(ep.queries()["n_most_probable"](spark, SF_SMOKE))
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(exchanges) <= 2, f"expected <=2 exchanges, got {len(exchanges)}:\n" + "\n".join(
+        exchanges
+    )
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning: the events scan for the snapshot must not read
+    value/props (ReadSchema limited to what the query needs)."""
+    plan = _formatted_plan(ep.queries()["snapshot_state"](spark, SF_SMOKE))
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines, "no ReadSchema in plan"
+    rs = read_schema_lines[0]
+    assert "value" not in rs and "props" not in rs
+
+
+def test_text_ops_are_shuffle_free(spark):
+    """Text analysis is row-local: no Exchange anywhere in the plan."""
+    plan = _formatted_plan(ep.queries()["text_stats"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_simhash_sketch_is_shuffle_free(spark):
+    plan = _formatted_plan(ep.queries()["dedup_simhash"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_whole_stage_codegen_covers_decay(spark):
+    """Expected-mode decay must live inside WholeStageCodegen (no Python
+    in the hot path). Codegen stage markers (`*(n)`) only appear in the
+    executed plan once AQE finalizes, so run the query first."""
+    df = ep.queries()["get_dist_all"](spark, SF_SMOKE)
+    df.collect()  # count() would plan a separate query; AQE must finalize THIS df
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "*(" in executed  # WholeStageCodegen stage marker (star notation)
+    for plan in (executed, _formatted_plan(df)):
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_poisson_mode_uses_arrow_udf(spark):
+    """Stochastic mode is the explicit exception: exactly one Arrow-batched
+    Python stage, never row-at-a-time."""
+    plan = _formatted_plan(ep.queries()["get_dist_poisson"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
