@@ -329,9 +329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_poisson": q_get_dist_poisson,  # stochastic: rows-only check
         "incr_snapshot": q_incr_snapshot,
     }
-    from forgettable_spark import entrypoints_ext
+    from forgettable_spark import entrypoints_ext, entrypoints_rel
 
     q.update(entrypoints_ext.queries())
+    q.update(entrypoints_rel.queries())
     return q
 
 
@@ -395,7 +396,7 @@ state AS (
 SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm
 WHERE distribution = 'colors'"""
 
-    from forgettable_spark import entrypoints_ext
+    from forgettable_spark import entrypoints_ext, entrypoints_rel
 
     out = {
         "n_most_probable": ORACLE_N_MOST_PROBABLE,
@@ -418,4 +419,5 @@ WHERE distribution = 'colors'"""
         "incr_snapshot": incr_sql,
     }
     out.update(entrypoints_ext.oracle_sql())
+    out.update(entrypoints_rel.oracle_sql())
     return out

@@ -1,0 +1,120 @@
+"""General relational queries over the TPC-H-ish tables — beyond-reference
+coverage proving the engine's join/aggregate/sort machinery (the reference
+has no relational algebra at all; SURVEY.md §2.2 absence table).
+
+Float-determinism note: double columns are summed through DECIMAL(18,2)
+accumulators (exact, order-independent addition — a straight double sum
+would depend on partial-aggregation order and could never hash-match an
+oracle), and the exact decimal results are cast to DOUBLE at the very end
+(nearest-double of the same exact value in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forgettable_spark.sources import load_table
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-heavy grouped aggregation with
+    a date predicate that must push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_REL_PRICING = """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order revenue: a broadcast-able dimension join
+    plus grouped aggregation and a deterministic top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    revenue = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+    joined = revenue.join(F.broadcast(cust), revenue.o_custkey == cust.c_custkey)
+    return (
+        joined.select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_REL_TOP_CUSTOMERS = """SELECT c_custkey, c_name, c_mktsegment,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10"""
+
+
+def q_rel_part_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (fact + two dimensions) with per-brand/supplier rollup —
+    exercises multi-join planning; both dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REL_PART_SUPPLIER = """SELECT p_brand, s_name,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_customers": q_rel_top_customers,
+        "rel_part_supplier_volume": q_rel_part_supplier_volume,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "rel_pricing_summary": ORACLE_REL_PRICING,
+        "rel_top_customers": ORACLE_REL_TOP_CUSTOMERS,
+        "rel_part_supplier_volume": ORACLE_REL_PART_SUPPLIER,
+    }

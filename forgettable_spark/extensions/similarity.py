@@ -86,19 +86,39 @@ def argmax_bucket(vec: Column) -> Column:
     return F.array_position(absv, F.array_max(absv)).cast("bigint")
 
 
+def top_p_buckets(vec: Column, n_probes: int) -> Column:
+    """1-based indices of the ``n_probes`` largest |components| — the
+    multi-probe list for IVF-style search. Implemented with a sorted
+    (|value| desc, index asc) struct array so ties are deterministic."""
+    absv = F.transform(vec, lambda x: F.abs(x))
+    indexed = F.transform(
+        F.sequence(F.lit(1), F.size(absv)),
+        lambda i: F.struct(
+            (-F.element_at(absv, i)).alias("neg"), i.cast("bigint").alias("idx")
+        ),
+    )
+    return F.slice(
+        F.transform(F.array_sort(indexed), lambda s: s["idx"]), 1, n_probes
+    )
+
+
 def bucketed_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k: search only the query's coarse bucket.
+    """IVF-style approximate top-k: search the query's ``n_probes`` best
+    coarse buckets (corpus vectors are indexed under their single argmax
+    bucket, the standard IVF shape).
 
-    Same output shape as :func:`brute_force_topk`; recall < 1 by design.
-    The equi-join on ``bucket`` is the whole trick: corpus and queries
-    hash-partition by bucket id, each task scores one bucket's candidates,
-    and cost drops from |Q|·|C| to Σ_b |Q_b|·|C_b|.
+    Same output shape as :func:`brute_force_topk`; recall < 1 by design
+    and rises with ``n_probes``. The equi-join on ``bucket`` is the whole
+    trick: corpus and queries hash-partition by bucket id, each task
+    scores one bucket's candidates, and cost drops from |Q|·|C| to
+    ``n_probes · Σ_b |Q_b|·|C_b|``.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -107,7 +127,13 @@ def bucketed_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
-    ).withColumn("bucket", argmax_bucket(F.col("_qv")))
+    )
+    if n_probes <= 1:
+        q = q.withColumn("bucket", argmax_bucket(F.col("_qv")))
+    else:
+        q = q.withColumn(
+            "bucket", F.explode(top_p_buckets(F.col("_qv"), n_probes))
+        )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -16,18 +16,32 @@ def with_z_and_p(
     df: DataFrame,
     count_col: str = "count",
     dist_col: str = "distribution",
+    strategy: str = "window",
 ) -> DataFrame:
     """Add ``Z`` (BIGINT, per-distribution sum) and ``p`` (DOUBLE) columns.
 
-    A window over ``distribution`` is one hash-shuffle of the *snapshot*
-    (unique (distribution, bin) pairs — already partially aggregated), not
-    of the raw event log; at 100 TB the snapshot is the small derivative.
-    When upstream already clustered by ``distribution`` (snapshot() output
-    falls out of a (distribution, bin) hash), AQE keeps this cheap.
+    Two physically different, result-identical strategies:
+
+    - ``window`` (default): one hash-shuffle of the snapshot (unique
+      (distribution, bin) pairs). Simple, and fine when no distribution
+      dominates — but a window funnels *all* rows of a distribution into
+      one task, so a single million-bin hot distribution becomes a
+      straggler.
+    - ``join``: aggregate per-distribution totals (partial aggregation
+      handles hot keys), then join them back. The totals table is one row
+      per distribution; AQE broadcasts it when small, and even as a
+      shuffle join the fact side distributes the hot distribution across
+      tasks instead of collapsing it into one. This is the skew-safe
+      plan for 100 TB with power-law distribution sizes.
     """
-    w = Window.partitionBy(dist_col)
-    z = F.sum(F.col(count_col)).over(w).alias("Z")
-    df = df.withColumn("Z", z)
+    if strategy == "window":
+        w = Window.partitionBy(dist_col)
+        df = df.withColumn("Z", F.sum(F.col(count_col)).over(w).alias("Z"))
+    elif strategy == "join":
+        totals = df.groupBy(dist_col).agg(F.sum(F.col(count_col)).alias("Z"))
+        df = df.join(totals, dist_col)
+    else:
+        raise ValueError(f"unknown normalize strategy: {strategy!r} (want 'window' or 'join')")
     p = (
         F.when(F.col("Z") == 0, F.lit(0.0))
         .otherwise(F.col(count_col).cast("double") / F.col("Z").cast("double"))

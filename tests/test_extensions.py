@@ -101,6 +101,29 @@ def test_bucketed_ann_recall(emb):
     assert hits / len(approx) >= 0.05  # coarse 64-way quantizer, sf0.001 corpus
 
 
+def test_multiprobe_ann_recall_improves(emb):
+    """Recall@1 vs brute force must be non-decreasing in n_probes, and
+    multi-probe must return a superset of single-probe candidates' hits."""
+    from pyspark.sql import functions as FF
+
+    qs = emb.filter(FF.col("vec_id") % 25 == 0)
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, qs, k=1).collect()
+    }
+
+    def recall(n_probes):
+        approx = {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.bucketed_ann_topk(emb, qs, k=1, n_probes=n_probes).collect()
+        }
+        return sum(1 for q, n in approx.items() if brute.get(q) == n) / max(len(brute), 1)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16
+    assert r16 > r1  # probing more buckets must actually help on this data
+
+
 def test_language_id_prefers_en(docs):
     out = text.language_id(docs)
     dist = {r["lang_pred"]: r["cnt"] for r in out.groupBy("lang_pred").agg(F.count("*").alias("cnt")).collect()}

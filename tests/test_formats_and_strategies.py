@@ -1,0 +1,75 @@
+"""Source/sink round-trips and physical-strategy equivalence checks."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgettable_spark import operators as ops
+from forgettable_spark.functions.normalize import with_z_and_p
+from forgettable_spark.operators.snapshot import FORGET_EVENTS_SCHEMA
+from forgettable_spark.sources import formats
+
+T0 = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+ROWS = [
+    ("colors", "red", 9, T0),
+    ("colors", "blue", 5, T0),
+    ("animals", "cat", 3, T0),
+]
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(ROWS, FORGET_EVENTS_SCHEMA)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_roundtrip(spark, events, fmt):
+    d = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    try:
+        formats.write_events(events, d, format=fmt, mode="overwrite")
+        reader = {
+            "parquet": formats.read_events_parquet,
+            "csv": formats.read_events_csv,
+            "json": formats.read_events_json,
+        }[fmt]
+        back = reader(spark, d)
+        assert back.schema == FORGET_EVENTS_SCHEMA or [f.name for f in back.schema.fields] == [
+            "distribution",
+            "bin",
+            "n",
+            "ts",
+        ]
+        got = sorted(
+            (r["distribution"], r["bin"], r["n"], r["ts"].replace(tzinfo=timezone.utc))
+            for r in back.collect()
+        )
+        assert got == sorted(ROWS)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_normalize_strategies_identical(spark, events):
+    """window-Z and join-Z are physically different plans with identical
+    results — including identical double p values."""
+    snap = ops.snapshot(events)
+    w = with_z_and_p(snap, strategy="window").select("distribution", "bin", "Z", "p")
+    j = with_z_and_p(snap, strategy="join").select("distribution", "bin", "Z", "p")
+    rw = sorted(map(tuple, w.collect()))
+    rj = sorted(map(tuple, j.collect()))
+    assert rw == rj
+    # and the join plan genuinely avoids a window
+    assert "Window" not in j._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_strategy_broadcasts_totals(spark, events):
+    snap = ops.snapshot(events)
+    j = with_z_and_p(snap, strategy="join")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
