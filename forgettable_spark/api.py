@@ -76,7 +76,18 @@ class ForgetTable:
         ts: datetime | None = None,
     ) -> "ForgetTable":
         """Append increments; returns a new ForgetTable over the grown log
-        (immutable semantics — the old instance still answers as before)."""
+        (immutable semantics — the old instance still answers as before).
+
+        Validation mirrors the reference handler's 400s
+        (``goforget/forget.go:32-57``): distribution and every field must
+        be non-empty, N must be a positive integer.
+        """
+        if not distribution:
+            raise ValueError("distribution must be non-empty")
+        if not fields or any(not f for f in fields):
+            raise ValueError("fields must be a non-empty list of non-empty names")
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
         ts = ts or datetime.now(timezone.utc)
         new = ops.incr_events(self.spark, distribution, fields, ts, n)
         return self._with_events(ops.incr(self.events, new))
@@ -157,6 +168,12 @@ class ForgetTable:
     def ping(self) -> bool:
         """S2 ``/ping``."""
         return self.spark.sql("SELECT 1").first()[0] == 1
+
+    def shutdown(self) -> None:
+        """S2 ``/exit``: the reference drains its write-back workers and
+        exits (``goforget/forget.go:217-224``); here there is nothing to
+        drain — stop the session."""
+        self.spark.stop()
 
     # -- maintenance (D3/D4) -----------------------------------------------
 

@@ -112,6 +112,11 @@ def minhash_lsh_pairs(
         .withColumn("mh", minhash_signature_from_base(F.col("_base"), k))
         .drop("sh", "_base")
     )
+    # The sketch table feeds three plan branches (band explode + both
+    # verify join-backs); without persistence each branch re-shingles and
+    # re-hashes the corpus. Caching the per-doc sketch is the standard
+    # LSH-job shape — it is O(#docs · k), tiny next to the corpus.
+    sigs = sigs.cache()
     banded = sigs.select(
         id_col,
         F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias("band", "key"),
@@ -235,25 +240,30 @@ def simhash_sketch(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     array — no explode, no shuffle), so the sketch is computed in the
     same codegen stage as the scan at any corpus size.
 
-    The token-hash array is materialized in a projection first so the 32
-    per-bit aggregates share it rather than re-hashing 32 times.
+    All 32 bit votes accumulate in ONE fold over the token-hash array
+    (a 32-vector accumulator) — 32 separate aggregates would re-inline
+    the md5-bearing hash expression 32 times after projection collapse,
+    since higher-order functions miss codegen's subexpression elimination.
     """
     hashed = F.transform(tokens(F.col(text_col)), token_hash32)
-    base = docs.select(F.col(id_col), hashed.alias("_th"))
+    init = F.array(*[F.lit(0).cast("bigint") for _ in range(32)])
 
-    def bit_vote(j: int) -> Column:
-        # vote_j = Σ_tokens (bit_j(token)*2 - 1); bit set iff votes > 0
-        return F.aggregate(
-            F.col("_th"),
-            F.lit(0).cast("bigint"),
-            lambda acc, th: acc + (F.shiftright(th, j) % 2) * 2 - 1,
+    def merge(acc: Column, th: Column) -> Column:
+        # acc[j] += bit_j(token)*2 - 1
+        return F.array(
+            *[
+                F.element_at(acc, j + 1) + (F.shiftright(th, j) % 2) * 2 - 1
+                for j in range(32)
+            ]
         )
 
+    votes = F.aggregate(hashed, init, merge)
+    base = docs.select(F.col(id_col), votes.alias("_votes"))
     sim = F.lit(0).cast("bigint")
     for j in range(32):
-        sim = sim + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        sim = sim + F.when(
+            F.element_at(F.col("_votes"), j + 1) > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return base.select(F.col(id_col), sim.alias("simhash"))
 
 

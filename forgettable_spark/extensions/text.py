@@ -154,24 +154,33 @@ def minhash_signature(sh: Column, k: int = 12) -> Column:
 
 
 def minhash_signature_from_base(base: Column, k: int = 12) -> Column:
-    """Signature from a pre-computed base-hash array.
+    """Signature from a base-hash array, as ONE fold.
 
-    Callers on a hot path should materialize the base array in its own
-    projection (``withColumn``) first — referencing one column from k
-    expression trees guarantees a single hashing pass regardless of
-    whether codegen's common-subexpression elimination handles
-    higher-order functions.
+    All k family minima are accumulated in a single ``aggregate`` pass
+    whose accumulator is the k-vector of running minima. This matters
+    beyond elegance: with k separate ``array_min(transform(base, ...))``
+    expressions, Catalyst's projection collapse re-inlines the ``base``
+    expression k times, and higher-order functions sit outside codegen's
+    common-subexpression elimination — so the md5 under ``base`` would run
+    k times per shingle. A single fold references ``base`` exactly once.
     """
     if k > len(MINHASH_COEFFS):
         raise ValueError(f"k={k} exceeds {len(MINHASH_COEFFS)} fixed coefficient pairs")
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(k)])
 
-    def family_min(i: int) -> Column:
-        a, b = MINHASH_COEFFS[i]
-        return F.array_min(
-            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+    def merge(acc: Column, h: Column) -> Column:
+        return F.array(
+            *[
+                F.least(
+                    F.element_at(acc, i + 1),
+                    (F.lit(MINHASH_COEFFS[i][0]) * h + F.lit(MINHASH_COEFFS[i][1]))
+                    % F.lit(MINHASH_P),
+                )
+                for i in range(k)
+            ]
         )
 
-    return F.array(*[family_min(i) for i in range(k)])
+    return F.aggregate(base, init, merge)
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 12) -> DataFrame:

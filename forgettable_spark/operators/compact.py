@@ -76,13 +76,41 @@ def write_compacted(
     law: str = "linear",
     sigma: float = DEFAULT_SIGMA,
     partitions: int | None = None,
+    atomic: bool = True,
 ) -> None:
     """Compact and persist as parquet, hash-distributed by distribution so
     a later read of the baseline is already clustered for the snapshot
-    aggregation (one fewer shuffle on the hot path)."""
+    aggregation (one fewer shuffle on the hot path).
+
+    ``atomic=True`` stages the write to ``<path>.__staging__`` and swaps
+    it in with directory renames, so a concurrent reader sees either the
+    old baseline or the new one, never a half-written directory — the
+    optimistic-commit role the reference delegated to Redis WATCH/MULTI
+    (``redis_utils.go:143-191``). On an object store or with a
+    transactional table format (Delta/Iceberg), replace the rename with
+    the format's commit protocol.
+    """
     out = compact(events, now_us, rate, prune, law, sigma)
     if partitions is not None:
         out = out.repartition(partitions, "distribution")
     else:
         out = out.repartition("distribution")
-    out.write.mode("overwrite").parquet(path)
+    if not atomic:
+        out.write.mode("overwrite").parquet(path)
+        return
+
+    import os
+    import shutil
+    import uuid
+
+    staging = f"{path}.__staging__{uuid.uuid4().hex[:8]}"
+    retired = f"{path}.__retired__{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(staging)
+    try:
+        if os.path.exists(path):
+            os.rename(path, retired)
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(retired, ignore_errors=True)

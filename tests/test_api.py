@@ -69,6 +69,19 @@ def test_compact_then_query(ft):
     assert rows == {"red": 9, "blue": 4}
 
 
+def test_incr_validation(ft):
+    """Reference handler 400s: empty distribution/field, bad N
+    (goforget/forget.go:32-57)."""
+    with pytest.raises(ValueError):
+        ft.incr("", ["red"])
+    with pytest.raises(ValueError):
+        ft.incr("colors", [])
+    with pytest.raises(ValueError):
+        ft.incr("colors", ["red", ""])
+    with pytest.raises(ValueError):
+        ft.incr("colors", ["red"], n=0)
+
+
 def test_json_payload_shape(ft):
     import json
 

@@ -88,6 +88,25 @@ def test_query_over_compacted_plus_new_increments(spark, events):
     assert rows_a["blue"] == 4  # 5 - 1
 
 
+def test_atomic_swap_replaces_previous_baseline(spark, events):
+    """Two successive atomic compactions: the second swap replaces the
+    first baseline in place, no staging/retired leftovers remain."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="compact_atomic_")
+    path = f"{d}/baseline"
+    try:
+        write_compacted(events, path, NOW_US, rate=RATE, partitions=2, atomic=True)
+        first = spark.read.parquet(path).count()
+        write_compacted(events, path, NOW_US + 2_000_000, rate=RATE, partitions=2, atomic=True)
+        again = spark.read.parquet(path)
+        assert again.count() <= first  # more decay, never more rows
+        leftovers = [p for p in os.listdir(d) if "__staging__" in p or "__retired__" in p]
+        assert leftovers == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_write_compacted_roundtrip(spark, events):
     d = tempfile.mkdtemp(prefix="compact_")
     try:
