@@ -18,12 +18,16 @@ def to_json_payload(
     rate: float,
     prune: bool,
     now_us: int,
+    envelope: bool = False,
 ) -> DataFrame:
     """Collapse a (distribution, bin, count, Z, p) result to one JSON row
     per distribution, matching the reference payload field-for-field.
 
     ``T`` is the evaluation instant (unix seconds, as in the reference);
     bins sort by (count desc, bin asc) inside the array for determinism.
+    ``envelope=True`` additionally wraps the object in the reference's
+    HTTP response envelope ``{status_code, status_txt, data}``
+    (``goforget/http_utils.go:10-15``).
     """
     data_struct = F.struct(F.col("bin"), F.col("count"), F.col("p"))
     per_dist = result.groupBy("distribution").agg(
@@ -32,16 +36,18 @@ def to_json_payload(
             F.collect_list(F.struct(F.negate(F.col("count")).alias("_o"), data_struct.alias("v")))
         ).alias("_sorted"),
     )
-    payload = per_dist.select(
-        F.to_json(
-            F.struct(
-                F.col("distribution"),
-                F.col("Z"),
-                F.lit(now_us // 1_000_000).alias("T"),
-                F.transform(F.col("_sorted"), lambda s: s["v"]).alias("data"),
-                F.lit(rate).alias("rate"),
-                F.lit(prune).alias("prune"),
-            )
-        ).alias("json")
+    body = F.struct(
+        F.col("distribution"),
+        F.col("Z"),
+        F.lit(now_us // 1_000_000).alias("T"),
+        F.transform(F.col("_sorted"), lambda s: s["v"]).alias("data"),
+        F.lit(rate).alias("rate"),
+        F.lit(prune).alias("prune"),
     )
-    return payload
+    if envelope:
+        body = F.struct(
+            F.lit(200).alias("status_code"),
+            F.lit("OK").alias("status_txt"),
+            body.alias("data"),
+        )
+    return per_dist.select(F.to_json(body).alias("json"))

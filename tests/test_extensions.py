@@ -101,6 +101,22 @@ def test_bucketed_ann_recall(emb):
     assert hits / len(approx) >= 0.05  # coarse 64-way quantizer, sf0.001 corpus
 
 
+def test_minhash_estimates_jaccard(docs):
+    """Sketch quality: across planted near-dup pairs, the fraction of
+    matching signature components is an unbiased Jaccard estimator —
+    the mean absolute estimation error over pairs must be small."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert pairs
+    sigs = {r["doc_id"]: r["minhash"] for r in text.fingerprint(docs, k=12).collect()}
+    errs = []
+    for p in pairs:
+        a, b = sigs[p["doc_a"]], sigs[p["doc_b"]]
+        est = sum(1 for x, y in zip(a, b) if x == y) / len(a)
+        errs.append(abs(est - p["jaccard"]))
+    # k=12 → σ ≈ sqrt(J(1-J)/12) ≈ 0.11 at J=0.9; mean |err| stays well under
+    assert sum(errs) / len(errs) < 0.2
+
+
 def test_multiprobe_ann_recall_improves(emb):
     """Recall@1 vs brute force must be non-decreasing in n_probes, and
     multi-probe must return a superset of single-probe candidates' hits."""
