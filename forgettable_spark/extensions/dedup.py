@@ -165,35 +165,44 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Brute-force n-gram Jaccard near-dup pairs within a blocking key.
 
-    Exact, but NOT quadratic: an inverted-index set-similarity join.
-    Distinct shingles explode into an index; a self-join on
-    ``(block, shingle)`` enumerates co-occurrences, and a count per
-    (doc_a, doc_b) *is* ``|A∩B|`` — no per-pair array_intersect ever
-    runs, and pairs sharing no shingle never materialize (their Jaccard
-    is 0 anyway). Cost is ``Σ_shingle df(shingle)²`` inside each block —
-    at corpus scale, with near-dup thresholds, orders of magnitude below
-    |block|². The Jaccard size bound ``J ≤ min(|A|,|B|)/max(|A|,|B|)``
-    prunes co-occurrence rows before the aggregation.
-
-    ``blocking on block_col`` bounds hot shingles (near-identical docs
-    share language); the LSH variant remains the alternative when even
-    the index join is too wide.
+    Exact, but NOT quadratic: a prefix-filtered set-similarity join
+    (PPJoin-style). Under any fixed total order of shingles, two sets
+    with ``J(A,B) >= t`` MUST share an element among their first
+    ``|X| - ceil(t·|X|) + 1`` sorted elements — so only that prefix is
+    indexed, the self-join on ``(block, prefix-shingle)`` produces a
+    candidate set orders of magnitude below the co-occurrence index of
+    all shingles (let alone |block|²), and candidates are then verified
+    exactly against the full shingle sets. Two further prunes that
+    cannot change results: the Jaccard size bound
+    ``J <= min(|A|,|B|)/max(|A|,|B|)`` in the join condition, and
+    blocking on ``block_col`` (near-identical docs share language).
+    The LSH variant remains the probabilistic alternative when even the
+    prefix index is too wide.
     """
     sh = (
         docs.select(
             F.col(id_col), F.col(block_col).alias("_block"), shingles(F.col(text_col)).alias("sh")
         )
-        .withColumn("shd", F.array_distinct(F.col("sh")))
+        .withColumn("shd", F.array_sort(F.array_distinct(F.col("sh"))))
         .withColumn("nsh", F.size("shd").cast("bigint"))
         .drop("sh")
     )
-    inv = sh.select(id_col, "_block", "nsh", F.explode("shd").alias("shingle"))
+    sh = sh.cache()  # feeds the prefix index and both verify join-backs
+    prefix_len = (
+        F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh").cast("double")) + F.lit(1)
+    ).cast("int")
+    inv = sh.select(
+        id_col,
+        "_block",
+        "nsh",
+        F.explode(F.slice(F.col("shd"), F.lit(1), prefix_len)).alias("shingle"),
+    )
     a = inv.alias("a")
     b = inv.alias("b")
     size_bound = F.least(F.col("a.nsh"), F.col("b.nsh")).cast("double") >= F.lit(
         threshold
     ) * F.greatest(F.col("a.nsh"), F.col("b.nsh")).cast("double")
-    common = (
+    cand = (
         a.join(
             b,
             (F.col("a._block") == F.col("b._block"))
@@ -201,18 +210,25 @@ def ngram_jaccard_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & size_bound,
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.nsh").alias("na"),
-            F.col("b.nsh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
     )
+    full = sh.select(id_col, "shd", "nsh")
     return (
-        common.withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        cand.join(
+            full.select(
+                F.col(id_col).alias("doc_a"), F.col("shd").alias("sh_a"), F.col("nsh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            full.select(
+                F.col(id_col).alias("doc_b"), F.col("shd").alias("sh_b"), F.col("nsh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard", _jaccard_distinct(F.col("sh_a"), F.col("sh_b"), F.col("na"), F.col("nb"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
