@@ -72,6 +72,34 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     return _jaccard_distinct(a, b, F.size(a).cast("bigint"), F.size(b).cast("bigint"))
 
 
+def _verify_candidate_pairs(
+    cand: DataFrame, sh_only: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared verification stage for candidate-generation dedup paths
+    (LSH bands, prefix filter): join the full distinct shingle sets back
+    onto (doc_a, doc_b) candidates, compute exact Jaccard, filter.
+    ``sh_only`` must have columns (id_col, shd, nsh)."""
+    return (
+        cand.join(
+            sh_only.select(
+                F.col(id_col).alias("doc_a"), F.col("shd").alias("sh_a"), F.col("nsh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_only.select(
+                F.col(id_col).alias("doc_b"), F.col("shd").alias("sh_b"), F.col("nsh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard", _jaccard_distinct(F.col("sh_a"), F.col("sh_b"), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _jaccard_distinct(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Jaccard over already-distinct arrays with known sizes:
     ``|A∩B| / (|A| + |B| - |A∩B|)`` — one array_intersect per pair instead
@@ -134,26 +162,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh_only = sigs.select(id_col, "shd").withColumn("nsh", F.size("shd").cast("bigint"))
-    verified = (
-        cand.join(
-            sh_only.select(
-                F.col(id_col).alias("doc_a"), F.col("shd").alias("sh_a"), F.col("nsh").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            sh_only.select(
-                F.col(id_col).alias("doc_b"), F.col("shd").alias("sh_b"), F.col("nsh").alias("nb")
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard", _jaccard_distinct(F.col("sh_a"), F.col("sh_b"), F.col("na"), F.col("nb"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return verified
+    return _verify_candidate_pairs(cand, sh_only, id_col, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -213,26 +222,7 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    full = sh.select(id_col, "shd", "nsh")
-    return (
-        cand.join(
-            full.select(
-                F.col(id_col).alias("doc_a"), F.col("shd").alias("sh_a"), F.col("nsh").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            full.select(
-                F.col(id_col).alias("doc_b"), F.col("shd").alias("sh_b"), F.col("nsh").alias("nb")
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard", _jaccard_distinct(F.col("sh_a"), F.col("sh_b"), F.col("na"), F.col("nb"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_candidate_pairs(cand, sh.select(id_col, "shd", "nsh"), id_col, threshold)
 
 
 # --- SimHash -----------------------------------------------------------
