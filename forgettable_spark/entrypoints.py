@@ -281,6 +281,43 @@ def q_decay_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_get_dist_join_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 with the skew-safe join-based Z (per-distribution totals
+    broadcast-joined back instead of a window): physically different plan,
+    same oracle as get_dist_all — the driver's gate proves strategy
+    equivalence."""
+    snap = _snap_event_type(spark, sf_dir)
+    return ops.get_dist(snap, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW, z_strategy="join")
+
+
+def q_n_most_probable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 in the many-distributions regime (u0..u999, 5 bins each):
+    per-key top-3 over ~1000 window partitions."""
+    snap = _snap_user(spark, sf_dir)
+    return ops.n_most_probable(snap, n=3, now_us=_now_us(spark, sf_dir), rate=RATE_USER)
+
+
+ORACLE_N_MOST_PROBABLE_USERS = f"""WITH {_state_cte(_EV_USER)},
+ranked AS (
+  SELECT state.*, now_us,
+         ROW_NUMBER() OVER (PARTITION BY distribution ORDER BY "count" DESC, bin ASC) AS rank
+  FROM state, now_t
+),
+decayed AS (
+  SELECT distribution, bin, rank,
+         GREATEST("count" - {_decay_expr(RATE_USER, "linear")}, 0) AS "count"
+  FROM ranked
+),
+live AS (SELECT * FROM decayed WHERE "count" > 0),
+norm AS (
+  SELECT distribution, bin, "count", rank,
+         CAST(SUM("count") OVER (PARTITION BY distribution) AS BIGINT) AS "Z"
+  FROM live
+)
+SELECT distribution, bin, "count", "Z", {_P_EXPR}, CAST(rank AS INT) AS rank
+FROM norm WHERE rank <= 3"""
+
+
 def q_get_dist_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 stochastic mode: seeded Poisson decay (rows-only driver check —
     not SQL-expressible; reproducibility is covered by tests/test_sampling)."""
@@ -326,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "live_distributions": q_live_distributions,
         "snapshot_state": q_snapshot_state,
         "decay_proportional": q_decay_proportional,
+        "get_dist_join_norm": q_get_dist_join_norm,
+        "n_most_probable_users": q_n_most_probable_users,
         "get_dist_poisson": q_get_dist_poisson,  # stochastic: rows-only check
         "incr_snapshot": q_incr_snapshot,
     }
@@ -416,6 +455,8 @@ WHERE distribution = 'colors'"""
         "live_distributions": live_dists,
         "snapshot_state": snapshot_state,
         "decay_proportional": _oracle_get_dist(_EV_USER, RATE_PROPORTIONAL, False, "proportional"),
+        "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
+        "n_most_probable_users": ORACLE_N_MOST_PROBABLE_USERS,
         "incr_snapshot": incr_sql,
     }
     out.update(entrypoints_ext.oracle_sql())

@@ -70,8 +70,13 @@ def get_dist(
     law: str = "linear",
     mode: str = "expected",
     seed: int = 0,
+    z_strategy: str = "window",
 ) -> DataFrame:
     """R1 ``/dist``: full-distribution scan + decay + normalize.
+
+    ``z_strategy`` picks the normalization plan (``window`` or the
+    skew-safe ``join`` — see :func:`forgettable_spark.functions.normalize.
+    with_z_and_p`); results are identical either way.
 
     Returns (distribution, bin, count, Z, p) for every surviving bin.
     ``Z`` is recomputed from the decayed counts — matching the reference,
@@ -85,7 +90,9 @@ def get_dist(
     if distribution is not None:
         snap = snap.filter(F.col("distribution") == distribution)
     out = decayed_state(snap, now_us, rate, prune, law, mode, seed)
-    return with_z_and_p(out).select("distribution", "bin", "count", "Z", "p")
+    return with_z_and_p(out, strategy=z_strategy).select(
+        "distribution", "bin", "count", "Z", "p"
+    )
 
 
 def get_field(
