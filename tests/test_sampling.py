@@ -81,6 +81,18 @@ def test_poisson_clamps(spark):
     assert floored.collect()[0]["count"] == 1
 
 
+def test_poisson_proportional_law_statistics(big_snap):
+    """pyforget law: λ_i = count·rate·dt = 100·0.005·10 = 5 — same mean
+    as the linear case but driven by the count-proportional rate."""
+    out = ops.decayed_state(
+        big_snap, NOW_US, rate=0.005, mode="poisson", law="proportional", seed=9
+    )
+    counts = np.array([r["count"] for r in out.collect()])
+    decay = 100 - counts
+    assert abs(decay.mean() - 5.0) < 0.3
+    assert abs(decay.var() - 5.0) < 1.0
+
+
 def test_poisson_seed_changes_draw(big_snap):
     a = ops.decayed_state(big_snap, NOW_US, rate=0.5, mode="poisson", seed=1)
     b = ops.decayed_state(big_snap, NOW_US, rate=0.5, mode="poisson", seed=2)
