@@ -287,7 +287,9 @@ def simhash_pairs(
     fixed-width keys, no text shuffled. Verification is
     ``bit_count(xor) <= max_hamming``.
     """
-    sk = simhash_sketch(docs, text_col, id_col)
+    # Both sides of the block self-join descend from the sketch; cache it
+    # so the 32-bit vote fold runs once per document, not once per alias.
+    sk = simhash_sketch(docs, text_col, id_col).cache()
     blocked = sk.select(
         id_col,
         "simhash",
