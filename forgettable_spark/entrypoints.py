@@ -318,6 +318,65 @@ SELECT distribution, bin, "count", "Z", {_P_EXPR}, CAST(rank AS INT) AS rank
 FROM norm WHERE rank <= 3"""
 
 
+REPLAY_EPOCH_SEC = 86400  # daily epochs over the ~30-day event window
+REPLAY_RATE = 1e-4
+
+
+def q_replay_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch replay: stepwise decay-at-update state after each
+    distribution's last occupied daily epoch — history the reference
+    cannot reconstruct (its write-backs overwrite state in place)."""
+    from forgettable_spark.operators.replay import replay
+
+    ev = load_forget_events(spark, sf_dir)
+    return replay(ev, epoch_sec=REPLAY_EPOCH_SEC, rate=REPLAY_RATE)
+
+
+def _oracle_replay() -> str:
+    width_us = REPLAY_EPOCH_SEC * 1_000_000
+    rate = f"{REPLAY_RATE:e}"
+    merge = (
+        "(a, e) -> {'epoch_us': e.epoch_us, "
+        "'n': GREATEST(a.n - CAST(FLOOR(CAST(" + rate + " AS DOUBLE)"
+        " * ((e.epoch_us - a.epoch_us) / 1e6)) AS BIGINT), 0) + e.n}"
+    )
+    return f"""WITH ev AS ({_EV_EVENT_TYPE}),
+ep AS (
+  SELECT distribution, bin, n,
+         (epoch_us(ts) // {width_us}) * {width_us} AS epoch_us
+  FROM ev
+),
+bin_incr AS (
+  SELECT distribution, bin, epoch_us, CAST(SUM(n) AS BIGINT) AS n
+  FROM ep GROUP BY distribution, bin, epoch_us
+),
+dist_epochs AS (SELECT DISTINCT distribution, epoch_us FROM ep),
+bins AS (SELECT DISTINCT distribution, bin FROM bin_incr),
+grid AS (
+  SELECT b.distribution, b.bin, d.epoch_us
+  FROM bins b JOIN dist_epochs d USING (distribution)
+),
+series AS (
+  SELECT g.distribution, g.bin,
+         list_sort(list({{'epoch_us': g.epoch_us,
+                          'n': COALESCE(i.n, CAST(0 AS BIGINT))}})) AS elems
+  FROM grid g
+  LEFT JOIN bin_incr i
+    ON g.distribution = i.distribution AND g.bin = i.bin AND g.epoch_us = i.epoch_us
+  GROUP BY g.distribution, g.bin
+),
+folded AS (
+  SELECT distribution, bin,
+         list_reduce(
+           list_prepend({{'epoch_us': elems[1].epoch_us, 'n': CAST(0 AS BIGINT)}}, elems),
+           {merge}
+         ) AS fin
+  FROM series
+)
+SELECT distribution, bin, fin.n AS "count", fin.epoch_us AS t_us
+FROM folded WHERE fin.n > 0"""
+
+
 def q_get_dist_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 stochastic mode: seeded Poisson decay (rows-only driver check —
     not SQL-expressible; reproducibility is covered by tests/test_sampling)."""
@@ -365,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_proportional": q_decay_proportional,
         "get_dist_join_norm": q_get_dist_join_norm,
         "n_most_probable_users": q_n_most_probable_users,
+        "replay_daily": q_replay_daily,
         "get_dist_poisson": q_get_dist_poisson,  # stochastic: rows-only check
         "incr_snapshot": q_incr_snapshot,
     }
@@ -457,6 +517,7 @@ WHERE distribution = 'colors'"""
         "decay_proportional": _oracle_get_dist(_EV_USER, RATE_PROPORTIONAL, False, "proportional"),
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "n_most_probable_users": ORACLE_N_MOST_PROBABLE_USERS,
+        "replay_daily": _oracle_replay(),
         "incr_snapshot": incr_sql,
     }
     out.update(entrypoints_ext.oracle_sql())
