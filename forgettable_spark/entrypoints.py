@@ -377,6 +377,38 @@ SELECT distribution, bin, fin.n AS "count", fin.epoch_us AS t_us
 FROM folded WHERE fin.n > 0"""
 
 
+SESSION_GAP_SEC = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the raw event stream (30-min gap)."""
+    from forgettable_spark.operators.sessionize import sessionize
+
+    return sessionize(load_events(spark, sf_dir), gap_sec=SESSION_GAP_SEC)
+
+
+ORACLE_SESSIONIZE = f"""WITH flagged AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_SEC * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM numbered GROUP BY user_id, session_id"""
+
+
 def q_get_dist_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 stochastic mode: seeded Poisson decay (rows-only driver check —
     not SQL-expressible; reproducibility is covered by tests/test_sampling)."""
@@ -425,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_join_norm": q_get_dist_join_norm,
         "n_most_probable_users": q_n_most_probable_users,
         "replay_daily": q_replay_daily,
+        "sessionize": q_sessionize,
         "get_dist_poisson": q_get_dist_poisson,  # stochastic: rows-only check
         "incr_snapshot": q_incr_snapshot,
     }
@@ -518,6 +551,7 @@ WHERE distribution = 'colors'"""
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "n_most_probable_users": ORACLE_N_MOST_PROBABLE_USERS,
         "replay_daily": _oracle_replay(),
+        "sessionize": ORACLE_SESSIONIZE,
         "incr_snapshot": incr_sql,
     }
     out.update(entrypoints_ext.oracle_sql())
