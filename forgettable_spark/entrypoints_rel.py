@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from forgettable_spark.sources import load_table
+from forgettable_spark.sources import load_events, load_table
 
 
 def _dec(col: str):
@@ -104,11 +104,70 @@ JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY p_brand, s_name"""
 
 
+def q_rel_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (returnflag, linestatus): every subtotal level in
+    one pass — grouping-set coverage the reference lacks entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_REL_CUBE = """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the event stream: per user, first signup and
+    the first purchase at-or-after it; one row per signed-up user with the
+    conversion latency (NULL when never converted). Single groupBy(user)
+    with conditional aggregation — no self-join."""
+    ev = load_events(spark, sf_dir)
+    ts_us = F.unix_micros("ts")
+    signup_us = F.min(F.when(F.col("event_type") == "signup", ts_us)).alias("signup_us")
+    per_user = ev.groupBy("user_id").agg(
+        signup_us,
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", ts_us)
+        ).alias("_purchases"),
+    )
+    first_conv = F.array_min(
+        F.filter(F.col("_purchases"), lambda p: p >= F.col("signup_us"))
+    )
+    return (
+        per_user.filter(F.col("signup_us").isNotNull())
+        .select(
+            "user_id",
+            "signup_us",
+            first_conv.alias("first_purchase_us"),
+            (first_conv - F.col("signup_us")).alias("latency_us"),
+        )
+    )
+
+
+ORACLE_FUNNEL = """WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us,
+         list(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purchases
+  FROM events GROUP BY user_id
+)
+SELECT user_id, signup_us,
+       list_min(list_filter(purchases, p -> p >= signup_us)) AS first_purchase_us,
+       list_min(list_filter(purchases, p -> p >= signup_us)) - signup_us AS latency_us
+FROM per_user WHERE signup_us IS NOT NULL"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_customers": q_rel_top_customers,
         "rel_part_supplier_volume": q_rel_part_supplier_volume,
+        "rel_cube_summary": q_rel_cube_summary,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
     }
 
 
@@ -117,4 +176,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_pricing_summary": ORACLE_REL_PRICING,
         "rel_top_customers": ORACLE_REL_TOP_CUSTOMERS,
         "rel_part_supplier_volume": ORACLE_REL_PART_SUPPLIER,
+        "rel_cube_summary": ORACLE_REL_CUBE,
+        "funnel_signup_purchase": ORACLE_FUNNEL,
     }
