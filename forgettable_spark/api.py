@@ -33,6 +33,12 @@ def _to_us(now: datetime | int | None) -> int:
     if now is None:
         return time.time_ns() // 1_000
     if isinstance(now, datetime):
+        # A naive datetime is interpreted as UTC, matching the engine's
+        # pinned UTC session timezone — .timestamp() on a naive datetime
+        # would silently use the host's local timezone and skew every
+        # decay interval by the UTC offset.
+        if now.tzinfo is None:
+            now = now.replace(tzinfo=timezone.utc)
         return int(now.timestamp() * 1_000_000)
     return int(now)
 
@@ -138,6 +144,8 @@ class ForgetTable:
             rate=rate,
             prune=self.prune,
             law=self.law,
+            mode=self.decay_mode,
+            seed=self.seed,
             compat_partial_z=compat_partial_z,
         )
 
@@ -159,6 +167,8 @@ class ForgetTable:
             rate=rate,
             prune=self.prune,
             law=self.law,
+            mode=self.decay_mode,
+            seed=self.seed,
         )
 
     def db_size(self, approx: bool = False) -> int:
@@ -195,6 +205,8 @@ class ForgetTable:
             law=self.law,
             sigma=sigma,
             apply_expiry=apply_expiry,
+            mode=self.decay_mode,
+            seed=self.seed,
         )
         return self._with_events(base)
 

@@ -77,8 +77,13 @@ def decayed_count(
     floors at 0 (the caller drops zero bins, reference ``ZREM``); non-prune
     floors at 1 so a distribution never loses support. pyforget always
     floors at 1 (``pyforget/distribution.py:60``).
+
+    ``dt`` clamps at 0: a row timestamped after ``now`` (reader clock skew,
+    or an as-of query into the past) simply hasn't decayed yet. Without the
+    clamp ``floor`` of a negative λ would *add* mass (count − ⌊−x⌋ > count).
+    The stochastic sampler applies the same clamp.
     """
-    dt = dt_seconds(t, now_us)
+    dt = F.greatest(dt_seconds(t, now_us), F.lit(0.0))
     if law == "linear":
         k = expected_decay_linear(rate, dt)
     elif law == "proportional":

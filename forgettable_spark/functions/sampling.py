@@ -69,8 +69,15 @@ def poisson_inverse_cdf(lam: np.ndarray, u: np.ndarray) -> np.ndarray:
     while need.any():
         k[need] += 1
         pmf[need] *= lam[need] / k[need]
+        prev = cdf.copy()
         cdf[need] += pmf[need]
-        need = need & (cdf <= u)
+        # Terminate rows whose cdf can no longer advance: once pmf drops
+        # below one ulp of cdf the float sum plateaus (possibly strictly
+        # below the largest representable u), and without this guard a
+        # row with u beyond the plateau would loop forever. Past the mode
+        # pmf only shrinks, so a stalled row stays stalled — return its
+        # current k (u sits in the unrepresentable far tail).
+        need = need & (cdf <= u) & (cdf > prev)
     out[active] = k[active]
     return out
 

@@ -42,6 +42,8 @@ def compact(
     law: str = "linear",
     sigma: float = DEFAULT_SIGMA,
     apply_expiry: bool = True,
+    mode: str = "expected",
+    seed: int = 0,
 ) -> DataFrame:
     """Collapse an increment log into a decayed baseline log at ``now``.
 
@@ -56,9 +58,12 @@ def compact(
     """
     snap = snapshot(events)
     if apply_expiry:
+        # No broadcast hint: `live` is one row per live distribution, which
+        # at scale can be hundreds of millions of rows — a forced broadcast
+        # would OOM the driver. AQE broadcasts it when it is actually small.
         live = live_distributions(snap, now_us, rate=rate, sigma=sigma).select("distribution")
-        snap = snap.join(F.broadcast(live), "distribution", "left_semi")
-    decayed = decayed_state(snap, now_us, rate=rate, prune=prune, law=law)
+        snap = snap.join(live, "distribution", "left_semi")
+    decayed = decayed_state(snap, now_us, rate=rate, prune=prune, law=law, mode=mode, seed=seed)
     return decayed.select(
         "distribution",
         "bin",
@@ -83,12 +88,14 @@ def write_compacted(
     aggregation (one fewer shuffle on the hot path).
 
     ``atomic=True`` stages the write to ``<path>.__staging__`` and swaps
-    it in with directory renames, so a concurrent reader sees either the
-    old baseline or the new one, never a half-written directory — the
-    optimistic-commit role the reference delegated to Redis WATCH/MULTI
-    (``redis_utils.go:143-191``). On an object store or with a
-    transactional table format (Delta/Iceberg), replace the rename with
-    the format's commit protocol.
+    it in with directory renames, so a concurrent reader never sees a
+    half-written directory (it may observe a brief window where ``path``
+    is absent between the two renames — POSIX rename cannot exchange two
+    directories atomically; retry a reader that hits ENOENT). If the swap
+    fails the old baseline is restored — the optimistic-commit role the
+    reference delegated to Redis WATCH/MULTI (``redis_utils.go:143-191``).
+    On an object store or with a transactional table format
+    (Delta/Iceberg), replace the rename with the format's commit protocol.
     """
     out = compact(events, now_us, rate, prune, law, sigma)
     if partitions is not None:
@@ -109,7 +116,15 @@ def write_compacted(
     try:
         if os.path.exists(path):
             os.rename(path, retired)
-        os.rename(staging, path)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # Roll the old baseline back before propagating — without this
+            # a failed swap would leave no data at `path` at all (the old
+            # baseline stranded under the retired name, the new one deleted).
+            if os.path.exists(retired) and not os.path.exists(path):
+                os.rename(retired, path)
+            raise
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -24,6 +24,27 @@ def _now_col(now_us: int | Column) -> Column:
     return F.lit(now_us).cast("bigint") if isinstance(now_us, int) else now_us
 
 
+def _decayed_count_col(
+    count: Column,
+    t: Column,
+    now_us: int | Column,
+    rate: float,
+    prune: bool,
+    law: str,
+    mode: str,
+    seed: int,
+) -> Column:
+    """Post-decay count column in either decay mode (shared by every read
+    operator so ``mode``/``seed`` behave identically across R1-R3)."""
+    if mode == "expected":
+        return decayed_count(count, t, _now_col(now_us), rate, prune, law)
+    if mode == "poisson":
+        from forgettable_spark.functions.sampling import poisson_decay_column
+
+        return poisson_decay_column(count, t, _now_col(now_us), rate, prune, law, seed)
+    raise ValueError(f"unknown decay mode: {mode!r} (want 'expected' or 'poisson')")
+
+
 def decayed_state(
     snap: DataFrame,
     now_us: int | Column,
@@ -45,16 +66,7 @@ def decayed_state(
     decaying away simply yields no rows (the reference discards the write
     and lets TTL expiry reap the keys, ``redis_utils.go:158-161``).
     """
-    if mode == "expected":
-        c = decayed_count(F.col("count"), F.col("t"), _now_col(now_us), rate, prune, law)
-    elif mode == "poisson":
-        from forgettable_spark.functions.sampling import poisson_decay_column
-
-        c = poisson_decay_column(
-            F.col("count"), F.col("t"), _now_col(now_us), rate, prune, law, seed
-        )
-    else:
-        raise ValueError(f"unknown decay mode: {mode!r} (want 'expected' or 'poisson')")
+    c = _decayed_count_col(F.col("count"), F.col("t"), now_us, rate, prune, law, mode, seed)
     out = snap.withColumn("count", c)
     if prune:
         out = out.filter(F.col("count") > 0)
@@ -103,6 +115,8 @@ def get_field(
     rate: float = GOFORGET_DEFAULT_RATE,
     prune: bool = True,
     law: str = "linear",
+    mode: str = "expected",
+    seed: int = 0,
     compat_partial_z: bool = False,
 ) -> DataFrame:
     """R2 ``/get``: point lookup of named bins with probabilities.
@@ -124,12 +138,12 @@ def get_field(
         with_p = with_z_and_p(snap)  # p from un-decayed count / un-decayed Z
         out = with_p.withColumn(
             "count",
-            decayed_count(F.col("count"), F.col("t"), _now_col(now_us), rate, prune, law),
+            _decayed_count_col(F.col("count"), F.col("t"), now_us, rate, prune, law, mode, seed),
         )
         if prune:
             out = out.filter(F.col("count") > 0)
     else:
-        out = with_z_and_p(decayed_state(snap, now_us, rate, prune, law))
+        out = with_z_and_p(decayed_state(snap, now_us, rate, prune, law, mode, seed))
     return out.filter(F.col("bin").isin(fields)).select(
         "distribution", "bin", "count", "Z", "p"
     )
@@ -143,6 +157,8 @@ def n_most_probable(
     rate: float = GOFORGET_DEFAULT_RATE,
     prune: bool = True,
     law: str = "linear",
+    mode: str = "expected",
+    seed: int = 0,
 ) -> DataFrame:
     """R3 ``/nmostprobable``: per-distribution top-N bins.
 
@@ -167,7 +183,7 @@ def n_most_probable(
     ranked = snap.withColumn("rank", rank)
     decayed = ranked.withColumn(
         "count_decayed",
-        decayed_count(F.col("count"), F.col("t"), _now_col(now_us), rate, prune, law),
+        _decayed_count_col(F.col("count"), F.col("t"), now_us, rate, prune, law, mode, seed),
     )
     if prune:
         decayed = decayed.filter(F.col("count_decayed") > 0)

@@ -57,7 +57,8 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
         if shuffle_partitions is None and master.startswith("local["):
-            inner = master[len("local[") : -1]
+            # "local[N]" or "local[N,maxFailures]"; N may be "*".
+            inner = master[len("local[") : -1].split(",")[0]
             shuffle_partitions = os.cpu_count() if inner == "*" else int(inner)
     conf = dict(ENGINE_CONF)
     if shuffle_partitions is not None:
