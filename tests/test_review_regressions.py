@@ -1,0 +1,66 @@
+"""Regression locks for the review-found defects: negative-dt inflation,
+sampler stall, and decay-mode plumbing through every read verb.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pytest
+
+from forgettable_spark.api import ForgetTable
+from forgettable_spark.functions.sampling import poisson_inverse_cdf
+
+T0 = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_future_events_never_gain_mass(spark):
+    """count − floor(rate·dt) with dt < 0 used to ADD mass; dt clamps at 0."""
+    ft = (
+        ForgetTable.empty(spark, rate=0.5)
+        .incr("c", ["future"], n=10, ts=T0 + timedelta(days=1))
+    )
+    rows = {r["bin"]: r["count"] for r in ft.dist("c", now=T0).collect()}
+    assert rows == {"future": 10}
+
+
+def test_sampler_far_tail_uniform_terminates():
+    """u beyond the float-CDF plateau used to loop forever."""
+    u = np.array([(2**53 - 1) / 2**53] * 3)
+    k = poisson_inverse_cdf(np.array([10.0, 18.4, 1e-3]), u)
+    assert (k >= 0).all() and (k < np.iinfo(np.int64).max).all()
+
+
+def test_sampler_still_correct_quantiles_after_guard():
+    assert poisson_inverse_cdf(np.array([5.0]), np.array([0.5]))[0] == 5
+    assert poisson_inverse_cdf(np.array([19.0]), np.array([0.5]))[0] == np.iinfo(np.int64).max
+
+
+def test_poisson_mode_consistent_across_read_verbs(spark):
+    """A poisson-mode table must answer dist/get/n_most_probable with the
+    same stochastic counts at the same instant (get and n_most_probable
+    used to silently fall back to expected mode)."""
+    ft = ForgetTable.empty(spark, rate=0.5, decay_mode="poisson", seed=7).incr(
+        "d", ["x"], n=100, ts=T0
+    )
+    now = T0 + timedelta(seconds=10)
+    d = {r["bin"]: r["count"] for r in ft.dist("d", now=now).collect()}
+    g = {r["bin"]: r["count"] for r in ft.get("d", ["x"], now=now).collect()}
+    t = {r["bin"]: r["count"] for r in ft.n_most_probable("d", n=1, now=now).collect()}
+    assert d == g == t
+    # and it genuinely sampled (expected mode would give exactly 95)
+    exp = ForgetTable.empty(spark, rate=0.5).incr("d", ["x"], n=100, ts=T0)
+    e = {r["bin"]: r["count"] for r in exp.dist("d", now=now).collect()}
+    assert e == {"x": 95}
+
+
+def test_naive_datetime_is_utc(spark):
+    """A naive `now` must mean UTC regardless of host timezone."""
+    ft = ForgetTable.empty(spark, rate=0.5).incr("c", ["r"], n=10, ts=T0)
+    aware = {r["bin"]: r["count"] for r in ft.dist("c", now=T0 + timedelta(seconds=10)).collect()}
+    naive = {
+        r["bin"]: r["count"]
+        for r in ft.dist("c", now=(T0 + timedelta(seconds=10)).replace(tzinfo=None)).collect()
+    }
+    assert aware == naive == {"r": 5}
