@@ -135,16 +135,37 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
-    rows = []
-    for i in range(n):
-        kind = ("image", "audio", "video")[i % 3]
-        content = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
-        meta = {
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-            "width": 64 + i if kind == "image" else None,
-            "height": 48 + i if kind == "image" else None,
-            "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
-        }
-        rows.append((i, kind, bytearray(content), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    """Deterministic fake media table for plumbing tests.
+
+    Generated *distributed* (``spark.range`` + column expressions) rather
+    than as driver-side rows — the same shape a real media manifest would
+    take, and the pattern scales to any ``n`` without the driver ever
+    holding the bytes. Content is ``unhex(repeat(sha256 hex, 4 + id%7))``
+    — deterministic, variable-size binaries.
+    """
+    from pyspark.sql import functions as F
+
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("id") % 3 + 1).cast("int"),
+    )
+    hex_digest = F.sha2(F.concat(F.lit("media-"), F.col("id").cast("string")), 256)
+    content = F.to_binary(
+        F.repeat(hex_digest, (F.lit(4) + F.col("id") % 7).cast("int")), F.lit("hex")
+    )
+    mimes = F.when(kinds == "image", "image/png").when(kinds == "audio", "audio/wav").otherwise(
+        "video/mp4"
+    )
+    is_image = kinds == "image"
+    meta = F.struct(
+        mimes.alias("mime"),
+        F.when(is_image, (F.lit(64) + F.col("id")).cast("int")).alias("width"),
+        F.when(is_image, (F.lit(48) + F.col("id")).cast("int")).alias("height"),
+        F.when(~is_image, (F.lit(1000) * (F.lit(1) + F.col("id") % 5))).alias("duration_ms"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        kinds.alias("kind"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
