@@ -116,6 +116,7 @@ def minhash_lsh_pairs(
     k: int = 12,
     bands: int = 4,
     threshold: float = 0.8,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
 
@@ -143,8 +144,12 @@ def minhash_lsh_pairs(
     # The sketch table feeds three plan branches (band explode + both
     # verify join-backs); without persistence each branch re-shingles and
     # re-hashes the corpus. Caching the per-doc sketch is the standard
-    # LSH-job shape — it is O(#docs · k), tiny next to the corpus.
-    sigs = sigs.cache()
+    # LSH-job shape — it is O(#docs · k), tiny next to the corpus. The
+    # cache lives until Spark's LRU evicts it (or the caller unpersists);
+    # long-lived sessions issuing many dedup calls can pass persist=False
+    # to trade recompute for zero cached storage.
+    if persist:
+        sigs = sigs.cache()
     banded = sigs.select(
         id_col,
         F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias("band", "key"),
@@ -171,6 +176,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_col: str = "lang",
     threshold: float = 0.8,
+    persist: bool = True,
 ) -> DataFrame:
     """Brute-force n-gram Jaccard near-dup pairs within a blocking key.
 
@@ -196,7 +202,8 @@ def ngram_jaccard_pairs(
         .withColumn("nsh", F.size("shd").cast("bigint"))
         .drop("sh")
     )
-    sh = sh.cache()  # feeds the prefix index and both verify join-backs
+    if persist:  # feeds the prefix index and both verify join-backs
+        sh = sh.cache()
     prefix_len = (
         F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh").cast("double")) + F.lit(1)
     ).cast("int")
@@ -278,6 +285,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(a, b) <= max_hamming (default 3).
 
@@ -289,7 +297,9 @@ def simhash_pairs(
     """
     # Both sides of the block self-join descend from the sketch; cache it
     # so the 32-bit vote fold runs once per document, not once per alias.
-    sk = simhash_sketch(docs, text_col, id_col).cache()
+    sk = simhash_sketch(docs, text_col, id_col)
+    if persist:
+        sk = sk.cache()
     blocked = sk.select(
         id_col,
         "simhash",
