@@ -161,6 +161,50 @@ SELECT user_id, signup_us,
 FROM per_user WHERE signup_us IS NOT NULL"""
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles of the event value: Spark's `percentile`
+    and DuckDB's `quantile_cont` share the (n-1)·p linear-interpolation
+    definition, so even the interpolated doubles hash-match."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_VALUE_QUANTILES = """SELECT event_type,
+  quantile_cont(value, 2.5e-1) AS p25,
+  quantile_cont(value, 5e-1) AS p50,
+  quantile_cont(value, 9e-1) AS p90,
+  COUNT(*) AS n
+FROM events GROUP BY event_type"""
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the event stream: per event_type row counts,
+    distinct users, null values, and the observed time range — the audit a
+    pipeline runs before trusting a 100 TB drop. Integer-only output."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_value"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+    )
+
+
+ORACLE_PROFILE_EVENTS = """SELECT event_type,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+  epoch_us(MIN(ts)) AS min_ts_us,
+  epoch_us(MAX(ts)) AS max_ts_us
+FROM events GROUP BY event_type"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -168,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_part_supplier_volume": q_rel_part_supplier_volume,
         "rel_cube_summary": q_rel_cube_summary,
         "funnel_signup_purchase": q_funnel_signup_purchase,
+        "value_quantiles": q_value_quantiles,
+        "profile_events": q_profile_events,
     }
 
 
@@ -178,4 +224,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_part_supplier_volume": ORACLE_REL_PART_SUPPLIER,
         "rel_cube_summary": ORACLE_REL_CUBE,
         "funnel_signup_purchase": ORACLE_FUNNEL,
+        "value_quantiles": ORACLE_VALUE_QUANTILES,
+        "profile_events": ORACLE_PROFILE_EVENTS,
     }
