@@ -315,6 +315,60 @@ FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.e', 'b.e')} >= {NEAR_DUP_COSINE:e}"""
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the SimHash near-dup
+    pair graph, plus the keep/drop decision per document — pairwise
+    output turned into the actionable keep-list."""
+    from forgettable_spark.extensions.components import dedup_keep_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+    return dedup_keep_list(pairs, docs.select("doc_id"))
+
+
+def _oracle_dedup_components() -> str:
+    """Same fixpoint as a recursive CTE: a node's component is the minimum
+    node id among everything reachable in the undirected pair graph."""
+    return f"""WITH RECURSIVE h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+  FROM documents
+),
+sim AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM h),
+blocked AS (
+  SELECT doc_id, simhash, unnest(range(0, 4)) AS block,
+         unnest([(simhash >> 0) & 255, (simhash >> 8) & 255,
+                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS byte
+  FROM sim
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.byte = b.byte AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+
 # Multimodal (plumbing only — no parquet media in testdata; rows-only check) --
 
 
@@ -336,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -353,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+        "dedup_components": _oracle_dedup_components(),
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_bucketed_topk": ORACLE_ANN_BUCKETED,
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,

@@ -1,0 +1,45 @@
+"""Connected components: chains, multiple clusters, singletons, and the
+keep-list decision."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.components import connected_components, dedup_keep_list
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_chain_collapses_to_one_component(spark):
+    """a-b, b-c, c-d: transitive closure without ever testing a-d."""
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_clusters_stay_separate(spark):
+    comp = connected_components(_pairs(spark, [(1, 2), (10, 11), (11, 12)]))
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_keep_list_includes_singletons(spark):
+    all_ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    out = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup_keep_list(_pairs(spark, [(1, 3), (3, 5)]), all_ids).collect()
+    }
+    assert out[0] == (0, True) and out[2] == (2, True) and out[4] == (4, True)
+    assert out[1] == (1, True)
+    assert out[3] == (1, False) and out[5] == (1, False)
+
+
+def test_convergence_cap_raises(spark):
+    """A long path needs ~diameter rounds; a tiny cap must raise loudly
+    rather than return a half-propagated labeling."""
+    chain = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, chain), max_rounds=2)
