@@ -163,7 +163,10 @@ def q_n_most_probable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.n_most_probable(snap, n=TOP_N, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW)
 
 
-ORACLE_N_MOST_PROBABLE = f"""WITH {_state_cte(_EV_EVENT_TYPE)},
+def _oracle_n_most_probable(ev_sql: str, rate: float, n: int) -> str:
+    """Shared R3 oracle shape: rank pre-decay, decay the selected rows,
+    prune, normalize over the full decayed distribution."""
+    return f"""WITH {_state_cte(ev_sql)},
 ranked AS (
   SELECT state.*, now_us,
          ROW_NUMBER() OVER (PARTITION BY distribution ORDER BY "count" DESC, bin ASC) AS rank
@@ -171,7 +174,7 @@ ranked AS (
 ),
 decayed AS (
   SELECT distribution, bin, rank,
-         GREATEST("count" - {_decay_expr(RATE_SLOW, "linear")}, 0) AS "count"
+         GREATEST("count" - {_decay_expr(rate, "linear")}, 0) AS "count"
   FROM ranked
 ),
 live AS (SELECT * FROM decayed WHERE "count" > 0),
@@ -181,7 +184,10 @@ norm AS (
   FROM live
 )
 SELECT distribution, bin, "count", "Z", {_P_EXPR}, CAST(rank AS INT) AS rank
-FROM norm WHERE rank <= {TOP_N}"""
+FROM norm WHERE rank <= {n}"""
+
+
+ORACLE_N_MOST_PROBABLE = _oracle_n_most_probable(_EV_EVENT_TYPE, RATE_SLOW, TOP_N)
 
 
 def q_get_dist_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,25 +303,7 @@ def q_n_most_probable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.n_most_probable(snap, n=3, now_us=_now_us(spark, sf_dir), rate=RATE_USER)
 
 
-ORACLE_N_MOST_PROBABLE_USERS = f"""WITH {_state_cte(_EV_USER)},
-ranked AS (
-  SELECT state.*, now_us,
-         ROW_NUMBER() OVER (PARTITION BY distribution ORDER BY "count" DESC, bin ASC) AS rank
-  FROM state, now_t
-),
-decayed AS (
-  SELECT distribution, bin, rank,
-         GREATEST("count" - {_decay_expr(RATE_USER, "linear")}, 0) AS "count"
-  FROM ranked
-),
-live AS (SELECT * FROM decayed WHERE "count" > 0),
-norm AS (
-  SELECT distribution, bin, "count", rank,
-         CAST(SUM("count") OVER (PARTITION BY distribution) AS BIGINT) AS "Z"
-  FROM live
-)
-SELECT distribution, bin, "count", "Z", {_P_EXPR}, CAST(rank AS INT) AS rank
-FROM norm WHERE rank <= 3"""
+ORACLE_N_MOST_PROBABLE_USERS = _oracle_n_most_probable(_EV_USER, RATE_USER, 3)
 
 
 REPLAY_EPOCH_SEC = 86400  # daily epochs over the ~30-day event window
@@ -422,12 +410,14 @@ def q_incr_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 write path: append increments ('colors': red+5, blue+5 at
     max(ts)+1s) to the log, then /dist the new distribution at now."""
     base = load_forget_events(spark, sf_dir)
-    mx = load_events(spark, sf_dir).agg(F.max("ts").alias("mt"))
-    inc = mx.select(
+    # max(ts) is already cached via _now_us — rebuilding it from the cache
+    # avoids a second full ts-column scan per call.
+    incr_ts_us = _now_us(spark, sf_dir) - NOW_OFFSET_US + 1_000_000
+    inc = spark.range(1).select(
         F.lit("colors").alias("distribution"),
         F.explode(F.array(F.lit("red"), F.lit("blue"))).alias("bin"),
         F.lit(5).cast("bigint").alias("n"),
-        F.timestamp_micros(F.unix_micros(F.col("mt")) + F.lit(1_000_000)).alias("ts"),
+        F.timestamp_micros(F.lit(incr_ts_us)).alias("ts"),
     )
     snap = ops.snapshot(ops.incr(base, inc))
     return ops.get_dist(
@@ -508,23 +498,14 @@ FROM h WHERE ((now_us - epoch_us(t)) / 1e6) <= horizon_sec"""
     snapshot_state = f"""WITH {_state_cte(_EV_EVENT_TYPE)}
 SELECT distribution, bin, "count", epoch_us(t) AS t_us FROM state"""
 
-    incr_sql = f"""WITH now_t AS (SELECT epoch_us(max(ts)) + {NOW_OFFSET_US} AS now_us FROM events),
-ev AS (
-  {_EV_EVENT_TYPE}
+    # reuse the shared state contract; only the ev source differs (union of
+    # the standard projection and the literal increments)
+    ev_union = f"""{_EV_EVENT_TYPE}
   UNION ALL
   SELECT 'colors', x.bin, CAST(5 AS BIGINT),
          make_timestamp(epoch_us((SELECT max(ts) FROM events)) + 1000000)
-  FROM (VALUES ('red'), ('blue')) x(bin)
-),
-snap AS (
-  SELECT distribution, bin, CAST(SUM(n) AS BIGINT) AS "count", MAX(ts) AS t_bin
-  FROM ev GROUP BY distribution, bin
-),
-state AS (
-  SELECT distribution, bin, "count",
-         MAX(t_bin) OVER (PARTITION BY distribution) AS t
-  FROM snap
-), {_decayed_cte(RATE_DEFAULT, True)}, {_NORM_CTE}
+  FROM (VALUES ('red'), ('blue')) x(bin)"""
+    incr_sql = f"""WITH {_state_cte(ev_union)}, {_decayed_cte(RATE_DEFAULT, True)}, {_NORM_CTE}
 SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm
 WHERE distribution = 'colors'"""
 

@@ -230,7 +230,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_SIMHASH_PAIRS = f"""WITH h AS (
+#: Shared SimHash candidate-pair CTE chain (token hash → sketch →
+#: byte-block candidates), interpolated into both the pairs oracle and the
+#: connected-components oracle so the two can never desynchronize.
+_SIMHASH_CAND_CTE = f"""h AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
                         t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
@@ -248,7 +251,9 @@ cand AS (
          a.simhash AS sim_a, b.simhash AS sim_b
   FROM blocked a JOIN blocked b
     ON a.block = b.block AND a.byte = b.byte AND a.doc_id < b.doc_id
-)
+)"""
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""WITH {_SIMHASH_CAND_CTE}
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}"""
 
@@ -329,25 +334,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_dedup_components() -> str:
     """Same fixpoint as a recursive CTE: a node's component is the minimum
     node id among everything reachable in the undirected pair graph."""
-    return f"""WITH RECURSIVE h AS (
-  SELECT doc_id,
-         list_transform(string_split(text, ' '),
-                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
-  FROM documents
-),
-sim AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM h),
-blocked AS (
-  SELECT doc_id, simhash, unnest(range(0, 4)) AS block,
-         unnest([(simhash >> 0) & 255, (simhash >> 8) & 255,
-                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS byte
-  FROM sim
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sim_a, b.simhash AS sim_b
-  FROM blocked a JOIN blocked b
-    ON a.block = b.block AND a.byte = b.byte AND a.doc_id < b.doc_id
-),
+    return f"""WITH RECURSIVE {_SIMHASH_CAND_CTE},
 pairs AS (
   SELECT doc_a, doc_b FROM cand
   WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
