@@ -205,6 +205,51 @@ ORACLE_PROFILE_EVENTS = """SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: orders with no lineitem rows — the anti/semi join
+    family over the fact tables (integer-only output)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+ORACLE_ORDERS_ANTI = """SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"""
+
+
+def q_user_event_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over user-id sets: signup ∩ purchase, signup \\
+    purchase, click ∪ view — one labeled row per (op, user)."""
+    ev = load_events(spark, sf_dir)
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    both = users("signup").intersect(users("purchase")).withColumn("op", F.lit("signup_and_purchase"))
+    only = users("signup").exceptAll(users("purchase")).withColumn("op", F.lit("signup_no_purchase"))
+    either = users("click").union(users("view")).distinct().withColumn("op", F.lit("click_or_view"))
+    return both.unionByName(only).unionByName(either).select("op", "user_id")
+
+
+ORACLE_SET_OPS = """SELECT 'signup_and_purchase' AS op, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'signup_no_purchase' AS op, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'click_or_view' AS op, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  UNION
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view')"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -214,6 +259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "value_quantiles": q_value_quantiles,
         "profile_events": q_profile_events,
+        "orders_without_lineitems": q_orders_without_lineitems,
+        "user_event_set_ops": q_user_event_set_ops,
     }
 
 
@@ -226,4 +273,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel_signup_purchase": ORACLE_FUNNEL,
         "value_quantiles": ORACLE_VALUE_QUANTILES,
         "profile_events": ORACLE_PROFILE_EVENTS,
+        "orders_without_lineitems": ORACLE_ORDERS_ANTI,
+        "user_event_set_ops": ORACLE_SET_OPS,
     }
