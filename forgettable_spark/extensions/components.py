@@ -31,6 +31,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_rounds: int = 25,
     checkpoint_every: int = 1,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id of the component.
@@ -44,6 +45,14 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # Near-dup pair graphs are tiny relative to the corpus; the loop's cost
+    # is dominated by per-task scheduling overhead at the session's default
+    # shuffle width. Pin the loop to a narrow partitioning (and a stable
+    # key, so the per-round join reuses it). Callers with genuinely huge
+    # graphs pass a wider loop_partitions.
+    if loop_partitions is None:
+        loop_partitions = min(8, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    edges = edges.repartition(loop_partitions, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
