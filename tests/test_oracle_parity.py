@@ -32,6 +32,15 @@ def test_every_oracle_has_query():
     assert set(ep.oracle_sql().keys()) <= set(ep.queries().keys())
 
 
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_no_vacuous_parity(spark, name):
+    """An empty result matches an empty oracle trivially; every registered
+    query must return rows at sf0.01 so parity is never vacuous."""
+    assert ep.queries()[name](spark, SF_ORACLE).limit(1).count() > 0, (
+        f"{name} returned no rows at sf0.01 — its oracle match proves nothing"
+    )
+
+
 def test_entry_returns_rows(spark):
     df = ep.entry(spark)
     assert df.count() > 0
