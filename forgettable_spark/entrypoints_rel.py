@@ -216,8 +216,12 @@ def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT EXISTS, not NOT IN: a NULL l_orderkey would collapse NOT IN to zero
+# rows while the Spark side's left anti join keeps its NULL-safe semantics —
+# NOT EXISTS shares those semantics.
 ORACLE_ORDERS_ANTI = """SELECT o_orderkey, o_custkey, o_orderstatus
-FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"""
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
 
 
 def q_user_event_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,25 +4,36 @@ that turns pairwise dedup output into actionable keep/drop decisions.
 Near-dup detectors emit *pairs*; deduplication needs *clusters* (a≈b and
 b≈c must collapse into one group even when a≈c was never tested). That is
 graph connectivity — the one operator family here that no single SQL pass
-expresses. The implementation is iterative min-label propagation
-(Pregel-style "small-star" simplification): every node starts labeled
-with its own id, and each round every node takes the minimum label in its
-neighborhood. Convergence needs at most the graph diameter rounds — for
-near-dup clusters that is tiny (clusters are cliques or short chains),
-which is why large-scale dedup pipelines run exactly this loop.
+expresses. The implementation is iterative hash-min label propagation
+with pointer jumping: every node starts labeled with its own id; each
+round a node takes the minimum of (its label, its neighbors' labels, its
+label's label). The last term — path compression, the two-phase hash-min
+trick — doubles the distance a minimum has travelled every round, so
+convergence needs O(log diameter) rounds instead of O(diameter): a
+64-node path converges in ~8 rounds, not 63 (asserted in
+tests/test_components.py).
 
-Scale posture: each round is one join (labels × edges) plus one
-aggregation, both shuffling on node ids; the driver only coordinates the
-loop and reads a one-row convergence count per round.
-``localCheckpoint`` every few rounds truncates the growing lineage so
-round N doesn't replay rounds 1..N-1. The DuckDB oracle states the same
-fixpoint as a recursive CTE (component label = min reachable node id).
+Scale posture: each round is two joins (labels × edges, labels × labels)
+plus one aggregation, all shuffling on node ids; the loop width is sized
+from the measured edge count, so a 100 TB near-dup graph fans out while a
+few-thousand-edge graph stays narrow enough that scheduling overhead
+doesn't dominate. The driver only coordinates the loop and reads a
+one-row changed-label count per round. ``localCheckpoint`` every round
+truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+The DuckDB oracle states the same fixpoint as a recursive CTE (component
+label = min reachable node id).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Edges per loop task — fixed-width (src, dst) pairs are tiny, so one
+#: task can own millions; below this the loop runs single-partition.
+EDGES_PER_PARTITION = 2_000_000
 
 
 def connected_components(
@@ -32,45 +43,70 @@ def connected_components(
     max_rounds: int = 25,
     checkpoint_every: int = 1,
     loop_partitions: int | None = None,
+    jump: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id of the component.
 
-    Raises if the fixpoint is not reached within ``max_rounds`` — near-dup
-    graphs converge in a handful of rounds, so hitting the cap signals a
-    pathological input (e.g. a long path graph), not a tuning problem.
+    Works for any orderable node type (BIGINT ids, string doc ids): the
+    convergence probe counts changed labels — an equality test — rather
+    than summing them, so non-numeric ids cannot silently break it.
+
+    Raises if the fixpoint is not reached within ``max_rounds`` — with
+    pointer jumping even a path graph of 2^25 nodes converges inside the
+    default cap, so hitting it signals a pathological input.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    # Near-dup pair graphs are tiny relative to the corpus; the loop's cost
-    # is dominated by per-task scheduling overhead at the session's default
-    # shuffle width. Pin the loop to a narrow partitioning (and a stable
-    # key, so the per-round join reuses it). Callers with genuinely huge
-    # graphs pass a wider loop_partitions.
+    # Materialize the (deduplicated, fixed-width) edge list once, measure
+    # it, and size the loop from the measurement: near-dup graphs are tiny
+    # relative to the corpus, and at the session's default shuffle width
+    # the loop cost is pure per-task scheduling overhead — but a default
+    # pinned to a small constant would funnel a genuinely huge graph into
+    # a handful of tasks. The count is free on the checkpointed result.
+    edges = edges.localCheckpoint(eager=True)
     if loop_partitions is None:
-        loop_partitions = min(8, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        n_edges = edges.count()
+        loop_partitions = max(1, math.ceil(n_edges / EDGES_PER_PARTITION))
+    # Re-key the loop to a stable narrow partitioning so the per-round
+    # join reuses it round over round.
     edges = edges.repartition(loop_partitions, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    prev_sum: int | None = None
     for round_idx in range(max_rounds):
-        # candidate labels flowing along edges: each node offers its label
-        # to every neighbor; a node keeps the min of its own and offers.
-        offers = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("component"))
+        # Offers: each node's label flows to its neighbors (1-hop), and —
+        # pointer jumping — each node looks up its *label's* current label,
+        # so the distance already covered doubles every round.
+        offers = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("component")
         )
+        if jump:
+            l2 = labels.select(
+                F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+            )
+            jumped = labels.join(l2, labels.component == l2.c_node).select(
+                F.col("node"), F.col("c_comp").alias("component")
+            )
+            offers = offers.union(jumped)
+        # Each node keeps the min of its own label and all offers; the own
+        # row is tagged so the aggregation also recovers the *previous*
+        # label, making the convergence probe a type-agnostic equality
+        # count instead of a numeric sum (which would NULL out on string
+        # ids and spuriously "converge" after one round).
+        own = labels.select("node", "component", F.lit(True).alias("_own"))
         new_labels = (
-            labels.select("node", "component")
-            .union(offers)
+            own.unionByName(offers.withColumn("_own", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_own"), F.col("component"))).alias("_prev"),
+            )
         )
         # Materialize each round: new_labels feeds BOTH the convergence
         # probe and the next round — without an eager checkpoint every
@@ -80,14 +116,10 @@ def connected_components(
         # lineage so the plan doesn't deepen.
         if checkpoint_every and (round_idx + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        # Convergence probe: labels only ever decrease, so the label sum is
-        # strictly decreasing until the fixpoint — one aggregate over the
-        # (already materialized) label table, no old-vs-new join.
-        cur_sum = new_labels.agg(F.sum("component")).first()[0]
-        labels = new_labels
-        if cur_sum == prev_sum:
+        n_changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
+        if n_changed == 0:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(graph diameter exceeds the cap)"

@@ -82,6 +82,11 @@ def decayed_count(
     or an as-of query into the past) simply hasn't decayed yet. Without the
     clamp ``floor`` of a negative λ would *add* mass (count − ⌊−x⌋ > count).
     The stochastic sampler applies the same clamp.
+
+    Counts below 1 never decay and never get floored up: the reference
+    returns decay 0 for count < 1 (``goforget/decay.go:41-43``), so a
+    non-positive count in a raw event log passes through unchanged instead
+    of being inflated to the floor (the stochastic sampler agrees).
     """
     dt = F.greatest(dt_seconds(t, now_us), F.lit(0.0))
     if law == "linear":
@@ -91,7 +96,9 @@ def decayed_count(
     else:
         raise ValueError(f"unknown decay law: {law!r} (want 'linear' or 'proportional')")
     floor_at = F.lit(0).cast("bigint") if prune else F.lit(1).cast("bigint")
-    return F.greatest(count - k, floor_at).alias("count")
+    return (
+        F.when(count < 1, count).otherwise(F.greatest(count - k, floor_at)).alias("count")
+    )
 
 
 def poisson_decayed_count(

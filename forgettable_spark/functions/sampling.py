@@ -104,7 +104,10 @@ def make_poisson_decay_udf(rate: float, prune: bool, law: str, seed: int):
         u = _stable_uniforms(distribution, bin, now_us.to_numpy(), seed)
         k = poisson_inverse_cdf(lam, u)
         clamp = c if prune else np.maximum(c - 1, 0)  # goforget/distribution.go:158-164
-        return pd.Series(c - np.minimum(k, clamp))
+        # count < 1 never decays (goforget/decay.go:41-43) — without this a
+        # negative raw count would be *inflated* by the prune clamp.
+        decay = np.where(c < 1, 0, np.minimum(k, clamp))
+        return pd.Series(c - decay)
 
     return F.pandas_udf(_decay, LongType())
 

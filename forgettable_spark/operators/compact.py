@@ -80,6 +80,8 @@ def write_compacted(
     prune: bool = True,
     law: str = "linear",
     sigma: float = DEFAULT_SIGMA,
+    mode: str = "expected",
+    seed: int = 0,
     partitions: int | None = None,
     atomic: bool = True,
 ) -> None:
@@ -97,7 +99,7 @@ def write_compacted(
     On an object store or with a transactional table format
     (Delta/Iceberg), replace the rename with the format's commit protocol.
     """
-    out = compact(events, now_us, rate, prune, law, sigma)
+    out = compact(events, now_us, rate, prune, law, sigma, mode=mode, seed=seed)
     if partitions is not None:
         out = out.repartition(partitions, "distribution")
     else:

@@ -38,8 +38,37 @@ def test_keep_list_includes_singletons(spark):
 
 
 def test_convergence_cap_raises(spark):
-    """A long path needs ~diameter rounds; a tiny cap must raise loudly
-    rather than return a half-propagated labeling."""
+    """A long path needs ~log2(diameter) rounds; a tiny cap must raise
+    loudly rather than return a half-propagated labeling."""
     chain = [(i, i + 1) for i in range(30)]
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_pairs(spark, chain), max_rounds=2)
+
+
+def test_path_graph_converges_logarithmically(spark):
+    """Pointer jumping doubles the propagated distance per round: a
+    64-node path (diameter 63) must converge in ~log2 rounds, far under
+    the 63 that plain 1-hop propagation would need."""
+    chain = [(i, i + 1) for i in range(63)]
+    comp = connected_components(_pairs(spark, chain), max_rounds=10)
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {i: 0 for i in range(64)}
+
+
+def test_string_node_ids(spark):
+    """The convergence probe is type-agnostic: string doc ids propagate
+    to the true fixpoint instead of exiting after one round (a numeric
+    SUM probe would cast labels to NULL and see no change)."""
+    pairs = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    comp = connected_components(pairs)
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_loop_partitions_sized_from_edges(spark):
+    """Tiny graph → narrow loop; the explicit override still wins."""
+    comp = connected_components(_pairs(spark, [(1, 2)]), loop_partitions=3)
+    assert {r["component"] for r in comp.collect()} == {1}
