@@ -26,6 +26,7 @@ ANN_K = 10
 ANN_QUERY_MOD = 25  # queries = vec_id % 25 == 0
 NEAR_DUP_COSINE = 0.4  # demo threshold: the synthetic vectors are near-orthogonal
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_BUCKET_CAP = 30  # hot-bucket cap: bites at sf0.01 (largest block = 128 docs)
 
 _STOP_LIST_SQL = ", ".join(f"'{w}'" for w in text.ALL_STOPWORDS)
 
@@ -230,22 +231,33 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared SimHash candidate-pair CTE chain (token hash → sketch →
-#: byte-block candidates), interpolated into both the pairs oracle and the
-#: connected-components oracle so the two can never desynchronize.
-_SIMHASH_CAND_CTE = f"""h AS (
+def _simhash_cand_cte(cap: int | None = None) -> str:
+    """SimHash candidate-pair CTE chain (token hash → sketch → byte-block
+    candidates), shared by the pairs oracle, the capped-pairs oracle, and
+    the connected-components oracle so they can never desynchronize.
+    ``cap`` mirrors the engine's hot-bucket guard: blocks holding more
+    than ``cap`` docs are excluded before the self-join (QUALIFY = the
+    same window count the Spark side filters on)."""
+    capped = (
+        "blocked AS (SELECT * FROM blocked0"
+        f" QUALIFY COUNT(*) OVER (PARTITION BY block, byte) <= {cap})"
+        if cap
+        else "blocked AS (SELECT * FROM blocked0)"
+    )
+    return f"""h AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
                         t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
   FROM documents
 ),
 sim AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM h),
-blocked AS (
+blocked0 AS (
   SELECT doc_id, simhash, unnest(range(0, 4)) AS block,
          unnest([(simhash >> 0) & 255, (simhash >> 8) & 255,
                  (simhash >> 16) & 255, (simhash >> 24) & 255]) AS byte
   FROM sim
 ),
+{capped},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sim_a, b.simhash AS sim_b
@@ -253,7 +265,29 @@ cand AS (
     ON a.block = b.block AND a.byte = b.byte AND a.doc_id < b.doc_id
 )"""
 
+
+_SIMHASH_CAND_CTE = _simhash_cand_cte()
+
 ORACLE_DEDUP_SIMHASH_PAIRS = f"""WITH {_SIMHASH_CAND_CTE}
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs with the hot-bucket guard active: (block, byte)
+    buckets over SIMHASH_BUCKET_CAP docs are excluded from candidate
+    generation (the skew cap that keeps a boilerplate-heavy block from
+    squaring). The cap bites at sf0.01 — the oracle mirrors it with the
+    same window-count filter, so the hash match verifies the guard's
+    semantics, not just its plumbing."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket_size=SIMHASH_BUCKET_CAP,
+    )
+
+
+ORACLE_DEDUP_SIMHASH_CAPPED = f"""WITH {_simhash_cand_cte(SIMHASH_BUCKET_CAP)}
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}"""
 
@@ -377,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_capped": q_dedup_simhash_capped,
         "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
@@ -395,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+        "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
         "dedup_components": _oracle_dedup_components(),
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_bucketed_topk": ORACLE_ANN_BUCKETED,

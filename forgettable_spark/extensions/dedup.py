@@ -22,10 +22,65 @@ blocks.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from forgettable_spark.extensions.text import minhash_signature, shingles, tokens
+
+logger = logging.getLogger("forgettable_spark.extensions")
+
+
+def cap_hot_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+    label: str = "candidate join",
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Exclude rows whose bucket key holds more than ``max_bucket_size``
+    rows — the guard that keeps candidate generation bounded on skewed
+    corpora. A boilerplate-heavy corpus can put 10⁶ documents under one
+    LSH band key (or one SimHash byte, or one IVF bucket); without a cap
+    that single bucket self-joins into 10¹² candidate pairs and kills the
+    job. Dropping the bucket costs recall on exactly the documents whose
+    near-dup signal is weakest (they collide with *everything*), which is
+    the standard trade.
+
+    The cap is one window count over the same key the candidate join
+    shuffles on — no extra shuffle. ``log_dropped`` (default) runs a
+    small side aggregation over the (key, count) histogram to report how
+    many buckets/rows were excluded — dropped data is logged, not silent;
+    pass ``False`` to skip that job in latency-critical paths.
+    """
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    capped = (
+        df.withColumn("_bucket_n", F.count("*").over(w))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
+    if log_dropped:
+        hot = (
+            df.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .agg(F.count("*").alias("n_buckets"), F.sum("count").alias("n_rows"))
+            .first()
+        )
+        if hot["n_buckets"]:
+            logger.warning(
+                "%s: dropped %d hot bucket(s) totalling %d rows over cap %d",
+                label,
+                hot["n_buckets"],
+                hot["n_rows"],
+                max_bucket_size,
+            )
+    return capped
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -117,6 +172,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     persist: bool = True,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
 
@@ -129,7 +186,11 @@ def minhash_lsh_pairs(
     Plan: sketches are row-local; the only shuffles are the band-bucket
     equi-join on md5 keys and a distinct on candidate pairs. The text
     rejoins only for the (small) candidate set — at corpus scale the n²
-    never materializes.
+    never materializes. ``max_bucket_size`` drops (band, key) buckets
+    larger than the cap before the self-join (see
+    :func:`cap_hot_buckets`) — the skew guard for boilerplate-heavy
+    corpora where one band key would otherwise collect a huge slice of
+    the corpus and square it.
     """
     from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
 
@@ -153,6 +214,9 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         id_col,
         F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias("band", "key"),
+    )
+    banded = cap_hot_buckets(
+        banded, ["band", "key"], max_bucket_size, "minhash_lsh_pairs", log_dropped
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -286,6 +350,8 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     persist: bool = True,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(a, b) <= max_hamming (default 3).
 
@@ -293,7 +359,11 @@ def simhash_pairs(
     splits into 4 bytes; hamming <= 3 implies at least one byte matches
     exactly, so candidates are an equi-join on (byte_index, byte_value) —
     fixed-width keys, no text shuffled. Verification is
-    ``bit_count(xor) <= max_hamming``.
+    ``bit_count(xor) <= max_hamming``. ``max_bucket_size`` drops
+    (block, byte) buckets larger than the cap before the self-join
+    (see :func:`cap_hot_buckets`) — near-identical boilerplate makes one
+    byte value dominate a block and the cap keeps that bucket from
+    squaring.
     """
     # Both sides of the block self-join descend from the sketch; cache it
     # so the 32-bit vote fold runs once per document, not once per alias.
@@ -306,6 +376,9 @@ def simhash_pairs(
         F.posexplode(
             F.array(*[F.shiftright(F.col("simhash"), 8 * i) % 256 for i in range(4)])
         ).alias("block", "byte"),
+    )
+    blocked = cap_hot_buckets(
+        blocked, ["block", "byte"], max_bucket_size, "simhash_pairs", log_dropped
     )
     a = blocked.alias("a")
     b = blocked.alias("b")

@@ -109,6 +109,8 @@ def bucketed_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: search the query's ``n_probes`` best
     coarse buckets (corpus vectors are indexed under their single argmax
@@ -118,12 +120,19 @@ def bucketed_ann_topk(
     and rises with ``n_probes``. The equi-join on ``bucket`` is the whole
     trick: corpus and queries hash-partition by bucket id, each task
     scores one bucket's candidates, and cost drops from |Q|·|C| to
-    ``n_probes · Σ_b |Q_b|·|C_b|``.
+    ``n_probes · Σ_b |Q_b|·|C_b|``. ``max_bucket_size`` excludes corpus
+    buckets larger than the cap (logged, not silent — see
+    :func:`forgettable_spark.extensions.dedup.cap_hot_buckets`): a
+    degenerate quantizer cell holding half the corpus would otherwise
+    drag every query probing it back to brute-force cost.
     """
+    from forgettable_spark.extensions.dedup import cap_hot_buckets
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
     ).withColumn("bucket", argmax_bucket(F.col("_cv")))
+    c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "bucketed_ann_topk", log_dropped)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
@@ -152,13 +161,20 @@ def embedding_near_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold, id_a < id_b, candidates bucketed by the coarse
-    quantizer (near-identical vectors share an argmax component)."""
+    quantizer (near-identical vectors share an argmax component).
+    ``max_bucket_size`` caps the self-joined bucket size (skew guard,
+    logged drop)."""
+    from forgettable_spark.extensions.dedup import cap_hot_buckets
+
     v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")).withColumn(
         "bucket", argmax_bucket(F.col("_v"))
     )
+    v = cap_hot_buckets(v, ["bucket"], max_bucket_size, "embedding_near_dup_pairs", log_dropped)
     a = v.alias("a")
     b = v.alias("b")
     return (

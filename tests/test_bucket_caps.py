@@ -1,0 +1,82 @@
+"""Hot-bucket cap: the skew guard on LSH / SimHash / IVF candidate joins.
+
+A boilerplate-heavy corpus can put a huge slice of the documents under one
+band key (or byte block, or quantizer cell); the cap excludes such buckets
+from candidate generation — bounded work, logged drop — instead of letting
+one bucket square into the candidate join.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions import dedup, similarity
+
+
+def _boilerplate_docs(spark, n_hot=40, n_normal=6):
+    """n_hot identical documents (one hot bucket everywhere) plus a few
+    distinct ones."""
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every single document here").alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+    )
+    normal = spark.range(n_normal).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.concat(F.lit("unique document body number "), F.col("id").cast("string"),
+                 F.lit(" with its own words entirely")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return hot.union(normal)
+
+
+def test_simhash_cap_bounds_candidates(spark, caplog):
+    docs = _boilerplate_docs(spark)
+    uncapped = dedup.simhash_pairs(docs, persist=False)
+    # 40 identical docs alone produce C(40,2) = 780 pairs
+    assert uncapped.count() >= 780
+    with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
+        capped = dedup.simhash_pairs(docs, persist=False, max_bucket_size=10)
+        n = capped.count()
+    # every byte block of the identical docs is one 40-doc bucket -> all dropped
+    assert n < 780
+    hot_ids = set(range(40))
+    for r in capped.collect():
+        assert r["doc_a"] not in hot_ids or r["doc_b"] not in hot_ids
+    assert any("dropped" in rec.message and "hot bucket" in rec.message
+               for rec in caplog.records)
+
+
+def test_lsh_cap_bounds_candidates(spark, caplog):
+    docs = _boilerplate_docs(spark)
+    with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
+        capped = dedup.minhash_lsh_pairs(docs, persist=False, max_bucket_size=10)
+        rows = capped.collect()
+    hot_ids = set(range(40))
+    assert not any(r["doc_a"] in hot_ids and r["doc_b"] in hot_ids for r in rows)
+    assert any("minhash_lsh_pairs" in rec.message for rec in caplog.records)
+
+
+def test_cap_none_is_identity(spark):
+    docs = _boilerplate_docs(spark, n_hot=5, n_normal=3)
+    a = dedup.simhash_pairs(docs, persist=False).collect()
+    b = dedup.simhash_pairs(docs, persist=False, max_bucket_size=None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_cap_drops_degenerate_bucket(spark, caplog):
+    """All-hot-bucket corpus: vectors sharing one argmax component land in
+    one quantizer cell; the cap removes them from the searchable corpus."""
+    vecs = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), (F.col("id") % 3).cast("double") / 10.0).alias("embedding"),
+    )
+    queries = vecs.filter(F.col("vec_id") < 2)
+    with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
+        out = similarity.bucketed_ann_topk(vecs, queries, k=5, max_bucket_size=10)
+        assert out.count() == 0  # the only cell is hot -> nothing searchable
+    assert any("bucketed_ann_topk" in rec.message for rec in caplog.records)
