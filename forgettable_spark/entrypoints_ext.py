@@ -426,12 +426,38 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
 
 
-# Multimodal (plumbing only — no parquet media in testdata; rows-only check) --
+# Multimodal ------------------------------------------------------------------
+#
+# No parquet media ships in the testdata, so the table is the deterministic
+# synthetic manifest (same on both engines: sha256 hex repeated id%7+4
+# times, ASCII bytes). The fake decoder is sha256-derived, so even the
+# Arrow-batched mapInPandas feature path is hash-matchable: the oracle
+# rebuilds content + digest + the first-8-bytes feature fold in SQL.
+
+MEDIA_N = 64
+FEAT_DIM = 8
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synthetic_media(spark, n=64)
+    media = synthetic_media(spark, n=MEDIA_N)
     return extract_image_features(media, use_fake_decoder=True)
+
+
+def _oracle_multimodal() -> str:
+    # feat_i = byte_i / 255.0; feat_mean = (((f1+f2)+f3)+...)/8 — explicit
+    # left-associated sum matching Python's sequential sum(feats).
+    byte = "(('0x' || substr(sha, {i}, 2))::BIGINT / 255.0)"
+    feats = " + ".join(byte.format(i=2 * j + 1) for j in range(FEAT_DIM))
+    return f"""WITH m AS (
+  SELECT range AS media_id,
+         repeat(sha256('media-' || range), 4 + range % 7) AS s
+  FROM range({MEDIA_N}) WHERE range % 3 = 0
+),
+f AS (SELECT media_id, sha256(s) AS sha, CAST(length(s) AS BIGINT) AS n_bytes FROM m)
+SELECT media_id, sha AS sha256, n_bytes,
+       ({feats}) / {FEAT_DIM} AS feat_mean,
+       CAST({FEAT_DIM} AS INT) AS feat_dim
+FROM f"""
 
 
 # Registry --------------------------------------------------------------------
@@ -453,7 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_image_features": q_multimodal_image_features,  # rows-only
+        "multimodal_image_features": q_multimodal_image_features,
     }
 
 
@@ -473,4 +499,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_bucketed_topk": ORACLE_ANN_BUCKETED,
         "ann_multiprobe_topk": ORACLE_ANN_MULTIPROBE,
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+        "multimodal_image_features": _oracle_multimodal(),
     }

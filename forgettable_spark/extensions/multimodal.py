@@ -140,8 +140,11 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     Generated *distributed* (``spark.range`` + column expressions) rather
     than as driver-side rows — the same shape a real media manifest would
     take, and the pattern scales to any ``n`` without the driver ever
-    holding the bytes. Content is ``unhex(repeat(sha256 hex, 4 + id%7))``
-    — deterministic, variable-size binaries.
+    holding the bytes. Content is the ASCII bytes of
+    ``repeat(sha256 hex, 4 + id%7)`` — deterministic, variable-size, and
+    (deliberately) hashable as a VARCHAR by the DuckDB oracle, so the
+    fake-decode feature math is hash-matched cross-engine rather than
+    rows-only. The pipeline still treats it as an opaque binary column.
     """
     from pyspark.sql import functions as F
 
@@ -150,9 +153,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         (F.col("id") % 3 + 1).cast("int"),
     )
     hex_digest = F.sha2(F.concat(F.lit("media-"), F.col("id").cast("string")), 256)
-    content = F.to_binary(
-        F.repeat(hex_digest, (F.lit(4) + F.col("id") % 7).cast("int")), F.lit("hex")
-    )
+    content = F.repeat(hex_digest, (F.lit(4) + F.col("id") % 7).cast("int")).cast("binary")
     mimes = F.when(kinds == "image", "image/png").when(kinds == "audio", "audio/wav").otherwise(
         "video/mp4"
     )
