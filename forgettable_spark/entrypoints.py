@@ -397,13 +397,62 @@ SELECT user_id, session_id,
 FROM numbered GROUP BY user_id, session_id"""
 
 
+POISSON_SEED = 42
+
+
 def q_get_dist_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 stochastic mode: seeded Poisson decay (rows-only driver check —
-    not SQL-expressible; reproducibility is covered by tests/test_sampling)."""
+    """D1 stochastic mode: seeded Poisson decay, fully oracle-checked.
+
+    The seeded sampler is deterministic end-to-end: u = top 52 bits of
+    md5(seed|distribution|bin|now), k = inverse-CDF search whose float
+    recurrence (pmf *= λ/k; cdf += pmf from a float32-quantized e^-λ) is
+    replayed bit-identically by the oracle's recursive CTE — so even the
+    stochastic engine mode hash-matches SQL, not just a row count."""
     snap = _snap_event_type(spark, sf_dir)
     return ops.get_dist(
-        snap, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW, mode="poisson", seed=42
+        snap, now_us=_now_us(spark, sf_dir), rate=RATE_SLOW, mode="poisson",
+        seed=POISSON_SEED,
     )
+
+
+def _oracle_get_dist_poisson(ev_sql: str, rate: float, seed: int) -> str:
+    """Oracle twin of the seeded Poisson /dist (prune mode): md5-derived
+    uniform, recursive-CTE inverse-CDF draw, clamp, prune, normalize."""
+    lam = f"(CAST({_fmt(rate)} AS DOUBLE) * GREATEST((now_us - epoch_us(t)) / 1e6, 0.0))"
+    u = (
+        f"(('0x' || substr(md5('{seed}' || '|' || distribution || '|' || bin || '|' "
+        "|| CAST(now_us AS VARCHAR)), 1, 13))::BIGINT / 4503599627370496.0)"
+    )
+    return f"""WITH RECURSIVE {_state_cte(ev_sql)},
+par AS (
+  SELECT distribution, bin, "count", {lam} AS lam, {u} AS u
+  FROM state, now_t
+),
+ex AS (SELECT *, CAST(CAST(exp(-lam) AS REAL) AS DOUBLE) AS p0 FROM par),
+iter(distribution, bin, k, pmf, cdf, prev, lam, u) AS (
+  SELECT distribution, bin, CAST(0 AS BIGINT), p0, p0, CAST(NULL AS DOUBLE), lam, u
+  FROM ex WHERE p0 >= 1e-8 AND lam > 0
+  UNION ALL
+  SELECT distribution, bin, k + 1, pmf * (lam / (k + 1)),
+         cdf + pmf * (lam / (k + 1)), cdf, lam, u
+  FROM iter WHERE cdf <= u AND (prev IS NULL OR cdf > prev)
+),
+kk AS (SELECT distribution, bin, MAX(k) AS k FROM iter GROUP BY distribution, bin),
+kdraw AS (
+  SELECT e.distribution, e.bin, e."count",
+         CASE WHEN e.p0 < 1e-8 THEN CAST(9223372036854775807 AS BIGINT)
+              ELSE COALESCE(kk.k, 0) END AS k
+  FROM ex e LEFT JOIN kk ON e.distribution = kk.distribution AND e.bin = kk.bin
+),
+decayed AS (
+  SELECT distribution, bin,
+         CASE WHEN "count" < 1 THEN "count"
+              ELSE "count" - LEAST(k, "count") END AS "count"
+  FROM kdraw
+),
+live AS (SELECT * FROM decayed WHERE "count" > 0),
+{_NORM_CTE}
+SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm"""
 
 
 def q_incr_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_most_probable_users": q_n_most_probable_users,
         "replay_daily": q_replay_daily,
         "sessionize": q_sessionize,
-        "get_dist_poisson": q_get_dist_poisson,  # stochastic: rows-only check
+        "get_dist_poisson": q_get_dist_poisson,
         "incr_snapshot": q_incr_snapshot,
     }
     from forgettable_spark import entrypoints_ext, entrypoints_rel
@@ -533,6 +582,7 @@ WHERE distribution = 'colors'"""
         "n_most_probable_users": ORACLE_N_MOST_PROBABLE_USERS,
         "replay_daily": _oracle_replay(),
         "sessionize": ORACLE_SESSIONIZE,
+        "get_dist_poisson": _oracle_get_dist_poisson(_EV_EVENT_TYPE, RATE_SLOW, POISSON_SEED),
         "incr_snapshot": incr_sql,
     }
     out.update(entrypoints_ext.oracle_sql())

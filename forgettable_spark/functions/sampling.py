@@ -2,9 +2,10 @@
 
 Faithful to the reference sampler — inverse-CDF sequential search with the
 ``e^-λ < 1e-8`` wipe guard (``goforget/decay.go:12-34``) — but driven by a
-*deterministic* uniform per row instead of a global RNG. The uniform comes
-from a stable 64-bit hash of ``(seed, now, distribution, bin)``, which buys
-three properties the reference lacks:
+*deterministic* uniform per row instead of a global RNG. The uniform is the
+top 52 bits of ``md5(seed|distribution|bin|now)``, computed **JVM-side as a
+codegen column expression** and handed to the UDF, which buys four
+properties the reference lacks:
 
 - **reproducible**: the same query with the same seed returns the same
   counts, run-to-run and machine-to-machine;
@@ -12,15 +13,21 @@ three properties the reference lacks:
   orders the data — mandatory for a distributed engine (a task retry or an
   AQE re-plan must not change query results);
 - **still Poisson**: for a fixed (distribution, bin) the uniform is an
-  arbitrary-but-fixed quantile, and across bins/instants the hash behaves
+  arbitrary-but-fixed quantile, and across bins/instants the md5 behaves
   as i.i.d. uniforms, so aggregate statistics match the reference law
-  (verified in tests/test_sampling.py).
+  (verified in tests/test_sampling.py);
+- **oracle-checkable**: md5 and the iterative inverse-CDF recurrence
+  (``pmf *= λ/k; cdf += pmf``) are both expressible in DuckDB SQL with the
+  identical float-op sequence, so even stochastic-mode results hash-match
+  a SQL oracle (the one engine mode that used to be rows-only).
 
 Arrow-batched and numpy-vectorized throughout — the sequential search loops
 at most ``O(max_k)`` times per *batch*, not per row.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -34,18 +41,38 @@ from forgettable_spark.functions.decay import dt_seconds
 #: decayed (goforget/decay.go:17-19 returns MaxInt32).
 _PMF_EPSILON = 1e-8
 
+#: Denominator turning 13 hex chars (52 bits) of md5 into u ∈ [0, 1).
+_U_DENOM = float(1 << 52)
 
-def _stable_uniforms(distribution: pd.Series, bin: pd.Series, now_us: np.ndarray, seed: int) -> np.ndarray:
-    """Deterministic u ∈ [0,1) per row from (seed, now, distribution, bin).
 
-    ``pd.util.hash_pandas_object`` is a stable (process-independent) 64-bit
-    hash; we fold ``seed`` and ``now`` into the key material so re-querying
-    at a new instant redraws, as the reference's RNG would.
+def uniform_column(
+    distribution: Column, bin: Column, now_us: Column, seed: int
+) -> Column:
+    """Deterministic u ∈ [0,1) as a pure codegen expression: top 52 bits of
+    ``md5(seed|distribution|bin|now)``. Oracle twin:
+    ``('0x' || substr(md5(...same key...), 1, 13))::BIGINT / 2^52``.
     """
-    key = distribution.astype(str) + "\x1f" + bin.astype(str) + "\x1f" + pd.Series(now_us).astype(str)
-    h = pd.util.hash_pandas_object(key, index=False, hash_key=f"{seed:016d}"[:16]).to_numpy()
-    # top 53 bits → uniform double in [0, 1)
-    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    key = F.concat_ws(
+        "|", F.lit(str(seed)), distribution, bin, now_us.cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint").cast("double")
+        / F.lit(_U_DENOM)
+    )
+
+
+def _stable_uniforms(
+    distribution: pd.Series, bin: pd.Series, now_us: np.ndarray, seed: int
+) -> np.ndarray:
+    """Python twin of :func:`uniform_column` (same bytes → same doubles);
+    used by the statistical tests and anywhere a driver-side redraw of the
+    engine's uniforms is needed."""
+    nows = pd.Series(now_us).astype(str).to_numpy()
+    out = np.empty(len(distribution), dtype=np.float64)
+    for i, (d, b, n) in enumerate(zip(distribution.astype(str), bin.astype(str), nows)):
+        h = hashlib.md5(f"{seed}|{d}|{b}|{n}".encode()).hexdigest()
+        out[i] = int(h[:13], 16) / _U_DENOM
+    return out
 
 
 def poisson_inverse_cdf(lam: np.ndarray, u: np.ndarray) -> np.ndarray:
@@ -53,10 +80,19 @@ def poisson_inverse_cdf(lam: np.ndarray, u: np.ndarray) -> np.ndarray:
 
     k = min { j : Σ_{i<=j} pmf(i) > u }, with the λ-too-large wipe guard:
     rows where ``e^-λ < 1e-8`` return INT64_MAX (decay everything).
+
+    Determinism contract: the pmf start ``e^-λ`` is rounded through
+    float32 before the double recurrence. ``exp`` is the one libm call in
+    the sampler and libm is not correctly rounded — numpy and a SQL
+    engine can disagree by 1 ulp — but a single float32 rounding absorbs
+    that ulp, after which every pmf/cdf value is produced by identical
+    IEEE double ops on both sides, making seeded stochastic results
+    hash-matchable against a DuckDB oracle
+    (``CAST(CAST(exp(-lam) AS REAL) AS DOUBLE)``).
     """
     lam = np.asarray(lam, dtype=np.float64)
     out = np.zeros(lam.shape, dtype=np.int64)
-    p0 = np.exp(-lam)
+    p0 = np.exp(-lam).astype(np.float32).astype(np.float64)
     wipe = p0 < _PMF_EPSILON
     out[wipe] = np.iinfo(np.int64).max
     active = ~wipe & (lam > 0)
@@ -82,17 +118,13 @@ def poisson_inverse_cdf(lam: np.ndarray, u: np.ndarray) -> np.ndarray:
     return out
 
 
-def make_poisson_decay_udf(rate: float, prune: bool, law: str, seed: int):
-    """Build the pandas UDF ``(count, dt_sec, distribution, bin, now_us) ->
-    decayed count`` closing over the decay parameters."""
+def make_poisson_decay_udf(rate: float, prune: bool, law: str):
+    """Build the pandas UDF ``(count, dt_sec, u) -> decayed count`` closing
+    over the decay parameters. The uniform arrives as a column (computed
+    JVM-side by :func:`uniform_column`) so the only Python work is the
+    vectorized inverse-CDF search."""
 
-    def _decay(
-        count: pd.Series,
-        dt_sec: pd.Series,
-        distribution: pd.Series,
-        bin: pd.Series,
-        now_us: pd.Series,
-    ) -> pd.Series:
+    def _decay(count: pd.Series, dt_sec: pd.Series, u: pd.Series) -> pd.Series:
         c = count.to_numpy(dtype=np.int64)
         dt = np.maximum(dt_sec.to_numpy(dtype=np.float64), 0.0)
         if law == "linear":
@@ -101,8 +133,7 @@ def make_poisson_decay_udf(rate: float, prune: bool, law: str, seed: int):
             lam = c.astype(np.float64) * rate * dt  # pyforget/distribution.py:29
         else:
             raise ValueError(f"unknown decay law: {law!r}")
-        u = _stable_uniforms(distribution, bin, now_us.to_numpy(), seed)
-        k = poisson_inverse_cdf(lam, u)
+        k = poisson_inverse_cdf(lam, u.to_numpy(dtype=np.float64))
         clamp = c if prune else np.maximum(c - 1, 0)  # goforget/distribution.go:158-164
         # count < 1 never decays (goforget/decay.go:41-43) — without this a
         # negative raw count would be *inflated* by the prune clamp.
@@ -132,5 +163,6 @@ def poisson_decay_column(
     now_col = F.lit(now_us).cast("bigint") if isinstance(now_us, int) else now_us
     dist_col = distribution if distribution is not None else F.col("distribution")
     bin_col = bin if bin is not None else F.col("bin")
-    udf = make_poisson_decay_udf(rate, prune, law, seed)
-    return udf(count, dt_seconds(t, now_col), dist_col, bin_col, now_col)
+    u = uniform_column(dist_col, bin_col, now_col, seed)
+    udf = make_poisson_decay_udf(rate, prune, law)
+    return udf(count, dt_seconds(t, now_col), u)

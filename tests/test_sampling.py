@@ -93,6 +93,34 @@ def test_poisson_proportional_law_statistics(big_snap):
     assert abs(decay.var() - 5.0) < 1.0
 
 
+def test_uniform_column_matches_python_twin(spark):
+    """The JVM-side md5 uniform and the Python twin draw identical doubles
+    — the contract the SQL oracle's u expression also relies on."""
+    import pandas as pd
+    from forgettable_spark.functions.sampling import uniform_column
+
+    df = spark.createDataFrame(
+        [("d1", f"b{i}") for i in range(50)], "distribution string, bin string"
+    )
+    got = (
+        df.select(
+            "bin",
+            uniform_column(
+                F.col("distribution"), F.col("bin"), F.lit(NOW_US).cast("bigint"), seed=7
+            ).alias("u"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    want = _stable_uniforms(
+        pd.Series(["d1"] * 50),
+        pd.Series(sorted(f"b{i}" for i in range(50))),
+        np.full(50, NOW_US, dtype=np.int64),
+        seed=7,
+    )
+    assert [r["u"] for r in got] == list(want)
+
+
 def test_poisson_seed_changes_draw(big_snap):
     a = ops.decayed_state(big_snap, NOW_US, rate=0.5, mode="poisson", seed=1)
     b = ops.decayed_state(big_snap, NOW_US, rate=0.5, mode="poisson", seed=2)
