@@ -76,12 +76,39 @@ def fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
+def _input_files_bytes(media: DataFrame) -> int | None:
+    """Total on-disk size of the DataFrame's backing files via filesystem
+    metadata (driver-side listing only — zero data read, zero Spark jobs).
+    None when the frame isn't file-backed (in-memory / synthetic)."""
+    paths = media.inputFiles()
+    if not paths:
+        return None
+    spark = media.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(conf)
+        total += fs.getFileStatus(hpath).getLen()
+    return total
+
+
 def repartition_by_bytes(
     media: DataFrame, target_bytes_per_partition: int = 128 * 1024 * 1024
 ) -> DataFrame:
     """Size partitions by media bytes, not rows — variable-size binaries
-    make row-count partitioning meaningless at scale."""
-    total = media.select(F.sum(F.length("content"))).first()[0] or 0
+    make row-count partitioning meaningless at scale.
+
+    The byte total comes from file-level metadata (``inputFiles`` +
+    FileSystem status), not a scan: sizing the job must not cost a full
+    pass over the corpus before the real job starts. Non-file-backed
+    frames (tests, synthetic manifests) fall back to a one-column
+    length scan, the only honest measure available there.
+    """
+    total = _input_files_bytes(media)
+    if total is None:
+        total = media.select(F.sum(F.length("content"))).first()[0] or 0
     parts = max(1, int(total // target_bytes_per_partition) + 1)
     return media.repartition(parts)
 

@@ -183,3 +183,18 @@ def test_repartition_by_bytes(spark):
     out = multimodal.repartition_by_bytes(media, target_bytes_per_partition=1024)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 64
+
+
+def test_repartition_by_bytes_uses_file_metadata(spark, tmp_path):
+    """File-backed frames size partitions from filesystem metadata — no
+    content scan (no Spark job) before the real work."""
+    p = str(tmp_path / "media")
+    multimodal.synthetic_media(spark, n=64).write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    total = multimodal._input_files_bytes(back)
+    assert total is not None and total > 0
+    out = multimodal.repartition_by_bytes(back, target_bytes_per_partition=4096)
+    assert out.rdd.getNumPartitions() == total // 4096 + 1
+    assert out.count() == 64
+    # synthetic (non-file-backed) frames report None and fall back
+    assert multimodal._input_files_bytes(multimodal.synthetic_media(spark, n=4)) is None
