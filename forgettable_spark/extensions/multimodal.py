@@ -191,7 +191,13 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         F.when(is_image, (F.lit(48) + F.col("id")).cast("int")).alias("height"),
         F.when(~is_image, (F.lit(1000) * (F.lit(1) + F.col("id") % 5))).alias("duration_ms"),
     )
-    return spark.range(n).select(
+    # Partition by manifest size, not cluster width: a 64-row manifest
+    # split across 32 tasks spins up 32 Python workers for the downstream
+    # mapInPandas stage to process 2 rows each — pure fixed cost. ~1024
+    # rows per partition keeps small manifests narrow while a real-scale n
+    # still fans out.
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, (n + 1023) // 1024))
+    return spark.range(0, n, numPartitions=n_parts).select(
         F.col("id").alias("media_id"),
         kinds.alias("kind"),
         content.alias("content"),
