@@ -48,6 +48,27 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Layout variant: the flagship read path over a catalog-bucketed log.
+    # The bucketed write is setup (untimed); the timed read demonstrates
+    # the zero-exchange claim end-to-end (tests/test_layout.py asserts the
+    # plan; this entry shows the wall-clock consequence vs `get_dist_all`,
+    # which runs the identical pipeline over plain parquet).
+    from forgettable_spark import entrypoints as ep_mod
+    from forgettable_spark import operators as ops
+    from forgettable_spark.sources import load_forget_events
+    from forgettable_spark.sources.layout import read_events_bucketed, save_events_bucketed
+
+    table = "bench_events_bucketed"
+    save_events_bucketed(load_forget_events(spark, sf_dir), table, buckets=int(cpus))
+    now_us = ep_mod._now_us(spark, sf_dir)
+    t0 = time.perf_counter()
+    snap = ops.snapshot(read_events_bucketed(spark, table))
+    ops.get_dist(snap, now_us=now_us, rate=ep_mod.RATE_SLOW).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["layout_bucketed_get_dist"] = round(time.perf_counter() - t0, 4)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
