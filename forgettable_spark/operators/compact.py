@@ -96,8 +96,13 @@ def write_compacted(
     directories atomically; retry a reader that hits ENOENT). If the swap
     fails the old baseline is restored — the optimistic-commit role the
     reference delegated to Redis WATCH/MULTI (``redis_utils.go:143-191``).
-    On an object store or with a transactional table format
-    (Delta/Iceberg), replace the rename with the format's commit protocol.
+
+    For a baseline with **no** reader-visible window and real optimistic
+    concurrency, prefer :func:`forgettable_spark.sources.txn.
+    compact_to_table`: versioned manifests published by an atomic
+    single-file link — the commit protocol of a transactional table
+    format, minus the dependency. This rename-swap path remains for
+    plain-directory deployments where readers tolerate a retry.
     """
     out = compact(events, now_us, rate, prune, law, sigma, mode=mode, seed=seed)
     if partitions is not None:

@@ -7,6 +7,11 @@ from forgettable_spark.sources.tables import (
     load_forget_events,
     events_to_forget_events,
 )
+from forgettable_spark.sources.txn import (
+    CommitConflictError,
+    ManifestTable,
+    compact_to_table,
+)
 
 __all__ = [
     "TABLES",
@@ -14,4 +19,7 @@ __all__ = [
     "load_events",
     "load_forget_events",
     "events_to_forget_events",
+    "CommitConflictError",
+    "ManifestTable",
+    "compact_to_table",
 ]
