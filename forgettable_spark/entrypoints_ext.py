@@ -98,6 +98,19 @@ SELECT doc_id,
 FROM tok"""
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs)
+
+
+ORACLE_TOKEN_COUNTS = f"""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')) AS BIGINT) AS n_tokens_bpe,
+  CAST(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS bpe_per_ws
+FROM documents"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.language_id(docs).select("doc_id", "lang", "lang_pred", "lang_score")
@@ -466,6 +479,7 @@ FROM f"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -486,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "text_stats": ORACLE_TEXT_STATS,
+        "token_counts": ORACLE_TOKEN_COUNTS,
         "language_id": _oracle_language_id(),
         "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
         "dedup_exact": ORACLE_DEDUP_EXACT,

@@ -75,6 +75,34 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization: alphanumeric runs OR single non-space
+#: symbols — the GPT-2-style first pass that turns "it's 4.2!" into
+#: [it, ', s, 4, ., 2, !]. Simple character classes only, so Java regex
+#: (Spark) and DuckDB's engine count identically (asserted in tests).
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts under both counting conventions:
+
+      n_tokens_ws   — whitespace tokens (the engine's split contract)
+      n_tokens_bpe  — BPE-ish subword-ish units (:data:`BPE_ISH_PATTERN`)
+      bpe_per_ws    — their ratio, a cheap proxy for *tokenizer cost* of
+                      a document (symbol-heavy text expands under BPE)
+
+    Row-local codegen expressions (split / regexp_count) — zero shuffle,
+    computed in the scan stage at any corpus size.
+    """
+    ws = F.size(tokens(F.col(text_col))).cast("bigint")
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        (bpe.cast("double") / ws.cast("double")).alias("bpe_per_ws"),
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword evidence.
 

@@ -147,6 +147,38 @@ def test_language_id_prefers_en(docs):
     assert dist.get("en", 0) > 0  # 'the'/'a' are in the corpus vocabulary
 
 
+def test_bpe_ish_token_count_cross_engine(spark):
+    """Java regex (Spark) and DuckDB's engine must count the BPE-ish
+    pattern identically on symbol-heavy edge cases — the contract the
+    token_counts oracle rests on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    texts = [
+        "hello, world!  it's 42 a.m. -- ok",
+        "foo_bar baz-qux 1,234.5",
+        "",
+        "a",
+        "!!!",
+        "tab\tsep\nnewline mix",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r[0]
+        for r in df.select(
+            F.regexp_count(F.col("text"), F.lit(text.BPE_ISH_PATTERN))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, text.BPE_ISH_PATTERN]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
 def test_multimodal_pipeline(spark):
     media = multimodal.synthetic_media(spark, n=30)
     feats = multimodal.extract_image_features(media).collect()
