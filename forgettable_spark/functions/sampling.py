@@ -140,7 +140,13 @@ def make_poisson_decay_udf(rate: float, prune: bool, law: str):
         decay = np.where(c < 1, 0, np.minimum(k, clamp))
         return pd.Series(c - decay)
 
-    return F.pandas_udf(_decay, LongType())
+    # The function IS deterministic (seeded; that's the whole design) —
+    # asNondeterministic is purely an optimizer fence: without it,
+    # projection collapse inlines the UDF into every consumer (prune
+    # filter, Z window, p division) and the plan evaluates it 4x per row.
+    # Fenced, the plan runs ONE ArrowEvalPython stage and every consumer
+    # reads the projected column.
+    return F.pandas_udf(_decay, LongType()).asNondeterministic()
 
 
 def poisson_decay_column(
