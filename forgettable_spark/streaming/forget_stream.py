@@ -107,6 +107,7 @@ def streaming_forget_table(
     prune: bool = True,
     law: str = "linear",
     watermark: str = "1 hour",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: per-distribution decaying counts with
     TTL eviction, emitted in update mode.
@@ -127,14 +128,27 @@ def streaming_forget_table(
     Scale: state is keyed by distribution and lives in Spark's state store
     (RocksDB provider on real clusters); a micro-batch shuffles only its
     increments, partially pre-aggregated.
+
+    ``n_shards`` bounds the per-key state row for *wide* distributions
+    (millions of hot bins): state keys become ``(distribution,
+    xxhash64(bin) % n_shards)``, each holding only its slice of the bins;
+    the per-bin output rows are unchanged, so readers merge shards for
+    free (distribution ``T`` = max ``t_us`` across its rows). Honest
+    semantic notes: each shard's ``T`` advances with the events *it*
+    receives, so per-bin decay follows the shard's update path — the same
+    decay-at-update path dependence the unsharded stream (and the
+    reference's write-back) already has, just per shard; and TTL eviction
+    fires per shard, which can reap a cold slice of an otherwise-hot
+    distribution (strictly finer-grained than the reference's whole-key
+    ``EXPIRE``; a bin reappearing later is just a first-increment again).
     """
 
     def update(
-        key: tuple[str],
+        key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (distribution,) = key
+        distribution = key[0]
         if state.hasTimedOut:
             # TTL horizon passed with no traffic: drop the key group.
             state.remove()
@@ -193,14 +207,18 @@ def streaming_forget_table(
             }
         )
 
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy("distribution")
-        .applyInPandasWithState(
-            update,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    keyed = events.withWatermark("ts", watermark)
+    if n_shards:
+        keyed = keyed.withColumn(
+            "_shard", F.pmod(F.xxhash64("bin"), F.lit(n_shards)).cast("int")
         )
+        grouped = keyed.groupBy("distribution", "_shard")
+    else:
+        grouped = keyed.groupBy("distribution")
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

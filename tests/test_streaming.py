@@ -270,3 +270,56 @@ def test_streaming_forget_table_late_events_add(spark, stream_dir):
     counts = sorted(r["count"] for r in emissions)
     assert counts == [5, 8]
     assert all(r["t_us"] == int(_ts(20).timestamp() * 1e6) for r in emissions)
+
+
+def test_streaming_forget_table_sharded_matches_unsharded(spark, stream_dir):
+    """Key-sharding a wide distribution (n_shards) must not change the
+    computed counts when every shard sees the same update instants — it
+    only bounds the per-key state row."""
+    bins = [f"b{i:03d}" for i in range(40)]
+    _write_batch(
+        spark, stream_dir, "b1.parquet", [("wide", b, 10, _ts(0)) for b in bins]
+    )
+    _write_batch(
+        spark, stream_dir, "b2.parquet", [("wide", b, 1, _ts(10)) for b in bins]
+    )
+    stream = read_increment_stream(spark, stream_dir)
+    _run_to_completion(
+        streaming_forget_table(stream, rate=0.5, n_shards=8), "forget_sharded"
+    )
+    latest = spark.sql(_latest_sql("forget_sharded")).collect()
+    rows = {r["bin"]: r["count"] for r in latest}
+    # same law as the unsharded decay test: 10 - floor(0.5*10) + 1 = 6
+    assert len(rows) == 40
+    assert all(v == 6 for v in rows.values())
+    # distribution T = max t_us across rows (reader-side merge)
+    assert max(r["t_us"] for r in latest) == int(_ts(10).timestamp() * 1e6)
+
+
+def test_streaming_forget_table_shard_ttl_is_per_shard(spark, stream_dir):
+    """A shard with no live mass is discarded independently: bins decayed
+    to zero vanish even when other shards of the distribution stay hot."""
+    _write_batch(
+        spark,
+        stream_dir,
+        "b1.parquet",
+        [("mixed", f"cold{i}", 1, _ts(0)) for i in range(8)]
+        + [("mixed", "hot", 100, _ts(0))],
+    )
+    _write_batch(
+        spark,
+        stream_dir,
+        "b2.parquet",
+        [("mixed", "hot", 1, _ts(30))],  # 30s at rate 0.5 wipes count-1 bins
+    )
+    stream = read_increment_stream(spark, stream_dir)
+    _run_to_completion(
+        streaming_forget_table(stream, rate=0.5, n_shards=4), "forget_shard_ttl"
+    )
+    latest = spark.sql(_latest_sql("forget_shard_ttl")).collect()
+    rows = {r["bin"]: r["count"] for r in latest}
+    # hot shard decayed forward and keeps mass; cold bins that shared its
+    # shard were pruned at its update. Cold-only shards were never updated
+    # in batch2, so their (stale) emissions from batch1 remain count=1 —
+    # the state itself is reaped by the armed TTL, not re-emitted.
+    assert rows["hot"] == 100 - 15 + 1
