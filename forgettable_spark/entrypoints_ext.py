@@ -390,6 +390,84 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {ANN_K}"""
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-measurement tool: brute-force top-k on the sampled query
+    set is the ground truth; one row per n_probes with hit counts and
+    recall@k. This is the intended role of the exact cross join at scale —
+    run on a sample to *measure* the bucketed index, never as the serving
+    path. (Absolute recall is low on this synthetic corpus: random
+    near-orthogonal vectors give the argmax quantizer little signal —
+    the measurement itself is the point.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = _queries_subset(emb)
+    bf = (
+        similarity.brute_force_topk(emb, qset, k=ANN_K)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    out = None
+    for p in (1, ANN_PROBES):
+        ap = similarity.bucketed_ann_topk(emb, qset, k=ANN_K, n_probes=p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            bf.agg(F.count("*").alias("n_truth"))
+            .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+            .select(
+                F.lit(p).cast("int").alias("n_probes"),
+                "n_truth",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_truth").cast("double")).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_ann_recall() -> str:
+    topk = (
+        "SELECT query_id, neighbor_id FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        "    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM {scored}"
+        f") WHERE rank <= {ANN_K}"
+    )
+    return f"""WITH {_V_CTE},
+vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL.format(e='e')} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+bf_scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
+  FROM q, v WHERE query_id != v.vec_id
+),
+bf AS ({topk.format(scored='bf_scored')}),
+q1 AS (SELECT query_id, qv, CAST({_BUCKET_SQL.format(e='qv')} AS BIGINT) AS bucket FROM q),
+ap1_scored AS (
+  SELECT query_id, vb.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
+  FROM q1 JOIN vb USING (bucket) WHERE query_id != vb.vec_id
+),
+ap1 AS ({topk.format(scored='ap1_scored')}),
+q2 AS (SELECT query_id, qv, unnest({_PROBES_SQL.format(e='qv', p=ANN_PROBES)}) AS bucket FROM q),
+ap2_scored AS (
+  SELECT query_id, vb.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
+  FROM q2 JOIN vb USING (bucket) WHERE query_id != vb.vec_id
+),
+ap2 AS ({topk.format(scored='ap2_scored')}),
+m AS (
+  SELECT CAST(1 AS INT) AS n_probes,
+         (SELECT COUNT(*) FROM bf) AS n_truth,
+         (SELECT COUNT(*) FROM (SELECT * FROM bf INTERSECT SELECT * FROM ap1)) AS n_hit
+  UNION ALL
+  SELECT CAST({ANN_PROBES} AS INT),
+         (SELECT COUNT(*) FROM bf),
+         (SELECT COUNT(*) FROM (SELECT * FROM bf INTERSECT SELECT * FROM ap2))
+)
+SELECT n_probes, n_truth, n_hit,
+       CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+FROM m"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COSINE
@@ -492,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -513,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_bucketed_topk": ORACLE_ANN_BUCKETED,
         "ann_multiprobe_topk": ORACLE_ANN_MULTIPROBE,
+        "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "multimodal_image_features": _oracle_multimodal(),
     }
