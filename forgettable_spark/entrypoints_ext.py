@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from forgettable_spark.extensions import dedup, similarity, text
+from forgettable_spark.extensions import contamination, dedup, similarity, text
 from forgettable_spark.extensions.multimodal import extract_image_features, synthetic_media
 from forgettable_spark.sources import load_table
 
@@ -551,6 +551,112 @@ SELECT media_id, sha AS sha256, n_bytes,
 FROM f"""
 
 
+# Contamination / PII / corpus vocabulary ------------------------------------
+
+EVAL_SET_MOD = 101  # eval/benchmark docs = doc_id % 101 == 0 (~1% of corpus)
+# >= 2 shared distinct 3-grams: excludes the single-gram random-collision
+# noise floor (measured: 197 pairs at 1 shared gram vs 19 at >= 2 on the
+# sf0.01 corpus) while keeping the result non-degenerate.
+DECONTAM_MIN_SHARED = 2
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 2 distinct
+    3-gram hashes with the deterministic eval subset. The eval gram set
+    is broadcast — the corpus never shuffles (plan-asserted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+    return contamination.decontaminate(
+        docs, eval_docs, min_shared=DECONTAM_MIN_SHARED
+    )
+
+
+_GRAM_HASH_LIST_SQL = (
+    "list_distinct(list_transform(shingles, s -> "
+    f"('0x' || substr(md5(s), 1, 15))::BIGINT % {text.MINHASH_P}))"
+)
+
+ORACLE_DECONTAMINATE = f"""WITH {_TOK_CTE},
+{_SHINGLE_CTE},
+g AS (SELECT doc_id, {_GRAM_HASH_LIST_SQL} AS hs FROM sh),
+cg AS (SELECT doc_id, u.h FROM g, unnest(hs) AS u(h)),
+eg AS (SELECT doc_id AS eval_doc_id, u.h FROM g, unnest(hs) AS u(h)
+       WHERE doc_id % {EVAL_SET_MOD} = 0),
+sz AS (SELECT eval_doc_id, COUNT(DISTINCT h) AS n_eval FROM eg GROUP BY 1),
+j AS (
+  SELECT cg.doc_id, eg.eval_doc_id, COUNT(DISTINCT cg.h) AS n_shared
+  FROM cg JOIN eg USING (h)
+  WHERE cg.doc_id <> eg.eval_doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT cg.h) >= {DECONTAM_MIN_SHARED}
+)
+SELECT j.doc_id, j.eval_doc_id, j.n_shared,
+       CAST(j.n_shared AS DOUBLE) / CAST(sz.n_eval AS DOUBLE) AS containment
+FROM j JOIN sz USING (eval_doc_id)"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction fingerprint. The synthetic corpus holds
+    no PII, so the query plants deterministic emails (doc_id % 7) and
+    URLs (doc_id % 11) in both engines and verifies the operator finds
+    and redacts exactly those — a byte-for-byte round-trip check via
+    redacted_md5, not a vacuous all-zero pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t0 = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com for details"),
+        ),
+    ).otherwise(F.col("text"))
+    t1 = F.when(
+        d % 11 == 0,
+        F.concat(t0, F.lit(" see http://site"), d.cast("string"), F.lit(".example.org/page")),
+    ).otherwise(t0)
+    return text.pii_scan(docs.withColumn("text", t1))
+
+
+ORACLE_PII_SCAN = f"""WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+      ELSE text END AS t0
+  FROM documents
+), inj2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+      THEN t0 || ' see http://site' || CAST(doc_id AS VARCHAR) || '.example.org/page'
+      ELSE t0 END AS t
+  FROM inj
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{text.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{text.URL_PATTERN}')) AS BIGINT) AS n_urls,
+  md5(regexp_replace(regexp_replace(t, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+      '{text.URL_PATTERN}', '<URL>', 'g')) AS redacted_md5
+FROM inj2"""
+
+
+TOP_NGRAMS_K = 20
+
+
+def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 3-gram frequency top-20 (ties broken by gram asc —
+    a unique total order, so both engines pick the same set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_ngrams(docs, n=3, k=TOP_NGRAMS_K)
+
+
+ORACLE_TOP_NGRAMS = f"""WITH {_TOK_CTE},
+{_SHINGLE_CTE},
+f AS (SELECT u.s AS ngram, COUNT(*) AS freq FROM sh, unnest(shingles) AS u(s) GROUP BY 1)
+SELECT ngram, CAST(freq AS BIGINT) AS freq FROM f
+ORDER BY freq DESC, ngram LIMIT {TOP_NGRAMS_K}"""
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -573,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_image_features": q_multimodal_image_features,
+        "decontaminate": q_decontaminate,
+        "pii_scan": q_pii_scan,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
     }
 
 
@@ -595,4 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "multimodal_image_features": _oracle_multimodal(),
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "pii_scan": ORACLE_PII_SCAN,
+        "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
     }

@@ -1,0 +1,101 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with an evaluation/benchmark set.
+
+The standard training-data hygiene pass: before training, every corpus
+document is checked for n-gram overlap against the benchmark suites the
+model will be evaluated on; contaminated documents are dropped or
+reported. The overlap metric is *containment* — the fraction of an eval
+document's distinct n-grams that also appear in the corpus document —
+plus the raw shared-gram count.
+
+Scale posture (the part that matters at 100 TB): benchmark suites are
+tiny relative to the corpus (thousands of documents vs billions), so the
+eval n-gram set is **broadcast** — the corpus side streams through a
+scan-stage hash probe and never shuffles. The plan is:
+
+    corpus -> project distinct gram hashes (row-local, codegen)
+           -> explode -> BroadcastHashJoin(eval grams)
+           -> partial/final count per (doc, eval_doc)
+
+asserted broadcast in tests/test_plans.py. Gram hashes are the engine's
+31-bit md5-derived shingle hash (:func:`forgettable_spark.extensions.
+text.shingle_hash`), shared bit-for-bit with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.text import shingle_hash, shingles
+
+
+def _distinct_gram_hashes(text_col: Column, n: int) -> Column:
+    """Per-document distinct n-gram hash array (row-local)."""
+    return F.array_distinct(F.transform(shingles(text_col, n), shingle_hash))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 4,
+) -> DataFrame:
+    """(doc_id, eval_doc_id, n_shared, containment) for every corpus
+    document sharing >= ``min_shared`` distinct word n-grams with an eval
+    document.
+
+    ``containment = n_shared / |distinct n-grams of the eval doc|`` — the
+    asymmetric overlap used for decontamination (a short eval question
+    fully contained in a long document scores 1.0 regardless of the
+    document's length). Self-pairs (same id on both sides) are excluded
+    so an eval set drawn from the corpus doesn't flag itself.
+
+    Both sides reduce to distinct gram *hashes* before the join: counts
+    are over hashes, identically in the DuckDB oracle, so the result is
+    hash-collision-deterministic across engines.
+    """
+    corpus_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_distinct_gram_hashes(F.col(text_col), n)).alias("h"),
+    )
+    eval_grams = eval_docs.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.explode(_distinct_gram_hashes(F.col(text_col), n)).alias("h"),
+    )
+    eval_sizes = eval_grams.groupBy("eval_doc_id").agg(
+        F.countDistinct("h").alias("n_eval")
+    )
+    shared = (
+        corpus_grams.join(F.broadcast(eval_grams), "h")
+        .filter(F.col("doc_id") != F.col("eval_doc_id"))
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(F.broadcast(eval_sizes), "eval_doc_id").select(
+        "doc_id",
+        "eval_doc_id",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_eval").cast("double")).alias(
+            "containment"
+        ),
+    )
+
+
+def keep_list_after_decontamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 4,
+) -> DataFrame:
+    """The actionable form: corpus ids with no flagged overlap — a left
+    anti join against the flag table (NULL-safe by construction)."""
+    flagged = decontaminate(docs, eval_docs, text_col, id_col, n, min_shared)
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        flagged.select("doc_id").distinct(), "doc_id", "left_anti"
+    )

@@ -226,3 +226,53 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 12) -> DataFra
         .withColumn("minhash", minhash_signature_from_base(F.col("_mh_base"), k))
         .drop("_mh_base")
     )
+
+
+#: PII patterns, deliberately restricted to character classes + bounded
+#: quantifiers so Java regex (Spark) and RE2 (DuckDB) match identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^ ]+"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection + redaction fingerprint.
+
+    Columns: ``n_emails``, ``n_urls`` (non-overlapping match counts) and
+    ``redacted_md5`` — the hash of the text after replacing every email
+    with ``<EMAIL>`` and every URL with ``<URL>``, which lets a test (or
+    oracle) verify the *entire redacted corpus* byte-for-byte without
+    shipping the text back.
+
+    Row-local regexp expressions — scan-stage codegen, zero shuffle, the
+    same shape at 100 TB. Redaction order is emails first, then URLs.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(URL_PATTERN)).cast("bigint").alias("n_urls"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def top_ngrams(docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide n-gram frequency: the ``k`` most frequent word
+    n-grams with counts (duplicates counted, ties broken ascending by
+    gram for a deterministic total order).
+
+    Plan shape: explode -> partial count (map-side combine) -> one
+    shuffle keyed by gram -> ``TakeOrderedAndProject`` top-k. The only
+    full-width shuffle rows are (gram, partial_count) pairs; at corpus
+    scale the partial aggregation collapses each executor's grams before
+    anything moves.
+    """
+    return (
+        docs.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(k)
+    )

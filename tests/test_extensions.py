@@ -230,3 +230,60 @@ def test_repartition_by_bytes_uses_file_metadata(spark, tmp_path):
     assert out.count() == 64
     # synthetic (non-file-backed) frames report None and fall back
     assert multimodal._input_files_bytes(multimodal.synthetic_media(spark, n=4)) is None
+
+
+# -- contamination / PII / vocabulary ----------------------------------------
+
+
+def test_decontaminate_flags_planted_contamination(spark):
+    from forgettable_spark.extensions import contamination
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),   # eval doc
+        (1, "alpha beta gamma delta epsilon zeta"),   # exact copy -> containment 1.0
+        (2, "alpha beta gamma delta other words here"),  # partial overlap
+        (3, "completely unrelated text with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    eval_docs = docs.filter(F.col("doc_id") == 0)
+    out = contamination.decontaminate(docs, eval_docs, min_shared=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert 0 not in by_doc  # self-pair excluded
+    assert 3 not in by_doc
+    assert by_doc[1]["containment"] == 1.0
+    # doc 2 shares exactly the grams of "alpha beta gamma delta": 2 of 4
+    assert by_doc[2]["n_shared"] == 2
+    assert by_doc[2]["containment"] == 0.5
+
+    keep = contamination.keep_list_after_decontamination(
+        docs, eval_docs, min_shared=1
+    )
+    assert sorted(r["doc_id"] for r in keep.collect()) == [0, 3]
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    import hashlib
+
+    rows = [
+        (1, "reach me at bob.smith+x@mail-host.org or http://ex.org/a?b=1 soon"),
+        (2, "no pii in this one"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.pii_scan(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_urls"] == 0
+    expected = hashlib.md5(b"reach me at <EMAIL> or <URL> soon").hexdigest()
+    assert out[1]["redacted_md5"] == expected
+    assert out[2]["redacted_md5"] == hashlib.md5(b"no pii in this one").hexdigest()
+
+
+def test_top_ngrams_frequencies_and_tiebreak(spark):
+    rows = [
+        (1, "a b c a b c"),   # grams: "a b c","b c a","c a b","a b c"
+        (2, "a b c d"),       # grams: "a b c","b c d"
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.top_ngrams(docs, n=3, k=3).collect()
+    assert (out[0]["ngram"], out[0]["freq"]) == ("a b c", 3)
+    # the 1-count grams tie; ascending gram order breaks the tie
+    assert [r["ngram"] for r in out[1:]] == ["b c a", "b c d"]

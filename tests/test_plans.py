@@ -97,3 +97,34 @@ def test_poisson_mode_uses_arrow_udf(spark):
     plan = _formatted_plan(ep.queries()["get_dist_poisson"](spark, SF_SMOKE))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Decontamination: the eval/benchmark gram set is tiny next to the
+    corpus, so both the gram join and the size join must be broadcast —
+    the 100 TB corpus side streams through scan-stage hash probes and is
+    never shuffled by a SortMergeJoin."""
+    from forgettable_spark import entrypoints_ext as ext
+
+    plan = _formatted_plan(ext.queries()["decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scan_is_shuffle_free(spark):
+    """PII scan is row-local regexp work: no Exchange in the plan."""
+    from forgettable_spark import entrypoints_ext as ext
+
+    plan = _formatted_plan(ext.queries()["pii_scan"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_top_ngrams_partial_aggregates_before_shuffle(spark):
+    """Corpus vocabulary: the gram counts must partial-aggregate map-side
+    and the top-k must be a TakeOrderedAndProject, not a global sort."""
+    from forgettable_spark import entrypoints_ext as ext
+
+    plan = _formatted_plan(ext.queries()["corpus_top_ngrams"](spark, SF_SMOKE))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage
