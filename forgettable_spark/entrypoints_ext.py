@@ -582,13 +582,13 @@ g AS (SELECT doc_id, {_GRAM_HASH_LIST_SQL} AS hs FROM sh),
 cg AS (SELECT doc_id, u.h FROM g, unnest(hs) AS u(h)),
 eg AS (SELECT doc_id AS eval_doc_id, u.h FROM g, unnest(hs) AS u(h)
        WHERE doc_id % {EVAL_SET_MOD} = 0),
-sz AS (SELECT eval_doc_id, COUNT(DISTINCT h) AS n_eval FROM eg GROUP BY 1),
+sz AS (SELECT eval_doc_id, COUNT(*) AS n_eval FROM eg GROUP BY 1),
 j AS (
-  SELECT cg.doc_id, eg.eval_doc_id, COUNT(DISTINCT cg.h) AS n_shared
+  SELECT cg.doc_id, eg.eval_doc_id, COUNT(*) AS n_shared
   FROM cg JOIN eg USING (h)
   WHERE cg.doc_id <> eg.eval_doc_id
   GROUP BY 1, 2
-  HAVING COUNT(DISTINCT cg.h) >= {DECONTAM_MIN_SHARED}
+  HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 )
 SELECT j.doc_id, j.eval_doc_id, j.n_shared,
        CAST(j.n_shared AS DOUBLE) / CAST(sz.n_eval AS DOUBLE) AS containment

@@ -65,14 +65,18 @@ def decontaminate(
         F.col(id_col).alias("eval_doc_id"),
         F.explode(_distinct_gram_hashes(F.col(text_col), n)).alias("h"),
     )
+    # Grams are distinct per document by construction (array_distinct
+    # before the explode), so (doc_id, h) and (eval_doc_id, h) are unique
+    # and plain counts equal distinct counts — skipping countDistinct's
+    # two-phase expand/dedup aggregation.
     eval_sizes = eval_grams.groupBy("eval_doc_id").agg(
-        F.countDistinct("h").alias("n_eval")
+        F.count(F.lit(1)).alias("n_eval")
     )
     shared = (
         corpus_grams.join(F.broadcast(eval_grams), "h")
         .filter(F.col("doc_id") != F.col("eval_doc_id"))
         .groupBy("doc_id", "eval_doc_id")
-        .agg(F.countDistinct("h").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
     return shared.join(F.broadcast(eval_sizes), "eval_doc_id").select(

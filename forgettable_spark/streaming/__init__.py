@@ -5,6 +5,12 @@ from forgettable_spark.streaming.forget_stream import (
     read_increment_stream,
     streaming_snapshot,
     streaming_forget_table,
+    windowed_event_counts,
 )
 
-__all__ = ["read_increment_stream", "streaming_snapshot", "streaming_forget_table"]
+__all__ = [
+    "read_increment_stream",
+    "streaming_snapshot",
+    "streaming_forget_table",
+    "windowed_event_counts",
+]

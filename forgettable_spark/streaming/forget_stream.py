@@ -222,3 +222,39 @@ def streaming_forget_table(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "10 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Tumbling-window increment volumes with bounded lateness.
+
+    Append-mode windowed aggregation: each (window, distribution) row is
+    emitted exactly once, when the event-time watermark passes the
+    window's end; events arriving later than ``watermark`` behind the
+    stream's max event time are dropped before the aggregation (the
+    standard Structured Streaming late-data contract). This is the
+    volume-monitoring companion to the keyed forget-table state — the
+    reference has no analogue (its only notion of time is the decay
+    clock), but any production ingest wants per-window write rates.
+
+    State is bounded: closed windows are evicted once the watermark
+    passes, so state size is O(active windows × hot distributions)
+    regardless of stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("win"),
+            "distribution",
+        )
+        .agg(F.sum("n").alias("n_events"))
+        .select(
+            "distribution",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )

@@ -323,3 +323,52 @@ def test_streaming_forget_table_shard_ttl_is_per_shard(spark, stream_dir):
     # in batch2, so their (stale) emissions from batch1 remain count=1 —
     # the state itself is reaped by the armed TTL, not re-emitted.
     assert rows["hot"] == 100 - 15 + 1
+
+
+def test_windowed_counts_drop_late_events(spark, stream_dir):
+    """Append-mode tumbling windows: the [0,10) window is emitted once
+    (when the watermark passes its end) and an event arriving after that
+    is dropped, not retroactively merged — the Structured Streaming
+    late-data contract the reference never had to define."""
+    from forgettable_spark.streaming import windowed_event_counts
+
+    _write_batch(
+        spark,
+        stream_dir,
+        "b1.parquet",
+        [("colors", "red", 3, _ts(1)), ("colors", "blue", 2, _ts(8))],
+    )
+    # advances max event time to 25 -> watermark 15 > 10 closes [0,10)
+    _write_batch(spark, stream_dir, "b2.parquet", [("colors", "red", 1, _ts(25))])
+    # one more batch so the eviction of [0,10) lands before the late row
+    # (a row arriving in the very batch where the watermark first passes
+    # the window end races merge-vs-evict — that boundary is Spark's,
+    # not contract; one batch later the drop is guaranteed)
+    _write_batch(spark, stream_dir, "b3.parquet", [("colors", "red", 1, _ts(26))])
+    # LATE: event time 3 is far behind the 16 s watermark -> dropped
+    _write_batch(spark, stream_dir, "b4.parquet", [("colors", "red", 100, _ts(3))])
+    # flush batch so emissions for [20,30) definitely land
+    _write_batch(spark, stream_dir, "b5.parquet", [("colors", "red", 1, _ts(40))])
+
+    stream = read_increment_stream(spark, stream_dir)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM win_test WHERE distribution = 'colors'"
+    ).collect()
+    by_window = {}
+    for r in rows:
+        # collected timestamps are naive in the session tz (UTC)
+        key = r["win_start"].replace(tzinfo=timezone.utc).isoformat()
+        assert key not in by_window, "window emitted more than once"
+        by_window[key] = r["n_events"]
+    w0 = _ts(0).isoformat()
+    # b1's 3+2 only — the late 100-increment was dropped
+    assert by_window[w0] == 5
