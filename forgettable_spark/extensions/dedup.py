@@ -93,7 +93,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     from pyspark.sql import Window
 
     hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp_md5"))
-    w = Window.partitionBy("fp_md5")
+    # NULL text: md5 is NULL, and a window partitioned on it would lump
+    # every NULL-text row into ONE group — wrong (SQL NULL matches
+    # nothing) and a single-partition skew bomb on a NULL-heavy corpus.
+    # Grouping on (is-null, md5-or-id) keeps each NULL row a singleton.
+    group_key = F.coalesce(F.col("fp_md5"), F.col(id_col).cast("string"))
+    w = Window.partitionBy(F.col("fp_md5").isNull(), group_key)
     return (
         hashed.withColumn("group_size", F.count("*").over(w).cast("bigint"))
         .withColumn("keeper", F.min(id_col).over(w))
@@ -194,6 +199,10 @@ def minhash_lsh_pairs(
     """
     from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
 
+    # NULL text must match nothing: its shingle set is [NULL], and
+    # array_intersect treats NULL elements as equal — two NULL docs would
+    # verify at jaccard 1.0. Excluded before sketching.
+    docs = docs.filter(F.col(text_col).isNotNull())
     rows_per_band = k // bands
     sigs = (
         docs.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
@@ -258,6 +267,9 @@ def ngram_jaccard_pairs(
     The LSH variant remains the probabilistic alternative when even the
     prefix index is too wide.
     """
+    # Same NULL contract as the LSH path: NULL shingle sets would
+    # Jaccard-match each other via array_intersect's NULL-equality.
+    docs = docs.filter(F.col(text_col).isNotNull())
     sh = (
         docs.select(
             F.col(id_col), F.col(block_col).alias("_block"), shingles(F.col(text_col)).alias("sh")
@@ -365,6 +377,10 @@ def simhash_pairs(
     byte value dominate a block and the cap keeps that bucket from
     squaring.
     """
+    # NULL text sketches to 0, so any two NULL-text docs would "match" at
+    # hamming 0 — but verification here is sketch-only (no content
+    # join-back), so they must be excluded up front: NULL matches nothing.
+    docs = docs.filter(F.col(text_col).isNotNull())
     # Both sides of the block self-join descend from the sketch; cache it
     # so the 32-bit vote fold runs once per document, not once per alias.
     sk = simhash_sketch(docs, text_col, id_col)

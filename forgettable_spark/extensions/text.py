@@ -270,7 +270,8 @@ def top_ngrams(docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 20)
     anything moves.
     """
     return (
-        docs.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        docs.filter(F.col(text_col).isNotNull())  # NULL text has no grams
+        .select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("ngram"))

@@ -287,3 +287,43 @@ def test_top_ngrams_frequencies_and_tiebreak(spark):
     assert (out[0]["ngram"], out[0]["freq"]) == ("a b c", 3)
     # the 1-count grams tie; ascending gram order breaks the tie
     assert [r["ngram"] for r in out[1:]] == ["b c a", "b c d"]
+
+
+def test_null_and_empty_text_robustness(spark):
+    """Real corpora contain empty and NULL documents. Contract: NULL text
+    matches nothing (never grouped, never paired, no phantom grams);
+    empty text is a real value (two '' docs ARE exact duplicates)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "some normal text content"),
+            (2, ""),
+            (3, ""),
+            (4, None),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    ex = {r["doc_id"]: r for r in dedup.exact_dedup(docs).collect()}
+    assert ex[2]["group_size"] == 2 and ex[3]["group_size"] == 2
+    assert ex[2]["is_canonical"] and not ex[3]["is_canonical"]
+    # NULL rows are singletons, each its own canonical row
+    assert ex[4]["group_size"] == 1 and ex[5]["group_size"] == 1
+    assert ex[4]["is_canonical"] and ex[5]["is_canonical"]
+
+    # sketch-only pairing must not match NULL docs to each other
+    sp = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    for r in sp:
+        assert 4 not in (r["doc_a"], r["doc_b"])
+        assert 5 not in (r["doc_a"], r["doc_b"])
+
+    # LSH and exact-Jaccard paths exclude NULL docs before sketching
+    # (array_intersect's NULL-equality would otherwise verify them at 1.0)
+    for pairs_fn in (dedup.minhash_lsh_pairs, dedup.ngram_jaccard_pairs):
+        kw = {"block_col": "text"} if pairs_fn is dedup.ngram_jaccard_pairs else {}
+        for r in pairs_fn(docs, **kw).collect():
+            assert 4 not in (r["doc_a"], r["doc_b"])
+            assert 5 not in (r["doc_a"], r["doc_b"])
+
+    grams = text.top_ngrams(docs, n=3, k=10).collect()
+    assert all(r["ngram"] is not None for r in grams)
+    assert ("", 2) in [(r["ngram"], r["freq"]) for r in grams]  # '' doc gram
