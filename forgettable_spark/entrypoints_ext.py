@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from forgettable_spark.extensions import contamination, dedup, similarity, text
+from forgettable_spark.extensions import contamination, dedup, sampling, similarity, text
 from forgettable_spark.extensions.multimodal import extract_image_features, synthetic_media
 from forgettable_spark.sources import load_table
 
@@ -657,6 +657,70 @@ SELECT ngram, CAST(freq AS BIGINT) AS freq FROM f
 ORDER BY freq DESC, ngram LIMIT {TOP_NGRAMS_K}"""
 
 
+# Deterministic sampling / splits / quality filter ----------------------------
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25}
+SAMPLE_DEFAULT_FRACTION = 0.1
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — reproducible across
+    runs, partitionings, and cluster sizes (rand() is none of these)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+ORACLE_HASH_SPLIT = """WITH b AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bkt
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split
+FROM b"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (en 50%, zh 25%, rest
+    10%) — row-local hash filter, nested-sample property for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT_FRACTION
+    ).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = """WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bkt
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bkt < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000 AS BIGINT)"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality gate: length + lexical-diversity thresholds
+    as one scan-stage predicate; survivors carry their scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_filter(docs, min_tokens=20, min_distinct_ratio=0.35)
+
+
+ORACLE_QUALITY_FILTER = f"""WITH {_TOK_CTE},
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+    CAST(len(list_filter(w, x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+      AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
+  5e-1 * stopword_ratio + 5e-1 * distinct_ratio AS quality_score
+FROM s
+WHERE n_tokens >= 20 AND distinct_ratio >= 0.35 AND stopword_ratio >= 0.0"""
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -682,6 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -707,4 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "pii_scan": ORACLE_PII_SCAN,
         "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
+        "hash_split": ORACLE_HASH_SPLIT,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "quality_filter": ORACLE_QUALITY_FILTER,
     }

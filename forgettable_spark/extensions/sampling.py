@@ -1,0 +1,83 @@
+"""Deterministic sampling and split assignment for training corpora.
+
+``rand()`` is the wrong tool on a distributed corpus: it changes with
+partitioning, retries, and cluster size, so two runs of "the same" 90/5/5
+split disagree. These operators derive every decision from a salted
+content hash — row-local, shuffle-free, bit-reproducible anywhere, and
+re-computable later (a doc's split can be re-derived from its id alone,
+no assignment table needed).
+
+The hash is the engine's standard md5-prefix integer (same construction
+as :func:`forgettable_spark.extensions.text.shingle_hash`) taken mod
+``BUCKETS``; DuckDB oracles restate it literally, so assignments are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Assignment granularity: fractions resolve to 1/10000ths.
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS): md5 of ``salt:id``, first 15
+    hex chars as int, mod BUCKETS. Oracle twin:
+    ``('0x' || substr(md5(salt || ':' || id), 1, 15))::BIGINT % 10000``."""
+    h = F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(BUCKETS)
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by
+    cumulative weight boundaries over the hash bucket.
+
+    Returns the input plus a ``split`` column. Weights must sum to 1
+    (within bucket granularity); iteration order of ``weights`` fixes the
+    boundary order, so pass an explicitly ordered dict.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        bound = round(acc * BUCKETS)
+        cond = b < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float-accumulation guard: the final boundary is exactly BUCKETS
+    last = list(weights)[-1]
+    return docs.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's fraction, deterministically:
+    ``bucket(id) < fraction * BUCKETS``. Strata absent from ``fractions``
+    use ``default_fraction``. Row-local filter — no shuffle, no
+    per-stratum scan, and the kept set is a subset of any larger
+    fraction's kept set (nested samples for free)."""
+    b = hash_bucket(F.col(id_col), salt)
+    frac = None
+    for stratum, f in fractions.items():
+        cond = F.col(strata_col) == stratum
+        frac = (
+            F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
+        )
+    frac = F.lit(default_fraction) if frac is None else frac.otherwise(F.lit(default_fraction))
+    return docs.filter(b < (frac * BUCKETS).cast("bigint"))

@@ -277,3 +277,24 @@ def top_ngrams(docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 20)
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_distinct_ratio: float = 0.35,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Quality keep-list: documents passing the composite thresholds,
+    with their scores. The standard pre-training filter pass (length +
+    lexical-diversity + stopword-evidence gates) as one row-local
+    predicate over :func:`with_text_stats` — computed in the scan stage,
+    zero shuffle, and Catalyst collapses the stats projection into the
+    filter so rejected rows never leave the scan."""
+    stats = with_text_stats(docs, text_col)
+    return stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    ).select("doc_id", "n_tokens", "distinct_ratio", "stopword_ratio", "quality_score")

@@ -327,3 +327,48 @@ def test_null_and_empty_text_robustness(spark):
     grams = text.top_ngrams(docs, n=3, k=10).collect()
     assert all(r["ngram"] is not None for r in grams)
     assert ("", 2) in [(r["ngram"], r["freq"]) for r in grams]  # '' doc gram
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from forgettable_spark.extensions import sampling
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(docs, w).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         sampling.hash_split(docs.repartition(13), w).collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.03 < c["val"] / 2000 < 0.07
+    assert 0.03 < c["test"] / 2000 < 0.07
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_nested_property(spark):
+    """A smaller fraction's kept set must be a subset of a larger one's —
+    the property that makes hash sampling resumable/extensible."""
+    from forgettable_spark.extensions import sampling
+
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    small = {r["doc_id"] for r in
+             sampling.stratified_sample(docs, {"en": 0.2}, default_fraction=0.1).collect()}
+    large = {r["doc_id"] for r in
+             sampling.stratified_sample(docs, {"en": 0.6}, default_fraction=0.3).collect()}
+    assert small <= large
+    assert len(small) > 0
+
+
+def test_quality_filter_thresholds(spark):
+    good = "the quick brown fox jumps over a lazy dog and then runs far away home again tonight " \
+           "with many more distinct words appearing"
+    dup = " ".join(["spam"] * 40)
+    docs = spark.createDataFrame(
+        [(1, good), (2, dup), (3, "too short")], ["doc_id", "text"]
+    )
+    kept = [r["doc_id"] for r in text.quality_filter(docs).collect()]
+    assert kept == [1]  # dup fails distinct_ratio, short fails n_tokens
