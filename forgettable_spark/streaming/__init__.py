@@ -5,6 +5,7 @@ from forgettable_spark.streaming.forget_stream import (
     read_increment_stream,
     streaming_snapshot,
     streaming_forget_table,
+    streaming_exact_dedup,
     windowed_event_counts,
 )
 
@@ -12,5 +13,6 @@ __all__ = [
     "read_increment_stream",
     "streaming_snapshot",
     "streaming_forget_table",
+    "streaming_exact_dedup",
     "windowed_event_counts",
 ]

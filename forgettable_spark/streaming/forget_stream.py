@@ -258,3 +258,28 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each
+    content hash, with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per distinct
+    md5 and evicts it once the watermark passes — so the dedup window
+    is "no duplicate within ``watermark`` of event time" and state stays
+    O(distinct hashes per window) no matter how long the stream runs.
+    The batch twin (:func:`forgettable_spark.extensions.dedup.
+    exact_dedup`) dedups globally; at ingest time the bounded window is
+    the scalable contract (a re-crawl a month later is a *new* document
+    for retention purposes — global dedup runs as the batch pass over
+    the compacted corpus).
+    """
+    hashed = docs.withColumn("fp_md5", F.md5(F.col(text_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fp_md5"]
+    )

@@ -372,3 +372,55 @@ def test_windowed_counts_drop_late_events(spark, stream_dir):
     w0 = _ts(0).isoformat()
     # b1's 3+2 only — the late 100-increment was dropped
     assert by_window[w0] == 5
+
+
+def test_streaming_exact_dedup(spark, stream_dir):
+    """First occurrence of a content hash is emitted; a duplicate in a
+    later batch (within the watermark) is suppressed; distinct content
+    passes through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    from forgettable_spark.streaming import streaming_exact_dedup
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+
+    def write_docs(name, rows):
+        t = pa.Table.from_pylist(
+            [{"doc_id": i, "text": tx, "ts": ts} for i, tx, ts in rows], schema=schema
+        )
+        fp = os.path.join(stream_dir, name)
+        pq.write_table(t, fp)
+        _BATCH_SEQ[0] += 1
+        mt = 1_700_000_000 + _BATCH_SEQ[0]
+        os.utime(fp, (mt, mt))
+
+    write_docs("d1.parquet", [(1, "alpha content", _ts(0)), (2, "beta content", _ts(1))])
+    write_docs("d2.parquet", [(3, "alpha content", _ts(5)), (4, "gamma content", _ts(6))])
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, ts TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, text FROM dedup_stream_test").collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert kept == [1, 2, 4]  # doc 3 is a duplicate of doc 1's content
