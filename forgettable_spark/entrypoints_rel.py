@@ -104,6 +104,52 @@ JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY p_brand, s_name"""
 
 
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into the
+    fact-fact join, date predicates pushed to both scans, exact decimal
+    revenue, top-10 via TakeOrderedAndProject. The canonical 'big join
+    whose small side must broadcast and whose sort must not be global'."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_REL_SHIPPING_PRIORITY = """SELECT l_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""
+
+
 def q_rel_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping over (returnflag, linestatus): every subtotal level in
     one pass — grouping-set coverage the reference lacks entirely."""
@@ -260,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_customers": q_rel_top_customers,
         "rel_part_supplier_volume": q_rel_part_supplier_volume,
         "rel_cube_summary": q_rel_cube_summary,
+        "rel_shipping_priority": q_rel_shipping_priority,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "value_quantiles": q_value_quantiles,
         "profile_events": q_profile_events,
@@ -274,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_customers": ORACLE_REL_TOP_CUSTOMERS,
         "rel_part_supplier_volume": ORACLE_REL_PART_SUPPLIER,
         "rel_cube_summary": ORACLE_REL_CUBE,
+        "rel_shipping_priority": ORACLE_REL_SHIPPING_PRIORITY,
         "funnel_signup_purchase": ORACLE_FUNNEL,
         "value_quantiles": ORACLE_VALUE_QUANTILES,
         "profile_events": ORACLE_PROFILE_EVENTS,
