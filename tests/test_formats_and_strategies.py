@@ -73,3 +73,41 @@ def test_join_strategy_broadcasts_totals(spark, events):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Result equality with the unsalted join under skew (one hot key),
+    multi-row right side, and left-outer NULL fill; unsupported join
+    types rejected."""
+    import pyspark.sql.functions as F
+
+    from forgettable_spark.functions.skew import salted_join
+
+    # 10k rows of hot key 'h', a tail of others, plus a dangling key
+    fact = spark.range(0, 10500).selectExpr(
+        "id AS row_id",
+        "CASE WHEN id < 10000 THEN 'h' WHEN id < 10400 THEN concat('k', id % 40) "
+        "ELSE 'missing' END AS key",
+    )
+    dim = spark.createDataFrame(
+        [("h", 1), ("h", 2)] + [(f"k{i}", 10 + i) for i in range(40)],
+        ["key", "val"],
+    )
+
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "key", how).groupBy("key").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+        )
+        salted = salted_join(fact, dim, "key", salts=8, how=how).groupBy("key").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, f"{how} join mismatch"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "key", how="full")
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "key", salts=0)
