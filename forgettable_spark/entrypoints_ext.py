@@ -481,6 +481,44 @@ FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.e', 'b.e')} >= {NEAR_DUP_COSINE:e}"""
 
 
+def q_embedding_near_dup_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs via banded sign-LSH (12 bits, 4 bands) —
+    the direction-bucketed complement to the IVF path; exact cosine
+    verification keeps precision unconditional."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_near_dup_pairs(emb, threshold=NEAR_DUP_COSINE)
+
+
+def _hyperplane_bit_sql(i: int) -> str:
+    return (
+        "CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+        f"j -> e[j] * ((({i} * 31 + j * 17) % 7) - 3))) >= 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _oracle_hyperplane() -> str:
+    from forgettable_spark.extensions.similarity import (
+        HYPERPLANE_BANDS,
+        HYPERPLANE_BITS,
+    )
+
+    bpb = HYPERPLANE_BITS // HYPERPLANE_BANDS
+    bands = ", ".join(
+        "("
+        + " + ".join(
+            f"({_hyperplane_bit_sql(b * bpb + k)}) * {1 << k}" for k in range(bpb)
+        )
+        + f") AS band{b}"
+        for b in range(HYPERPLANE_BANDS)
+    )
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(HYPERPLANE_BANDS))
+    return f"""WITH {_V_CTE},
+s AS (SELECT vec_id, e, {bands} FROM v)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {_cosine_sql('a.e', 'b.e')} AS cosine
+FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({band_match})
+WHERE {_cosine_sql('a.e', 'b.e')} >= {NEAR_DUP_COSINE:e}"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the SimHash near-dup
     pair graph, plus the keep/drop decision per document — pairwise
@@ -771,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_hyperplane": q_embedding_near_dup_hyperplane,
         "multimodal_image_features": q_multimodal_image_features,
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
@@ -800,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe_topk": ORACLE_ANN_MULTIPROBE,
         "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_hyperplane": _oracle_hyperplane(),
         "multimodal_image_features": _oracle_multimodal(),
         "decontaminate": ORACLE_DECONTAMINATE,
         "pii_scan": ORACLE_PII_SCAN,

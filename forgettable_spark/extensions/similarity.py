@@ -191,3 +191,95 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+#: Random-hyperplane (sign) LSH family size: 12 bits in 4 bands of 3.
+HYPERPLANE_BITS = 12
+HYPERPLANE_BANDS = 4
+_BITS_PER_BAND = HYPERPLANE_BITS // HYPERPLANE_BANDS
+
+
+def _hyperplane_weights(i: int, size: Column) -> Column:
+    """Hyperplane i as a formula, not literals: component j (1-based) is
+    ``((i·31 + j·17) mod 7) − 3`` ∈ [−3, 3] — a fixed quasi-random ±
+    pattern both engines restate as an expression, so the oracle needs
+    no 768-literal matrix."""
+    return F.transform(
+        F.sequence(F.lit(1), size),
+        lambda j: ((F.lit(i * 31) + j * 17) % 7 - 3).cast("double"),
+    )
+
+
+def hyperplane_signature(vec: Column) -> Column:
+    """Sign-LSH signature: bit i = [dot(v, h_i) >= 0]. For unit-ish
+    vectors, P[bit_a = bit_b] = 1 − θ(a,b)/π — the classic cosine
+    sketch. Row-local fold per bit; deterministic sign at exactly 0
+    because the dot is the engines' bit-identical sequential fold."""
+    v = as_double(vec)
+    size = F.size(v)
+    bits = [
+        F.when(dot(v, _hyperplane_weights(i, size)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(HYPERPLANE_BITS)
+    ]
+    return F.array(*bits)
+
+
+def hyperplane_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs via banded sign-LSH: candidates share at
+    least one 3-bit band of the 12-bit signature (P[candidate] =
+    1−(1−p³)⁴ at per-bit agreement p), then exact cosine verification —
+    precision is unconditional, the sketch only bounds recall.
+
+    The scale shape mirrors the SimHash text path: signatures are
+    scan-stage expressions, candidates come from an equi-join on
+    (band_index, band_value) — fixed-width keys, vectors join back only
+    for the candidate set. Complements the IVF path
+    (:func:`embedding_near_dup_pairs`): sign-LSH buckets by direction
+    against fixed hyperplanes, IVF by dominant component — different
+    recall profiles, same join skeleton.
+    """
+    sig = emb.select(
+        F.col(id_col).alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        hyperplane_signature(F.col(vec_col)).alias("_sig"),
+    )
+    band_vals = F.array(
+        *[
+            sum(
+                F.element_at(F.col("_sig"), b * _BITS_PER_BAND + k + 1)
+                * F.lit(1 << k)
+                for k in range(_BITS_PER_BAND)
+            )
+            for b in range(HYPERPLANE_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "_id", "_v", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

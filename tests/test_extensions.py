@@ -388,3 +388,31 @@ def test_tfidf_keywords_ranks_rare_tokens(spark):
     top = {r["doc_id"]: r["token"] for r in out}
     assert top[1] == "zebra"  # df=1 beats tf=2 of 'common' (df=3): 3 > 2
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_hyperplane_lsh_precision_and_recall(emb):
+    """Sign-LSH near-dup pairs: precision must be exact (verification
+    re-checks every candidate), and recall against brute-force ground
+    truth must clear the S-curve floor for this fixture's cosine regime
+    (pairs sit at ~0.4-0.5 → per-bit agreement ~0.65 → expected recall
+    ~0.7; deterministic hyperplanes + fixed data make the measured value
+    stable)."""
+    from itertools import combinations
+
+    out = similarity.hyperplane_near_dup_pairs(emb, threshold=0.4).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert found, "fixture should contain pairs above the demo threshold"
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / ((sum(x * x for x in a) ** 0.5) * (sum(x * x for x in b) ** 0.5))
+
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(vecs), 2)
+        if cos(vecs[a], vecs[b]) >= 0.4 - 1e-12
+    }
+    assert found <= truth  # exact precision
+    assert len(found & truth) / len(truth) >= 0.4  # S-curve recall floor
