@@ -40,6 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 
+#: Sentinel for "blind append — no read-modify-write dependency". Distinct
+#: from ``None``, which means "I read the table and it was empty".
+_BLIND = object()
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first — re-read and retry
@@ -83,6 +87,19 @@ class ManifestTable:
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         return spark.read.parquet(self.manifest(version)["data_path"])
+
+    def read_pinned(self, spark: SparkSession) -> tuple[DataFrame, int | None]:
+        """Read the current version and return ``(df, version)`` so the
+        version can be passed back as ``commit(base_version=...)`` — the
+        read half of a read-modify-write cycle (WATCH analogue,
+        ``goforget/redis_utils.go:143-191``). Returns ``(empty?, None)``
+        is not provided: an empty table raises like :meth:`read`; callers
+        compacting a possibly-empty table should catch FileNotFoundError
+        and use ``base_version=None``."""
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return spark.read.parquet(self.manifest(version)["data_path"]), version
 
     # -- write side --------------------------------------------------------
 
