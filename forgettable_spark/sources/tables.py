@@ -29,24 +29,43 @@ TABLES = (
 
 
 def _ensure_nanos_readable(spark: SparkSession) -> None:
-    """The testdata writes parquet TIMESTAMP(NANOS) which Spark 4 rejects
-    outright; reading the raw int64 is the supported escape hatch."""
+    """Older Spark 4.0 rejects parquet TIMESTAMP(NANOS) outright; reading
+    the raw int64 is its supported escape hatch. Spark >= 4.1 instead reads
+    the column natively as TIMESTAMP_NTZ (this conf is then a no-op)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+#: Wall-clock micros since the epoch for a TIMESTAMP_NTZ column — pure
+#: NTZ-to-NTZ arithmetic, so the result is independent of
+#: ``spark.sql.session.timeZone`` (the driver's harness session is not UTC).
+_NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table.
 
     ``events.ts`` is nanosecond-precision; every other timestamp in the
-    testdata is ms/us and reads natively. We truncate nanos to microseconds
-    (Spark's native timestamp precision) with integer division — the same
-    truncation DuckDB applies when it coerces nanos to its micro timestamps,
-    so engine and oracle see identical instants.
+    testdata is ms/us and reads natively. Nanos are truncated to
+    microseconds (Spark's native timestamp precision) — the same truncation
+    DuckDB applies when it coerces nanos to its micro timestamps, so engine
+    and oracle see identical instants. Both Spark readings of the nanos
+    column are handled:
+
+    - bigint (Spark 4.0 ``nanosAsLong``): integer-divide to micros;
+    - timestamp_ntz (Spark >= 4.1 native): the NTZ wall clock is the UTC
+      instant; convert via NTZ-to-NTZ ``timestampdiff`` so the result does
+      not depend on the session time zone (verified bit-identical to
+      DuckDB's ``epoch_us`` over the full sf0.01 column).
     """
     _ensure_nanos_readable(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr(_NTZ_EPOCH_US)))
+        # plain timestamp: already a micro-precision instant — leave as is
     return df
 
 
