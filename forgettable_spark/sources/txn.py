@@ -88,14 +88,14 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed version under {self.root}")
         return spark.read.parquet(self.manifest(version)["data_path"])
 
-    def read_pinned(self, spark: SparkSession) -> tuple[DataFrame, int | None]:
+    def read_pinned(self, spark: SparkSession) -> tuple[DataFrame, int]:
         """Read the current version and return ``(df, version)`` so the
         version can be passed back as ``commit(base_version=...)`` — the
         read half of a read-modify-write cycle (WATCH analogue,
-        ``goforget/redis_utils.go:143-191``). Returns ``(empty?, None)``
-        is not provided: an empty table raises like :meth:`read`; callers
-        compacting a possibly-empty table should catch FileNotFoundError
-        and use ``base_version=None``."""
+        ``goforget/redis_utils.go:143-191``). An empty table raises
+        FileNotFoundError like :meth:`read`; callers compacting a
+        possibly-empty table should catch it and commit with
+        ``base_version=None`` ("I observed the table empty")."""
         version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
@@ -103,14 +103,46 @@ class ManifestTable:
 
     # -- write side --------------------------------------------------------
 
-    def commit(self, df: DataFrame, partition_col: str | None = "distribution") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        partition_col: str | None = "distribution",
+        base_version: int | None | object = _BLIND,
+    ) -> int:
         """Write ``df`` as the next version; returns the version number.
+
+        ``base_version`` closes the read-modify-write race (the WATCH half
+        of the reference's ``WATCH … MULTI … EXEC``,
+        ``goforget/redis_utils.go:143-191``):
+
+        - an ``int`` — "my df was derived from version N" (from
+          :meth:`read_pinned`). The commit claims exactly ``N + 1``; if any
+          other writer published since, the claim loses and the increments
+          are NOT silently dropped.
+        - ``None`` — "I observed the table empty". Claims version 1.
+        - omitted (``_BLIND``) — blind append with no read dependency
+          (e.g. the very first publish of independently-built data). Claims
+          ``current + 1``; only an exact same-number race conflicts.
 
         Raises :class:`CommitConflictError` if a concurrent writer claimed
         the version first (the staged data directory is cleaned up; the
-        caller re-reads and retries — optimistic concurrency).
+        caller re-reads via :meth:`read_pinned` and retries — optimistic
+        concurrency). The atomic arbiter is the ``os.link`` on the claimed
+        manifest name; the pre-write check below only fast-fails before
+        paying for the parquet write.
         """
-        version = (self.current_version() or 0) + 1
+        if base_version is _BLIND:
+            version = (self.current_version() or 0) + 1
+        else:
+            if base_version is not None and not isinstance(base_version, int):
+                raise TypeError(f"base_version must be int or None, got {base_version!r}")
+            version = (base_version or 0) + 1
+            current = self.current_version()
+            if current != base_version:
+                raise CommitConflictError(
+                    f"stale read of {self.root}: expected version "
+                    f"{base_version}, table is now at {current} — re-read and retry"
+                )
         token = uuid.uuid4().hex[:8]
         data_path = os.path.join(self._data_dir, f"v{version:08d}-{token}")
         out = df.repartition(partition_col) if partition_col else df
@@ -158,12 +190,18 @@ def compact_to_table(
     events: DataFrame,
     table: ManifestTable,
     now_us: int,
+    base_version: int | None | object = _BLIND,
     **compact_kwargs,
 ) -> int:
     """Compact an increment log and publish it as the next table version —
     the transactional replacement for ``write_compacted``'s rename swap.
     Accepts every :func:`forgettable_spark.operators.compact.compact`
-    parameter (rate/prune/law/sigma/mode/seed)."""
+    parameter (rate/prune/law/sigma/mode/seed).
+
+    When ``events`` includes the table's own prior baseline (the
+    read-modify-write compact cycle: ``df, v = table.read_pinned(spark)``
+    → union increments → compact), pass that ``v`` as ``base_version`` so
+    a concurrent publish can't be silently overwritten."""
     from forgettable_spark.operators.compact import compact
 
-    return table.commit(compact(events, now_us, **compact_kwargs))
+    return table.commit(compact(events, now_us, **compact_kwargs), base_version=base_version)

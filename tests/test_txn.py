@@ -67,6 +67,56 @@ def test_commit_conflict_raises_and_cleans_up(spark, tmp_path, monkeypatch):
     assert fresh.current_version() == 2 and fresh.read(spark).count() == 10
 
 
+def test_stale_base_version_conflicts_before_write(spark, tmp_path):
+    """The ADVICE defect: reader pins v1, a concurrent writer publishes v2,
+    then the reader commits its derived result. Old behavior silently
+    published v3 (dropping v2's increments); with base_version the stale
+    claim loses loudly, before paying for the parquet write."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(_events(spark))  # v1
+    df, pinned = t.read_pinned(spark)
+    assert pinned == 1
+    ManifestTable(t.root).commit(_events(spark, n=10))  # concurrent v2
+    with pytest.raises(CommitConflictError, match="stale read"):
+        t.commit(df, base_version=pinned)
+    # no stale data directory was staged (fast-fail happened pre-write)
+    assert len(os.listdir(os.path.join(t.root, "data"))) == 2
+    # v2 (the concurrent writer's increments) survives
+    assert t.read(spark).count() == 10
+
+
+def test_base_version_none_means_observed_empty(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    # observed empty, nobody raced: commits v1
+    assert t.commit(_events(spark), base_version=None) == 1
+    # observed empty but the table isn't: conflict
+    with pytest.raises(CommitConflictError):
+        ManifestTable(t.root).commit(_events(spark, n=5), base_version=None)
+
+
+def test_conflict_retry_cycle_converges(spark, tmp_path):
+    """The documented recovery path: catch, re-read pinned, retry."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(_events(spark))  # v1
+    df, pinned = t.read_pinned(spark)
+    ManifestTable(t.root).commit(_events(spark, n=10))  # concurrent v2
+    with pytest.raises(CommitConflictError):
+        t.commit(df, base_version=pinned)
+    df2, pinned2 = t.read_pinned(spark)
+    assert pinned2 == 2
+    assert t.commit(df2.limit(4), base_version=pinned2) == 3
+    assert t.read(spark).count() == 4
+
+
+def test_compact_to_table_threads_base_version(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "baseline"))
+    compact_to_table(_events(spark), t, NOW_US, rate=1e-6)  # v1
+    baseline, pinned = t.read_pinned(spark)
+    ManifestTable(t.root).commit(_events(spark, n=10))  # concurrent v2
+    with pytest.raises(CommitConflictError):
+        compact_to_table(baseline, t, NOW_US + 1, base_version=pinned, rate=1e-6)
+
+
 def test_vacuum_drops_old_versions(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "tbl"))
     for i in range(4):
