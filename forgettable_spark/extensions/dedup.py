@@ -28,8 +28,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from forgettable_spark.extensions.text import minhash_signature, shingles, tokens
+from forgettable_spark.functions.cache import scoped_cache
 
 logger = logging.getLogger("forgettable_spark.extensions")
+
+
+#: Dropped-bucket reports queued by cap_hot_buckets, run by
+#: flush_bucket_reports. Bounded so an unflushed library session cannot
+#: accumulate plan references without limit.
+_PENDING_REPORTS: list[tuple[str, int, DataFrame]] = []
+_MAX_PENDING_REPORTS = 32
 
 
 def cap_hot_buckets(
@@ -49,38 +57,63 @@ def cap_hot_buckets(
     the standard trade.
 
     The cap is one window count over the same key the candidate join
-    shuffles on — no extra shuffle. ``log_dropped`` (default) runs a
-    small side aggregation over the (key, count) histogram to report how
-    many buckets/rows were excluded — dropped data is logged, not silent;
-    pass ``False`` to skip that job in latency-critical paths.
+    shuffles on — no extra shuffle. ``log_dropped`` (default) queues a
+    LAZY report derived from that same window count (rows over the cap;
+    bucket count recovered as ``sum(1/bucket_n)``, exactly 1 per bucket —
+    no second groupBy over the input, and nothing executes at
+    construction time, so the returned DataFrame stays lazy). The report
+    runs when :func:`flush_bucket_reports` is called — automatically at
+    the end of every ``run_released`` query, while the sketch caches that
+    feed it are still hot. Dropped data is logged, not silent; pass
+    ``False`` to skip entirely.
     """
     if max_bucket_size is None:
         return df
     from pyspark.sql import Window
 
     w = Window.partitionBy(*key_cols)
-    capped = (
-        df.withColumn("_bucket_n", F.count("*").over(w))
-        .filter(F.col("_bucket_n") <= max_bucket_size)
-        .drop("_bucket_n")
-    )
+    with_n = df.withColumn("_bucket_n", F.count("*").over(w))
+    capped = with_n.filter(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
     if log_dropped:
-        hot = (
-            df.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > max_bucket_size)
-            .agg(F.count("*").alias("n_buckets"), F.sum("count").alias("n_rows"))
-            .first()
+        report = (
+            with_n.filter(F.col("_bucket_n") > max_bucket_size)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum(F.lit(1.0) / F.col("_bucket_n")))
+                .cast("bigint")
+                .alias("n_buckets"),
+            )
         )
-        if hot["n_buckets"]:
+        _PENDING_REPORTS.append((label, max_bucket_size, report))
+        if len(_PENDING_REPORTS) > _MAX_PENDING_REPORTS:
+            del _PENDING_REPORTS[: len(_PENDING_REPORTS) - _MAX_PENDING_REPORTS]
+    return capped
+
+
+def flush_bucket_reports() -> int:
+    """Run every queued dropped-bucket report and log a warning for each
+    cap that actually dropped rows; returns the number of warnings.
+
+    Each report is one small aggregation job over the capped table's
+    window count. Call it right after the consuming action, while any
+    sketch caches feeding the candidate table are still populated (the
+    ``run_released`` wrapper does exactly this); flushing cold re-executes
+    the upstream pipeline once.
+    """
+    n_warned = 0
+    while _PENDING_REPORTS:
+        label, cap, report = _PENDING_REPORTS.pop(0)
+        row = report.first()
+        if row is not None and row["n_rows"]:
             logger.warning(
                 "%s: dropped %d hot bucket(s) totalling %d rows over cap %d",
                 label,
-                hot["n_buckets"],
-                hot["n_rows"],
-                max_bucket_size,
+                row["n_buckets"],
+                row["n_rows"],
+                cap,
             )
-    return capped
+            n_warned += 1
+    return n_warned
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -214,12 +247,12 @@ def minhash_lsh_pairs(
     # The sketch table feeds three plan branches (band explode + both
     # verify join-backs); without persistence each branch re-shingles and
     # re-hashes the corpus. Caching the per-doc sketch is the standard
-    # LSH-job shape — it is O(#docs · k), tiny next to the corpus. The
-    # cache lives until Spark's LRU evicts it (or the caller unpersists);
-    # long-lived sessions issuing many dedup calls can pass persist=False
-    # to trade recompute for zero cached storage.
+    # LSH-job shape — it is O(#docs · k), tiny next to the corpus.
+    # scoped_cache: a plain cache for library callers (who own the
+    # lifecycle), released automatically when built under run_released
+    # (the registered-query path — no storage outlives the query).
     if persist:
-        sigs = sigs.cache()
+        sigs = scoped_cache(sigs)
     banded = sigs.select(
         id_col,
         F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias("band", "key"),
@@ -279,7 +312,7 @@ def ngram_jaccard_pairs(
         .drop("sh")
     )
     if persist:  # feeds the prefix index and both verify join-backs
-        sh = sh.cache()
+        sh = scoped_cache(sh)
     prefix_len = (
         F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh").cast("double")) + F.lit(1)
     ).cast("int")
@@ -385,7 +418,7 @@ def simhash_pairs(
     # so the 32-bit vote fold runs once per document, not once per alias.
     sk = simhash_sketch(docs, text_col, id_col)
     if persist:
-        sk = sk.cache()
+        sk = scoped_cache(sk)
     blocked = sk.select(
         id_col,
         "simhash",

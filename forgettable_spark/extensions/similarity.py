@@ -275,7 +275,9 @@ def hyperplane_near_dup_pairs(
         .select("_id", "_vn", "_sig")
     )
     if persist:
-        sig = sig.cache()
+        from forgettable_spark.functions.cache import scoped_cache
+
+        sig = scoped_cache(sig)
     band_vals = F.array(
         *[
             sum(

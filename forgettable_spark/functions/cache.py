@@ -1,0 +1,93 @@
+"""Cache lifecycle: scoped caching with guaranteed release.
+
+Spark never auto-unpersists: every ``.cache()`` / ``localCheckpoint``
+survives until the session's LRU evicts it. That is fine for a one-shot
+job, but a long-lived session running a query *mix* (the driver's serial
+bench, a notebook, a service) accumulates dead sketch tables in executor
+storage memory until useful caches start getting evicted — the
+storage-creep failure mode a 100 TB operator gets paged for. The
+reference's analogue is its write-back queue backpressure
+(``goforget/forget.go:217-243``): resources tied to one request must not
+outlive it.
+
+Two layers:
+
+- :func:`scoped_cache` — drop-in replacement for ``df.cache()`` inside
+  operator implementations. Outside any scope it IS ``df.cache()``
+  (library callers keep full control and can unpersist themselves);
+  inside a :func:`run_released` build it additionally registers the
+  cache for release when the scope ends.
+- :func:`run_released` — used by the registered driver queries: run a
+  DataFrame builder, materialize its (small) result once, release every
+  cache *and* every RDD block the build persisted (``localCheckpoint``
+  blocks included), and return the rows as a locally-backed DataFrame
+  with the identical schema. After it returns, executor storage holds
+  nothing from the query.
+
+``run_released`` trades laziness for a clean session: the result is
+collected to the driver. That is only correct for queries whose OUTPUT is
+small (verified pairs, top-k lists, metric rows — the usual shape after
+candidate verification); never wrap a per-document projection with it.
+The RDD sweep assumes one driver thread builds queries at a time (true
+for the driver harness and bench); concurrent builders should rely on the
+scope list only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Stack of active release scopes; each holds the DataFrames cached via
+#: scoped_cache inside it. Innermost scope collects.
+_SCOPES: list[list[DataFrame]] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` that the innermost :func:`run_released` scope (if
+    any) will unpersist when it finishes. No active scope → plain cache."""
+    df = df.cache()
+    if _SCOPES:
+        _SCOPES[-1].append(df)
+    return df
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
+    """Run ``build()`` to completion and leave zero executor storage behind.
+
+    Collects the result (one action — every cache the build created is
+    populated and reused exactly as in the lazy plan, so the work done is
+    identical), then unpersists the scope's caches, then sweeps any RDD
+    blocks newly persisted during the build (``localCheckpoint`` lineage
+    truncation in iterative operators). Returns the rows re-wrapped as a
+    DataFrame with the original schema, so callers (driver, bench) can
+    keep treating the query as a DataFrame source.
+    """
+    before = _persistent_rdd_ids(spark)
+    scope: list[DataFrame] = []
+    _SCOPES.append(scope)
+    try:
+        df = build()
+        rows = df.collect()
+        schema = df.schema
+    finally:
+        _SCOPES.pop()
+    # Dropped-bucket reports queued during the build run NOW, while the
+    # sketch caches they read are still populated (local import: dedup
+    # imports scoped_cache from this module).
+    from forgettable_spark.extensions.dedup import flush_bucket_reports
+
+    flush_bucket_reports()
+    for cached in scope:
+        cached.unpersist()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for key in jmap.keySet().toArray():
+        if int(key) not in before:
+            jmap.get(key).unpersist(False)
+    return spark.createDataFrame(rows, schema)

@@ -39,9 +39,13 @@ def test_simhash_cap_bounds_candidates(spark, caplog):
     uncapped = dedup.simhash_pairs(docs, persist=False)
     # 40 identical docs alone produce C(40,2) = 780 pairs
     assert uncapped.count() >= 780
+    dedup._PENDING_REPORTS.clear()
     with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
         capped = dedup.simhash_pairs(docs, persist=False, max_bucket_size=10)
+        # construction is lazy: the report is queued, nothing logged yet
+        assert dedup._PENDING_REPORTS and not caplog.records
         n = capped.count()
+        assert dedup.flush_bucket_reports() == 1
     # every byte block of the identical docs is one 40-doc bucket -> all dropped
     assert n < 780
     hot_ids = set(range(40))
@@ -49,13 +53,18 @@ def test_simhash_cap_bounds_candidates(spark, caplog):
         assert r["doc_a"] not in hot_ids or r["doc_b"] not in hot_ids
     assert any("dropped" in rec.message and "hot bucket" in rec.message
                for rec in caplog.records)
+    # the warning carries the real histogram: 4 byte-blocks x 40 docs
+    msg = next(rec.message for rec in caplog.records if "hot bucket" in rec.message)
+    assert "4 hot bucket(s)" in msg and "160 rows" in msg
 
 
 def test_lsh_cap_bounds_candidates(spark, caplog):
     docs = _boilerplate_docs(spark)
+    dedup._PENDING_REPORTS.clear()
     with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
         capped = dedup.minhash_lsh_pairs(docs, persist=False, max_bucket_size=10)
         rows = capped.collect()
+        dedup.flush_bucket_reports()
     hot_ids = set(range(40))
     assert not any(r["doc_a"] in hot_ids and r["doc_b"] in hot_ids for r in rows)
     assert any("minhash_lsh_pairs" in rec.message for rec in caplog.records)
@@ -76,7 +85,9 @@ def test_ivf_cap_drops_degenerate_bucket(spark, caplog):
         F.array(F.lit(1.0), (F.col("id") % 3).cast("double") / 10.0).alias("embedding"),
     )
     queries = vecs.filter(F.col("vec_id") < 2)
+    dedup._PENDING_REPORTS.clear()
     with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
         out = similarity.bucketed_ann_topk(vecs, queries, k=5, max_bucket_size=10)
         assert out.count() == 0  # the only cell is hot -> nothing searchable
+        dedup.flush_bucket_reports()
     assert any("bucketed_ann_topk" in rec.message for rec in caplog.records)
