@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from forgettable_spark.extensions import contamination, dedup, sampling, similarity, text
 from forgettable_spark.extensions.multimodal import extract_image_features, synthetic_media
+from forgettable_spark.functions.cache import run_released, scoped_cache
 from forgettable_spark.sources import load_table
 
 JACCARD_THRESHOLD = 0.8
@@ -25,6 +26,11 @@ LSH_BANDS = 4
 ANN_K = 10
 ANN_QUERY_MOD = 25  # queries = vec_id % 25 == 0
 ANN_PROBES = 2  # multi-probe IVF: search the 2 best quantizer cells
+#: ann_recall gauges the index on a FIXED-SIZE query sample (the first
+#: ANN_RECALL_N multiples of ANN_QUERY_MOD), not a fixed fraction — its
+#: brute-force truth stage stays O(ANN_RECALL_N · |corpus|) at any scale
+#: instead of growing quadratically with the corpus.
+ANN_RECALL_N = 20
 NEAR_DUP_COSINE = 0.4  # demo threshold: the synthetic vectors are near-orthogonal
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_BUCKET_CAP = 30  # hot-bucket cap: bites at sf0.01 (largest block = 128 docs)
@@ -165,11 +171,17 @@ FROM h"""
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        k=MINHASH_K,
-        bands=LSH_BANDS,
-        threshold=JACCARD_THRESHOLD,
+    # run_released: the LSH sketch cache is released the moment the (small)
+    # verified-pair result is materialized — nothing outlives the query in
+    # executor storage (same for every caching query below).
+    return run_released(
+        spark,
+        lambda: dedup.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            k=MINHASH_K,
+            bands=LSH_BANDS,
+            threshold=JACCARD_THRESHOLD,
+        ),
     )
 
 
@@ -206,8 +218,11 @@ WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD:e}"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    return run_released(
+        spark,
+        lambda: dedup.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+        ),
     )
 
 
@@ -240,8 +255,11 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM h"""
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    return run_released(
+        spark,
+        lambda: dedup.simhash_pairs(
+            load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+        ),
     )
 
 
@@ -294,10 +312,13 @@ def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     squaring). The cap bites at sf0.01 — the oracle mirrors it with the
     same window-count filter, so the hash match verifies the guard's
     semantics, not just its plumbing."""
-    return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"),
-        max_hamming=SIMHASH_MAX_HAMMING,
-        max_bucket_size=SIMHASH_BUCKET_CAP,
+    return run_released(
+        spark,
+        lambda: dedup.simhash_pairs(
+            load_table(spark, sf_dir, "documents"),
+            max_hamming=SIMHASH_MAX_HAMMING,
+            max_bucket_size=SIMHASH_BUCKET_CAP,
+        ),
     )
 
 
@@ -390,41 +411,57 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {ANN_K}"""
 
 
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The recall-measurement tool: brute-force top-k on the sampled query
-    set is the ground truth; one row per n_probes with hit counts and
-    recall@k. This is the intended role of the exact cross join at scale —
-    run on a sample to *measure* the bucketed index, never as the serving
-    path. (Absolute recall is low on this synthetic corpus: random
-    near-orthogonal vectors give the argmax quantizer little signal —
-    the measurement itself is the point.)"""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qset = _queries_subset(emb)
-    bf = (
-        similarity.brute_force_topk(emb, qset, k=ANN_K)
-        .select("query_id", "neighbor_id")
-        .cache()
+def _recall_queries(df: DataFrame) -> DataFrame:
+    """Deterministic FIXED-COUNT query sample: the first ANN_RECALL_N
+    multiples of ANN_QUERY_MOD. Row-local filter (no sort, no limit, no
+    partition dependence) and trivially SQL-twinnable."""
+    return df.filter(
+        (F.col("vec_id") % ANN_QUERY_MOD == 0)
+        & (F.col("vec_id") < ANN_QUERY_MOD * ANN_RECALL_N)
     )
-    out = None
-    for p in (1, ANN_PROBES):
-        ap = similarity.bucketed_ann_topk(emb, qset, k=ANN_K, n_probes=p).select(
-            "query_id", "neighbor_id"
-        )
-        hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
-        row = (
-            bf.agg(F.count("*").alias("n_truth"))
-            .crossJoin(hits.agg(F.count("*").alias("n_hit")))
-            .select(
-                F.lit(p).cast("int").alias("n_probes"),
-                "n_truth",
-                "n_hit",
-                (F.col("n_hit").cast("double") / F.col("n_truth").cast("double")).alias(
-                    "recall"
-                ),
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-measurement tool: brute-force top-k on a fixed-size
+    query sample is the ground truth; one row per n_probes with hit counts
+    and recall@k. This is the intended role of the exact cross join at
+    scale — a constant number of queries keeps the truth stage
+    O(ANN_RECALL_N · |corpus|) however big the corpus grows, so the gauge
+    never becomes the most expensive job in the mix. (Absolute recall is
+    low on this synthetic corpus: random near-orthogonal vectors give the
+    argmax quantizer little signal — the measurement itself is the
+    point.)"""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qset = _recall_queries(emb)
+        bf = scoped_cache(
+            similarity.brute_force_topk(emb, qset, k=ANN_K).select(
+                "query_id", "neighbor_id"
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        out = None
+        for p in (1, ANN_PROBES):
+            ap = similarity.bucketed_ann_topk(emb, qset, k=ANN_K, n_probes=p).select(
+                "query_id", "neighbor_id"
+            )
+            hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
+            row = (
+                bf.agg(F.count("*").alias("n_truth"))
+                .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+                .select(
+                    F.lit(p).cast("int").alias("n_probes"),
+                    "n_truth",
+                    "n_hit",
+                    (
+                        F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+                    ).alias("recall"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    return run_released(spark, build)
 
 
 def _oracle_ann_recall() -> str:
@@ -436,7 +473,8 @@ def _oracle_ann_recall() -> str:
     )
     return f"""WITH {_V_CTE},
 vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL.format(e='e')} AS BIGINT) AS bucket FROM v),
-q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v
+      WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_MOD * ANN_RECALL_N}),
 bf_scored AS (
   SELECT query_id, v.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
   FROM q, v WHERE query_id != v.vec_id
@@ -490,9 +528,13 @@ def q_embedding_near_dup_hyperplane(spark: SparkSession, sf_dir: str) -> DataFra
     """Cosine near-dup pairs via banded sign-LSH (12 bits, 4 bands) —
     the direction-bucketed complement to the IVF path; exact cosine
     verification keeps precision unconditional."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.hyperplane_near_dup_pairs(
-        emb, threshold=NEAR_DUP_COSINE, max_bucket_size=HYPERPLANE_BUCKET_CAP
+    return run_released(
+        spark,
+        lambda: similarity.hyperplane_near_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=NEAR_DUP_COSINE,
+            max_bucket_size=HYPERPLANE_BUCKET_CAP,
+        ),
     )
 
 
@@ -536,9 +578,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     output turned into the actionable keep-list."""
     from forgettable_spark.extensions.components import dedup_keep_list
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
-    return dedup_keep_list(pairs, docs.select("doc_id"))
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+        return dedup_keep_list(pairs, docs.select("doc_id"))
+
+    # run_released also sweeps the loop's localCheckpoint blocks.
+    return run_released(spark, build)
 
 
 def _oracle_dedup_components() -> str:
@@ -739,13 +785,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-ORACLE_STRATIFIED_SAMPLE = """WITH b AS (
+def _stratified_threshold_case() -> str:
+    """Integer bucket thresholds resolved with the SAME Python round() the
+    engine uses (sampling.stratified_sample) — no float arithmetic in
+    either plan, so the kept sets cannot diverge."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {round(f * sampling.BUCKETS)}"
+        for s, f in SAMPLE_FRACTIONS.items()
+    )
+    return f"CASE lang {whens} ELSE {round(SAMPLE_DEFAULT_FRACTION * sampling.BUCKETS)} END"
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""WITH b AS (
   SELECT doc_id, lang,
     ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bkt
   FROM documents
 )
 SELECT doc_id, lang FROM b
-WHERE bkt < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000 AS BIGINT)"""
+WHERE bkt < ({_stratified_threshold_case()})"""
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,7 +872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_capped": q_dedup_simhash_capped,
         "dedup_components": q_dedup_components,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ann_recall": q_ann_recall,
@@ -845,7 +901,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
         "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
         "dedup_components": _oracle_dedup_components(),
-        "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_bucketed_topk": ORACLE_ANN_BUCKETED,
         "ann_multiprobe_topk": ORACLE_ANN_MULTIPROBE,
         "ann_recall": _oracle_ann_recall(),

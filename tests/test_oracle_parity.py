@@ -11,14 +11,29 @@ import pytest
 from forgettable_spark import entrypoints as ep
 from tests.conftest import SF_ORACLE, SF_SMOKE, assert_frames_match, register_views
 
-QUERY_NAMES = sorted(ep.queries().keys())
+
+def _all_queries():
+    """Primary (driver-registered) plus secondary (consolidation cuts kept
+    under local test) — the full oracle-checked surface."""
+    q = dict(ep.queries())
+    q.update(ep.secondary_queries())
+    return q
+
+
+def _all_oracles():
+    o = dict(ep.oracle_sql())
+    o.update(ep.secondary_oracle_sql())
+    return o
+
+
+QUERY_NAMES = sorted(_all_queries().keys())
 
 
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE], ids=["sf0.001", "sf0.01"])
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name, sf_dir):
-    oracles = ep.oracle_sql()
-    sdf = ep.queries()[name](spark, sf_dir)
+    oracles = _all_oracles()
+    sdf = _all_queries()[name](spark, sf_dir)
     if name not in oracles:
         # Stochastic / non-SQL-expressible: driver records rows-only.
         assert sdf.count() >= 0
@@ -30,13 +45,24 @@ def test_query_matches_oracle(spark, duck, name, sf_dir):
 
 def test_every_oracle_has_query():
     assert set(ep.oracle_sql().keys()) <= set(ep.queries().keys())
+    assert set(ep.secondary_oracle_sql().keys()) <= set(ep.secondary_queries().keys())
+
+
+def test_driver_registry_at_cap():
+    """The driver's correctness harness checks at most 50 queries per
+    round (r2 showed the 51st+ silently dropped): register exactly 50 so
+    every entry gets a per-round green row, and keep the two registries
+    disjoint."""
+    primary = set(ep.queries().keys())
+    assert len(primary) == 50
+    assert not primary & set(ep.secondary_queries().keys())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_no_vacuous_parity(spark, name):
     """An empty result matches an empty oracle trivially; every registered
     query must return rows at sf0.01 so parity is never vacuous."""
-    assert ep.queries()[name](spark, SF_ORACLE).limit(1).count() > 0, (
+    assert _all_queries()[name](spark, SF_ORACLE).limit(1).count() > 0, (
         f"{name} returned no rows at sf0.01 — its oracle match proves nothing"
     )
 
