@@ -68,16 +68,26 @@ def stratified_sample(
     salt: str = "sample",
 ) -> DataFrame:
     """Keep each row with its stratum's fraction, deterministically:
-    ``bucket(id) < fraction * BUCKETS``. Strata absent from ``fractions``
-    use ``default_fraction``. Row-local filter — no shuffle, no
-    per-stratum scan, and the kept set is a subset of any larger
-    fraction's kept set (nested samples for free)."""
+    ``bucket(id) < round(fraction * BUCKETS)``. Strata absent from
+    ``fractions`` use ``default_fraction``. Row-local filter — no shuffle,
+    no per-stratum scan, and the kept set is a subset of any larger
+    fraction's kept set (nested samples for free).
+
+    Each fraction resolves to an INTEGER bucket threshold on the driver
+    (Python ``round``, same as :func:`hash_split`'s boundaries) and only
+    that integer enters the plan. A float threshold in the plan would
+    truncate (``cast`` floors) while DECIMAL-arithmetic engines round —
+    for a fraction whose ``f * BUCKETS`` lands just under an integer
+    (e.g. ``0.5609 * 10000 = 5608.999…``) the two engines would keep
+    different rows. Integer thresholds make the comparison exact
+    everywhere.
+    """
     b = hash_bucket(F.col(id_col), salt)
-    frac = None
+    thr = None
     for stratum, f in fractions.items():
         cond = F.col(strata_col) == stratum
-        frac = (
-            F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
-        )
-    frac = F.lit(default_fraction) if frac is None else frac.otherwise(F.lit(default_fraction))
-    return docs.filter(b < (frac * BUCKETS).cast("bigint"))
+        bound = F.lit(round(f * BUCKETS)).cast("bigint")
+        thr = F.when(cond, bound) if thr is None else thr.when(cond, bound)
+    default_bound = F.lit(round(default_fraction * BUCKETS)).cast("bigint")
+    thr = default_bound if thr is None else thr.otherwise(default_bound)
+    return docs.filter(b < thr)

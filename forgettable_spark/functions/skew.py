@@ -51,6 +51,14 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salts < 1:
         raise ValueError(f"salts must be >= 1, got {salts}")
+    # The helper column would silently overwrite (and then drop) a caller
+    # column of the same name, corrupting their data — fail loudly instead.
+    for side, df in (("skewed", skewed), ("other", other)):
+        if "_salt" in df.columns:
+            raise ValueError(
+                f"salted_join: {side} input already has a '_salt' column; "
+                "rename it before joining"
+            )
     salt = F.pmod(F.hash(F.col(on), F.monotonically_increasing_id()), F.lit(salts))
     left = skewed.withColumn("_salt", salt)
     right = other.withColumn(

@@ -111,3 +111,8 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(fact, dim, "key", how="full")
     with _pytest.raises(ValueError):
         salted_join(fact, dim, "key", salts=0)
+    # a caller column named _salt must not be silently overwritten+dropped
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(fact.withColumn("_salt", F.lit(1)), dim, "key")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(fact, dim.withColumn("_salt", F.lit(1)), "key")
