@@ -132,10 +132,19 @@ def connected_components(
         # lineage so the plan doesn't deepen.
         if checkpoint_every and (round_idx + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
-        n_changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        # Adaptive probe cadence: the count() action is half the loop's
+        # fixed cost at small scale, so after the first three rounds the
+        # probe runs every SECOND round. Labels only ever decrease, so a
+        # fixpoint reached on an unprobed round is detected one round
+        # later — one cheap extra round (its lazy checkpoint folds into
+        # the probing round's single job) against half the actions on
+        # long convergence tails.
+        probe = round_idx < 3 or round_idx % 2 == 1 or round_idx == max_rounds - 1
+        if probe:
+            n_changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+            if n_changed == 0:
+                return new_labels.drop("_prev")
         labels = new_labels.drop("_prev")
-        if n_changed == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(graph diameter exceeds the cap)"
