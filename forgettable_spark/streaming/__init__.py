@@ -8,6 +8,10 @@ from forgettable_spark.streaming.forget_stream import (
     streaming_exact_dedup,
     windowed_event_counts,
 )
+from forgettable_spark.streaming.publish import (
+    publish_batch,
+    publish_stream_to_table,
+)
 
 __all__ = [
     "read_increment_stream",
@@ -15,4 +19,6 @@ __all__ = [
     "streaming_forget_table",
     "streaming_exact_dedup",
     "windowed_event_counts",
+    "publish_batch",
+    "publish_stream_to_table",
 ]

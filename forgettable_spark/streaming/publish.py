@@ -1,0 +1,112 @@
+"""Streaming → transactional publish: the closed production write path.
+
+ingest (``readStream``) → keyed decaying state
+(:func:`~forgettable_spark.streaming.forget_stream.streaming_forget_table`)
+→ per-batch transactional baseline publish
+(:class:`~forgettable_spark.sources.txn.ManifestTable`).
+
+This is the reference's full lifecycle — ``/incr`` → write-back → state
+readable by ``/dist`` (``goforget/forget.go:31-69``, ``redis_utils.go:
+124-196``) — made durable: every micro-batch ends with an atomically
+published, versioned, EVENTS-SHAPED baseline that batch readers consume
+like any increment log (``ops.snapshot`` → ``get_dist``) and that
+``compact_to_table`` can re-compact. Readers never see a partial state
+(manifest visibility is atomic) and old versions stay time-travelable
+until vacuum.
+
+Deletions: a distribution whose state decays away entirely (or TTL-times
+out) emits no rows, so its last-published baseline rows persist until a
+compaction pass or the read-side expiry predicate
+(``functions/expiry.py``) retires them — the same contract as the
+reference, whose ``/dist`` also filters dead keys at read time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from forgettable_spark.sources.txn import CommitConflictError, ManifestTable
+
+#: Read-modify-write attempts per micro-batch before surfacing the
+#: conflict to the streaming query (a persistent conflict means another
+#: writer owns the table — fail loudly, don't livelock).
+MAX_COMMIT_ATTEMPTS = 3
+
+
+def publish_batch(batch_df: DataFrame, table: ManifestTable) -> int | None:
+    """``foreachBatch`` body: merge one micro-batch of updated
+    distribution state into the current baseline and commit the next
+    version; returns the committed version (None for an empty batch).
+
+    The state operator emits a distribution's FULL post-update state
+    each batch, so the merge replaces whole distributions: baseline rows
+    of untouched distributions carry over, updated ones are rewritten.
+    Published rows are events-shaped (distribution, bin, n, ts), keeping
+    the table a valid increment log.
+
+    The read-modify-write cycle is pinned: ``read_pinned`` →
+    ``commit(base_version=...)``, so a concurrent writer (a scheduled
+    compactor racing the stream) surfaces as CommitConflictError and the
+    merge retries against the freshly published version instead of
+    silently overwriting it.
+    """
+    if batch_df.isEmpty():
+        return None
+    spark = batch_df.sparkSession
+    updated = batch_df.select(
+        "distribution",
+        "bin",
+        F.col("count").alias("n"),
+        F.timestamp_micros(F.col("t_us")).alias("ts"),
+    )
+    # The micro-batch df is recomputed per action; the merge below reads it
+    # twice (distinct dists + union) and a conflict retry reads it again.
+    updated = updated.localCheckpoint(eager=True)
+    try:
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            try:
+                base, pinned = table.read_pinned(spark)
+            except FileNotFoundError:
+                base, pinned = None, None
+            if base is None:
+                merged = updated
+            else:
+                touched = updated.select("distribution").distinct()
+                merged = base.join(touched, "distribution", "left_anti").unionByName(
+                    updated
+                )
+            try:
+                return table.commit(merged, base_version=pinned)
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"micro-batch publish to {table.root} lost {MAX_COMMIT_ATTEMPTS} "
+            "consecutive commit races — another writer owns this table"
+        )
+    finally:
+        updated.rdd.unpersist(False)
+
+
+def publish_stream_to_table(
+    state_stream: DataFrame,
+    table: ManifestTable,
+    checkpoint_dir: str,
+    query_name: str = "forget_publish",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Wire a ``streaming_forget_table`` output stream into per-batch
+    transactional publishes. Returns the started query; exactly-once is
+    anchored by the checkpoint (re-run batches re-merge idempotently:
+    replacing a distribution's state with the same state is a no-op in
+    content, though it does claim a new version)."""
+    writer = (
+        state_stream.writeStream.outputMode("update")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, _epoch: publish_batch(df, table))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
