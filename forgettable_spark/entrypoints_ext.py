@@ -255,11 +255,12 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM h"""
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_released(
-        spark,
-        lambda: dedup.simhash_pairs(
-            load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
-        ),
+    # No run_released wrapper: the pair set scales with the corpus (83k
+    # rows at sf0.1) so it must stay a lazy distributed plan, and the
+    # uncached sketch needs none — the self-join reuses its aggregation
+    # exchange (ReusedExchange), leaving nothing persisted.
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
     )
 
 
@@ -312,13 +313,16 @@ def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     squaring). The cap bites at sf0.01 — the oracle mirrors it with the
     same window-count filter, so the hash match verifies the guard's
     semantics, not just its plumbing."""
-    return run_released(
-        spark,
-        lambda: dedup.simhash_pairs(
-            load_table(spark, sf_dir, "documents"),
-            max_hamming=SIMHASH_MAX_HAMMING,
-            max_bucket_size=SIMHASH_BUCKET_CAP,
-        ),
+    # Lazy like q_dedup_simhash_pairs (corpus-sized output, exchange-reused
+    # sketch). log_dropped=False: this registered variant exists to
+    # oracle-verify the cap's SEMANTICS (the mirrored QUALIFY filter);
+    # the drop-report path itself is covered by tests/test_bucket_caps.py,
+    # and with no run_released wrapper here nothing would flush the queue.
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket_size=SIMHASH_BUCKET_CAP,
+        log_dropped=False,
     )
 
 

@@ -62,9 +62,32 @@ def test_text_ops_are_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
-def test_simhash_sketch_is_shuffle_free(spark):
+def test_simhash_sketch_shuffles_one_counter_row_per_doc(spark):
+    """The sketch's only exchange is the doc_id aggregation, and a partial
+    (map-side) aggregate must sit below it — so each document's token
+    votes collapse inside the scan stage and the shuffle carries one
+    32-counter row per doc, never the exploded tokens."""
     plan = _formatted_plan(ep.queries()["dedup_simhash"](spark, SF_SMOKE))
-    assert "Exchange" not in plan
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(exchanges) == 1, f"expected 1 exchange:\n" + "\n".join(exchanges)
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_simhash_pairs_self_join_reuses_sketch_exchange(spark):
+    """The uncached block self-join must compute the sketch ONCE: both
+    sides read the same aggregation exchange (ReusedExchange), which is
+    why simhash_pairs needs no cache at all. Asserted with AQE off —
+    the static ReuseExchange rule is deterministic, while AQE's runtime
+    stage-reuse can race when both identical stages are submitted
+    concurrently (reuse still happens in the common case, but the plan
+    string isn't stable enough to assert on)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = ep.queries()["dedup_simhash_pairs"](spark, SF_SMOKE)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_whole_stage_codegen_covers_decay(spark):
