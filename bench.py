@@ -44,6 +44,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
+        # Isolation between timed queries (untimed): a fresh driver session
+        # would start with empty storage, so each query must not benefit
+        # from (or pay LRU pressure for) a neighbor's leftovers. Registered
+        # queries release their own caches (run_released); this guards the
+        # measurement against any future regression of that contract.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
