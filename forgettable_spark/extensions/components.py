@@ -79,12 +79,16 @@ def connected_components(
         .repartition(loop_partitions, "src")
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    # Fused first round: starting from identity labels, one hash-min round
+    # gives every node min(itself, its neighbors) — and the pointer-jump
+    # term is an identity no-op on identity labels. That is ONE aggregation
+    # over the edge list, so the loop's two joins (+ union + probe) are
+    # skipped for round 1 entirely; the loop below continues from round 2.
+    labels = edges.groupBy("src").agg(F.min("dst").alias("_min_nb")).select(
+        F.col("src").alias("node"),
+        F.least(F.col("src"), F.col("_min_nb")).alias("component"),
     )
-    for round_idx in range(max_rounds):
+    for round_idx in range(1, max_rounds):
         # Offers: each node's label flows to its neighbors (1-hop), and —
         # pointer jumping — each node looks up its *label's* current label,
         # so the distance already covered doubles every round.
