@@ -512,16 +512,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-checked variants NOT registered with the driver (its
-    correctness harness caps at 50 rows; these are the consolidation
-    cuts). Each duplicates coverage a primary query already provides:
+    """Oracle-checked queries NOT registered with the driver (its
+    correctness harness caps at 50 rows). Three are consolidation cuts
+    that duplicate coverage a primary query already provides; operators
+    added after the cap was reached also land here first:
 
     - ``db_size_users`` — same R4 operator as ``db_size`` on the
       user-keyed projection;
     - ``get_dist_join_norm`` — strategy-equivalence check (join-based
       normalize must equal the window-based plan of ``get_dist_all``);
     - ``ann_cosine_topk`` — the brute-force baseline whose truth
-      computation ``ann_recall`` embeds.
+      computation ``ann_recall`` embeds;
+    - ``repetition_stats`` — within-document repetition signals
+      (Gopher-rule family), new post-cap.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -532,6 +535,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "db_size_users": q_db_size_users,
         "get_dist_join_norm": q_get_dist_join_norm,
         "ann_cosine_topk": entrypoints_ext.q_ann_cosine_topk,
+        "repetition_stats": entrypoints_ext.q_repetition_stats,
     }
 
 
@@ -625,4 +629,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         ),
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "ann_cosine_topk": entrypoints_ext.ORACLE_ANN_COSINE,
+        "repetition_stats": entrypoints_ext.ORACLE_REPETITION_STATS,
     }

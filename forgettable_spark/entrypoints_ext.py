@@ -809,6 +809,38 @@ SELECT doc_id, lang FROM b
 WHERE bkt < ({_stratified_threshold_case()})"""
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-rule family): top-bigram and
+    duplicate-bigram fractions per doc. Secondary registry — the driver
+    cap holds the primary at 50; the local gate hash-matches this at both
+    correctness SFs like any primary query."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+#: Bigram twin of _SHINGLE_CTE (n=2, same whole-text fallback).
+_BIGRAM_CTE = (
+    "bg AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+    "[w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] "
+    "ELSE [text] END AS gs FROM tok)"
+)
+
+ORACLE_REPETITION_STATS = f"""WITH {_TOK_CTE}, {_BIGRAM_CTE},
+per AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(gs) AS g FROM bg)
+  GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, SUM(c) AS n, MAX(c) AS m, COUNT(*) AS d
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_bigrams,
+  CAST(m AS DOUBLE) / CAST(n AS DOUBLE) AS top_bigram_frac,
+  CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS dup_bigram_frac
+FROM agg"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality gate: length + lexical-diversity thresholds
     as one scan-stage predicate; survivors carry their scores."""

@@ -293,6 +293,51 @@ def top_ngrams(docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 20)
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher/RefinedWeb rule
+    family for catching boilerplate, keyword stuffing, and generation
+    loops that per-corpus dedup cannot see (the repetition is INSIDE one
+    document). Returns (doc_id, n_bigrams, top_bigram_frac,
+    dup_bigram_frac):
+
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over all bigram occurrences (stuck-phrase detector);
+    - ``dup_bigram_frac`` — fraction of bigram occurrences that are
+      repeats of an earlier one, i.e. ``1 − distinct/total`` (overall
+      redundancy).
+
+    Plan shape: explode bigrams → per-(doc, gram) count (map-side
+    partial collapses each doc's grams inside the scan stage) → per-doc
+    rollup — the same codegen-friendly explode+aggregate shape as the
+    SimHash sketch, shuffling counts rather than text. Fractions are
+    integer-over-integer casts, so both engines produce identical
+    doubles. Documents shorter than 2 tokens inherit the
+    :func:`shingles` whole-text fallback (one gram → fracs 1.0 / 0.0);
+    NULL text yields no row, matching the oracle's ``unnest``.
+    """
+    per = (
+        docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), n=2)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = per.groupBy(id_col).agg(
+        F.sum("_c").alias("n_bigrams"),
+        F.max("_c").alias("_top"),
+        F.count(F.lit(1)).alias("_distinct"),
+    )
+    n = F.col("n_bigrams").cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        (F.col("_top").cast("double") / n).alias("top_bigram_frac"),
+        ((F.col("n_bigrams") - F.col("_distinct")).cast("double") / n).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

@@ -416,3 +416,22 @@ def test_hyperplane_lsh_precision_and_recall(emb):
     }
     assert found <= truth  # exact precision
     assert len(found & truth) / len(truth) >= 0.4  # S-curve recall floor
+
+
+def test_repetition_stats_hand_computed(spark):
+    """'a a a b': bigrams (a a, a a, a b) -> n=3, top=2/3, dup=1/3;
+    a no-repeat doc scores dup 0; a 1-token doc falls back
+    to the single whole-text gram (fracs 1.0 / 0.0)."""
+    from forgettable_spark.extensions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "solo")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["top_bigram_frac"] == pytest.approx(2 / 3)
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(1 / 3)
+    assert rows[2]["n_bigrams"] == 2
+    assert rows[2]["top_bigram_frac"] == 0.5 and rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["n_bigrams"] == 1
+    assert rows[3]["top_bigram_frac"] == 1.0 and rows[3]["dup_bigram_frac"] == 0.0
