@@ -524,7 +524,9 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``ann_cosine_topk`` — the brute-force baseline whose truth
       computation ``ann_recall`` embeds;
     - ``repetition_stats`` — within-document repetition signals
-      (Gopher-rule family), new post-cap.
+      (Gopher-rule family), new post-cap;
+    - ``ann_quantized_topk`` — int8-quantized cosine top-k (the 4×
+      vector-I/O reduction path), new post-cap.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -536,6 +538,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_join_norm": q_get_dist_join_norm,
         "ann_cosine_topk": entrypoints_ext.q_ann_cosine_topk,
         "repetition_stats": entrypoints_ext.q_repetition_stats,
+        "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
     }
 
 
@@ -630,4 +633,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "ann_cosine_topk": entrypoints_ext.ORACLE_ANN_COSINE,
         "repetition_stats": entrypoints_ext.ORACLE_REPETITION_STATS,
+        "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
     }

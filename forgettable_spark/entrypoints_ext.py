@@ -468,6 +468,46 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_released(spark, build)
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k on the fixed recall query sample —
+    the reduced-precision twin of the brute-force baseline, measuring
+    what 4× less vector I/O costs in ranking quality. Secondary
+    registry; the integer dots make scores order-independent AND
+    bit-exact against the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, _recall_queries(emb), k=ANN_K)
+
+
+def _oracle_ann_quantized() -> str:
+    from forgettable_spark.extensions.similarity import QUANT_MAX
+
+    idot = "CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)"
+    return f"""WITH {_V_CTE},
+sc AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / {QUANT_MAX}.0 AS s,
+         sqrt({_DOT.format(a='e', b='e')}) AS n
+  FROM v
+),
+qc AS (
+  SELECT vec_id, s, n,
+         CASE WHEN s = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(round(x / s) AS BIGINT)) END AS q
+  FROM sc
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ((a.s * b.s) * {idot}) / (a.n * b.n) AS cosine_q
+  FROM qc a, qc b
+  WHERE a.vec_id % {ANN_QUERY_MOD} = 0 AND a.vec_id < {ANN_QUERY_MOD * ANN_RECALL_N}
+    AND a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id, cosine_q, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}"""
+
+
 def _oracle_ann_recall() -> str:
     topk = (
         "SELECT query_id, neighbor_id FROM ("

@@ -435,3 +435,46 @@ def test_repetition_stats_hand_computed(spark):
     assert rows[2]["top_bigram_frac"] == 0.5 and rows[2]["dup_bigram_frac"] == 0.0
     assert rows[3]["n_bigrams"] == 1
     assert rows[3]["top_bigram_frac"] == 1.0 and rows[3]["dup_bigram_frac"] == 0.0
+
+
+def test_quantized_ranking_tracks_exact(spark):
+    """int8 quantization: reconstructed cosine within ~2/127 of exact for
+    unit-scale random vectors, and top-1 neighbors mostly agree with the
+    exact ranking on a well-separated corpus."""
+    import random
+
+    from forgettable_spark.extensions import similarity
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(32)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    qs = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.brute_force_topk(emb, qs, k=59).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_q"]
+        for r in similarity.quantized_topk(emb, qs, k=59).collect()
+    }
+    assert exact.keys() == quant.keys()
+    worst = max(abs(exact[k] - quant[k]) for k in exact)
+    assert worst < 0.05, f"quantization error {worst} too large"
+
+
+def test_quantize_embedding_edge_cases(spark):
+    """All-zero vectors quantize to scale 0 / zero codes (no NULL/inf);
+    codes are bounded by the symmetric int8 range."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark.extensions.similarity import QUANT_MAX, quantize_embedding
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    s, q = quantize_embedding(F.col("embedding"))
+    rows = {r["vec_id"]: r for r in emb.select("vec_id", s.alias("s"), q.alias("q")).collect()}
+    assert rows[0]["s"] == 0.0 and rows[0]["q"] == [0, 0, 0]
+    assert rows[1]["q"][1] == -QUANT_MAX  # the max-|x| component saturates
+    assert all(abs(c) <= QUANT_MAX for r in rows.values() for c in r["q"])
