@@ -353,6 +353,38 @@ def token_hash32(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
 
 
+def simhash_column(text: Column) -> Column:
+    """Row-local 32-bit SimHash as a single Column expression — the
+    streaming-friendly twin of :func:`simhash_sketch`.
+
+    Same sketch, different shape constraint: a stream can't run the
+    batch path's explode + keyed aggregation before stateful dedup
+    (chained stateful operators), so this folds the token-hash array
+    with a 32-vector accumulator entirely inside the row. Interpreted
+    HOF evaluation makes it ~1.6× slower per byte than the batch
+    aggregation — acceptable on a stream, where per-batch volume is
+    small; batch jobs should use :func:`simhash_sketch`. Values are
+    bit-identical between the two (asserted in tests).
+    """
+    hashed = F.transform(tokens(text), token_hash32)
+    init = F.array(*[F.lit(0).cast("bigint") for _ in range(32)])
+
+    def merge(acc: Column, th: Column) -> Column:
+        bits = F.array(*[(F.shiftright(th, j) % 2) * 2 - 1 for j in range(32)])
+        return F.zip_with(acc, bits, lambda a, b: a + b)
+
+    votes = F.aggregate(hashed, init, merge)
+    # Pack bits with ONE reference to the fold result: a per-element
+    # when() zipped against bit weights, summed. Referencing `votes` 32
+    # times (one per bit) would re-inline the whole interpreted fold per
+    # bit — 32× the work.
+    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(32)])
+    flags = F.zip_with(
+        votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(flags, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
 def simhash_sketch(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash of the token multiset.
 

@@ -6,6 +6,7 @@ from forgettable_spark.streaming.forget_stream import (
     streaming_snapshot,
     streaming_forget_table,
     streaming_exact_dedup,
+    streaming_simhash_dedup,
     windowed_event_counts,
 )
 from forgettable_spark.streaming.publish import (
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_snapshot",
     "streaming_forget_table",
     "streaming_exact_dedup",
+    "streaming_simhash_dedup",
     "windowed_event_counts",
     "publish_batch",
     "publish_stream_to_table",

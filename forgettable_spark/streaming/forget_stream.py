@@ -283,3 +283,32 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fp_md5"]
     )
+
+
+def streaming_simhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sketch-level near-dup: emit only the first document per
+    32-bit SimHash value within the watermark window.
+
+    The near-dup tier between exact content dedup and the batch pairwise
+    pass: token-order changes, whitespace noise, and small substitutions
+    that leave the sketch unchanged are suppressed at ingest, while the
+    batch byte-pigeonhole join (hamming 1-3) remains the thorough pass
+    over the compacted corpus. The sketch is the ROW-LOCAL
+    :func:`forgettable_spark.extensions.dedup.simhash_column` — a stream
+    can't run the batch explode+aggregation before a stateful dedup
+    (chained stateful operators), and bit-identity between the two
+    sketch shapes is test-asserted, so ingest-time and batch decisions
+    can never disagree about a sketch value. State: one row per distinct
+    sketch in the window, evicted by the watermark.
+    """
+    from forgettable_spark.extensions.dedup import simhash_column
+
+    sketched = docs.withColumn("simhash", simhash_column(F.col(text_col)))
+    return sketched.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )

@@ -424,3 +424,74 @@ def test_streaming_exact_dedup(spark, stream_dir):
     rows = spark.sql("SELECT doc_id, text FROM dedup_stream_test").collect()
     kept = sorted(r["doc_id"] for r in rows)
     assert kept == [1, 2, 4]  # doc 3 is a duplicate of doc 1's content
+
+
+def test_streaming_simhash_dedup(spark, stream_dir):
+    """Sketch-level near-dup at ingest: a token-reordered document (same
+    SimHash — the sketch is order-insensitive by construction) is
+    suppressed; genuinely different content passes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forgettable_spark.streaming import streaming_simhash_dedup
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("ts", pa.timestamp("us", tz="UTC"))]
+    )
+
+    def write_docs(name, rows):
+        t = pa.Table.from_pylist(
+            [{"doc_id": i, "text": tx, "ts": ts} for i, tx, ts in rows], schema=schema
+        )
+        fp = os.path.join(stream_dir, name)
+        pq.write_table(t, fp)
+        _BATCH_SEQ[0] += 1
+        mt = 1_700_000_000 + _BATCH_SEQ[0]
+        os.utime(fp, (mt, mt))
+
+    write_docs("d1.parquet", [(1, "alpha beta gamma delta", _ts(0))])
+    # doc 2: same token multiset, different order -> identical sketch
+    # doc 3: different tokens -> different sketch
+    write_docs("d2.parquet", [(2, "delta gamma beta alpha", _ts(5)),
+                              (3, "epsilon zeta eta theta", _ts(6))])
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_simhash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("simhash_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM simhash_stream_test").collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_simhash_column_matches_batch_sketch(spark):
+    """The row-local streaming sketch and the batch explode+aggregation
+    sketch must be bit-identical — ingest-time and batch dedup decisions
+    can never disagree about a sketch value."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark.extensions import dedup
+    from forgettable_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = {r["doc_id"]: r["simhash"] for r in dedup.simhash_sketch(docs).collect()}
+    col = {
+        r["doc_id"]: r["simhash"]
+        for r in docs.select(
+            "doc_id", dedup.simhash_column(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    assert batch == col
