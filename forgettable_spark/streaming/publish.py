@@ -35,16 +35,28 @@ from forgettable_spark.sources.txn import CommitConflictError, ManifestTable
 MAX_COMMIT_ATTEMPTS = 3
 
 
-def publish_batch(batch_df: DataFrame, table: ManifestTable) -> int | None:
+def publish_batch(
+    batch_df: DataFrame, table: ManifestTable, n_shards: int | None = None
+) -> int | None:
     """``foreachBatch`` body: merge one micro-batch of updated
     distribution state into the current baseline and commit the next
     version; returns the committed version (None for an empty batch).
 
-    The state operator emits a distribution's FULL post-update state
-    each batch, so the merge replaces whole distributions: baseline rows
-    of untouched distributions carry over, updated ones are rewritten.
-    Published rows are events-shaped (distribution, bin, n, ts), keeping
-    the table a valid increment log.
+    The state operator emits a state group's FULL post-update bins each
+    batch, so the merge replaces whole state groups: baseline rows of
+    untouched groups carry over, updated ones are rewritten. Published
+    rows are events-shaped (distribution, bin, n, ts), keeping the table
+    a valid increment log.
+
+    ``n_shards`` MUST match the ``streaming_forget_table(n_shards=…)``
+    that produced the stream. A sharded stream's micro-batch carries only
+    the updated SHARDS' bins for a distribution; replacing the whole
+    distribution would silently drop the untouched shards' bins from the
+    new version. The shard id is deterministic from the bin
+    (``pmod(xxhash64(bin), n_shards)`` — same formula as the state
+    operator), so the merge recomputes it on the baseline side and
+    replaces exactly the (distribution, shard) groups present in the
+    batch.
 
     The read-modify-write cycle is pinned: ``read_pinned`` →
     ``commit(base_version=...)``, so a concurrent writer (a scheduled
@@ -64,6 +76,10 @@ def publish_batch(batch_df: DataFrame, table: ManifestTable) -> int | None:
     # The micro-batch df is recomputed per action; the merge below reads it
     # twice (distinct dists + union) and a conflict retry reads it again.
     updated = updated.localCheckpoint(eager=True)
+
+    def shard(col: str = "bin"):
+        return F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
+
     try:
         for _ in range(MAX_COMMIT_ATTEMPTS):
             try:
@@ -72,6 +88,16 @@ def publish_batch(batch_df: DataFrame, table: ManifestTable) -> int | None:
                 base, pinned = None, None
             if base is None:
                 merged = updated
+            elif n_shards:
+                touched = (
+                    updated.select("distribution", shard().alias("_shard")).distinct()
+                )
+                kept = (
+                    base.withColumn("_shard", shard())
+                    .join(touched, ["distribution", "_shard"], "left_anti")
+                    .drop("_shard")
+                )
+                merged = kept.unionByName(updated)
             else:
                 touched = updated.select("distribution").distinct()
                 merged = base.join(touched, "distribution", "left_anti").unionByName(
@@ -95,17 +121,19 @@ def publish_stream_to_table(
     checkpoint_dir: str,
     query_name: str = "forget_publish",
     available_now: bool = False,
+    n_shards: int | None = None,
 ) -> StreamingQuery:
     """Wire a ``streaming_forget_table`` output stream into per-batch
-    transactional publishes. Returns the started query; exactly-once is
-    anchored by the checkpoint (re-run batches re-merge idempotently:
-    replacing a distribution's state with the same state is a no-op in
-    content, though it does claim a new version)."""
+    transactional publishes. Pass the SAME ``n_shards`` the state
+    operator uses (see :func:`publish_batch`). Returns the started
+    query; exactly-once is anchored by the checkpoint (re-run batches
+    re-merge idempotently: replacing a state group with the same state
+    is a no-op in content, though it does claim a new version)."""
     writer = (
         state_stream.writeStream.outputMode("update")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, _epoch: publish_batch(df, table))
+        .foreachBatch(lambda df, _epoch: publish_batch(df, table, n_shards=n_shards))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

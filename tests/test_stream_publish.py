@@ -103,3 +103,35 @@ def test_publish_batch_skips_empty_and_retries_conflict(spark, dirs):
     # absorbed by the retry loop (fresh read_pinned each attempt)
     assert publish_batch(batch, table) == 2
     assert table.read(spark).count() == 1
+
+
+def test_sharded_stream_publish_keeps_untouched_shards(spark, dirs):
+    """With n_shards, a micro-batch carries only the updated shards' bins
+    of a distribution; the merge must replace (distribution, shard)
+    groups, not whole distributions — otherwise bins in the untouched
+    shards silently vanish from the published version."""
+    import os
+
+    src, ckpt, tbl = f"{dirs}/src", f"{dirs}/ckpt", f"{dirs}/tbl"
+    os.makedirs(src)
+    n_shards = 4
+    bins = [f"b{i:02d}" for i in range(16)]  # spread across all 4 shards
+    _write_batch(spark, src, "b1.parquet",
+                 [("wide", b, 10, _ts(0)) for b in bins])
+    # batch 2 touches exactly ONE bin -> one shard of 'wide'
+    _write_batch(spark, src, "b2.parquet", [("wide", bins[0], 1, _ts(5))])
+
+    table = ManifestTable(tbl)
+    stream = streaming_forget_table(
+        read_increment_stream(spark, src), rate=1e-9, n_shards=n_shards
+    )
+    q = publish_stream_to_table(
+        stream, table, ckpt, available_now=True, n_shards=n_shards
+    )
+    q.awaitTermination(180)
+
+    final = {r["bin"]: r["n"] for r in table.read(spark).collect()}
+    # every bin survives; only the touched one gained mass
+    assert len(final) == 16
+    assert final[bins[0]] == 11
+    assert all(final[b] == 10 for b in bins[1:])
