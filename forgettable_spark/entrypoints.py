@@ -525,8 +525,9 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       computation ``ann_recall`` embeds;
     - ``repetition_stats`` — within-document repetition signals
       (Gopher-rule family), new post-cap;
-    - ``ann_quantized_topk`` — int8-quantized cosine top-k (the 4×
-      vector-I/O reduction path), new post-cap.
+    - ``ann_quantized_topk`` / ``ann_quantized_bucketed`` — int8
+      quantization paths (4× vector-I/O reduction; the bucketed form is
+      the combined IVF + quantization scale shape), new post-cap.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -539,6 +540,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": entrypoints_ext.q_ann_cosine_topk,
         "repetition_stats": entrypoints_ext.q_repetition_stats,
         "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
+        "ann_quantized_bucketed": entrypoints_ext.q_ann_quantized_bucketed,
     }
 
 
@@ -634,4 +636,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": entrypoints_ext.ORACLE_ANN_COSINE,
         "repetition_stats": entrypoints_ext.ORACLE_REPETITION_STATS,
         "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
+        "ann_quantized_bucketed": entrypoints_ext._oracle_ann_quantized_bucketed(),
     }

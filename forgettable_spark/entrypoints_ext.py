@@ -508,6 +508,53 @@ SELECT query_id, neighbor_id, cosine_q, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {ANN_K}"""
 
 
+def q_ann_quantized_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket join scored on int8 codes (multi-probe) — the combined
+    scale shape: the quantizer bounds who gets scored, int8 bounds the
+    bytes that ride the join. Secondary registry. Same query set as the
+    primary ANN queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_bucketed_topk(
+        emb, _queries_subset(emb), k=ANN_K, n_probes=ANN_PROBES
+    )
+
+
+def _oracle_ann_quantized_bucketed() -> str:
+    from forgettable_spark.extensions.similarity import QUANT_MAX
+
+    # NB: the scale column is named "qscale", not "s" — _PROBES_SQL's sort
+    # lambda uses `s` as its variable and DuckDB would bind the column.
+    idot = "CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * vb.q[i])) AS DOUBLE)"
+    return f"""WITH {_V_CTE},
+qc AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / {QUANT_MAX}.0 AS qscale,
+         sqrt({_DOT.format(a='e', b='e')}) AS n,
+         CAST({_BUCKET_SQL.format(e='e')} AS BIGINT) AS bucket
+  FROM v
+),
+qq AS (
+  SELECT vec_id, e, qscale, n, bucket,
+         CASE WHEN qscale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(round(x / qscale) AS BIGINT)) END AS q
+  FROM qc
+),
+probes AS (
+  SELECT vec_id AS query_id, qscale, n, q,
+         unnest({_PROBES_SQL.format(e='e', p=ANN_PROBES)}) AS bucket
+  FROM qq WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT a.query_id, vb.vec_id AS neighbor_id,
+         ((a.qscale * vb.qscale) * {idot}) / (a.n * vb.n) AS cosine_q
+  FROM probes a JOIN qq vb USING (bucket) WHERE a.query_id != vb.vec_id
+)
+SELECT query_id, neighbor_id, cosine_q, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}"""
+
+
 def _oracle_ann_recall() -> str:
     topk = (
         "SELECT query_id, neighbor_id FROM ("

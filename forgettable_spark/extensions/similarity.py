@@ -282,6 +282,70 @@ def quantized_topk(
     )
 
 
+def quantized_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """IVF-style approximate top-k scored on int8 codes — the full
+    100 TB shape: the coarse quantizer bounds WHO gets scored (bucket
+    equi-join, cost ``n_probes · Σ_b |Q_b|·|C_b|``) and int8 quantization
+    bounds the BYTES that ride the join (codes + one scale + one norm per
+    vector, ~4× less than the float vectors). Buckets are assigned from
+    the original floats (quantization only affects scoring), so the
+    candidate set is identical to :func:`bucketed_ann_topk`; scores are
+    the reconstructed ``(s_a·s_b·Σq_a q_b)/(‖a‖·‖b‖)``, exact integers
+    under any order plus four fixed-order scalar float steps —
+    bit-identical cross-engine. Returns (query_id, neighbor_id,
+    cosine_q, rank)."""
+    from forgettable_spark.extensions.dedup import cap_hot_buckets
+
+    v = as_double(F.col(vec_col))
+    cs, cq = quantize_embedding(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cs.alias("_cs"),
+        cq.alias("_cq"),
+        norm(v).alias("_cn"),
+        argmax_bucket(v).alias("bucket"),
+    )
+    c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "quantized_bucketed_topk", log_dropped)
+    qs, qq = quantize_embedding(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qs.alias("_qs"),
+        qq.alias("_qq"),
+        norm(v).alias("_qn"),
+        v.alias("_qv"),
+    )
+    if n_probes <= 1:
+        q = q.withColumn("bucket", argmax_bucket(F.col("_qv"))).drop("_qv")
+    else:
+        q = q.withColumn(
+            "bucket", F.explode(top_p_buckets(F.col("_qv"), n_probes))
+        ).drop("_qv")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_q",
+            (F.col("_qs") * F.col("_cs") * int_dot(F.col("_qq"), F.col("_cq")).cast("double"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_q", "rank")
+    )
+
+
 #: Random-hyperplane (sign) LSH family size: 12 bits in 4 bands of 3.
 HYPERPLANE_BITS = 12
 HYPERPLANE_BANDS = 4
