@@ -665,14 +665,27 @@ WHERE {_DOT.format(a='a.en', b='b.en')} >= {NEAR_DUP_COSINE:e}"""
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the SimHash near-dup
-    pair graph, plus the keep/drop decision per document — pairwise
-    output turned into the actionable keep-list."""
-    from forgettable_spark.extensions.components import dedup_keep_list
+    pair graph, plus the keep/drop decision per near-dup document.
+
+    Returns only the NON-SINGLETON rows (documents that appear in at
+    least one near-dup pair) — O(near-dup docs), not O(corpus) — so the
+    ``run_released`` materialization honors cache.py's contract (never
+    collect a per-document projection). The full corpus keep-list is the
+    library call :func:`~forgettable_spark.extensions.components.
+    dedup_keep_list`, which stays lazy: a singleton's decision is always
+    ``keep=true``, so the non-singleton rows carry all the information.
+    """
+    from forgettable_spark.extensions.components import connected_components
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         pairs = dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
-        return dedup_keep_list(pairs, docs.select("doc_id"))
+        comp = connected_components(pairs)
+        return comp.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
 
     # run_released also sweeps the loop's localCheckpoint blocks.
     return run_released(spark, build)
@@ -697,10 +710,7 @@ reach(node, label) AS (
   SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
 ),
 comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
-SELECT d.doc_id,
-       COALESCE(c.component, d.doc_id) AS component,
-       d.doc_id = COALESCE(c.component, d.doc_id) AS keep
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+SELECT node AS doc_id, component, node = component AS keep FROM comp"""
 
 
 # Multimodal ------------------------------------------------------------------

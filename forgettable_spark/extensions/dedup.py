@@ -86,7 +86,18 @@ def cap_hot_buckets(
         )
         _PENDING_REPORTS.append((label, max_bucket_size, report))
         if len(_PENDING_REPORTS) > _MAX_PENDING_REPORTS:
+            evicted = _PENDING_REPORTS[: len(_PENDING_REPORTS) - _MAX_PENDING_REPORTS]
             del _PENDING_REPORTS[: len(_PENDING_REPORTS) - _MAX_PENDING_REPORTS]
+            for ev_label, ev_cap, _ in evicted:
+                # The report itself is discarded unflushed, but the DROP
+                # stays recorded — cap_hot_buckets promises "logged, not
+                # silent" even when a library session never flushes.
+                logger.warning(
+                    "%s: dropped-bucket report (cap %d) evicted unflushed — "
+                    "call flush_bucket_reports() sooner to keep row counts",
+                    ev_label,
+                    ev_cap,
+                )
     return capped
 
 

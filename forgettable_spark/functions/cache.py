@@ -78,16 +78,28 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
         schema = df.schema
     finally:
         _SCOPES.pop()
-    # Dropped-bucket reports queued during the build run NOW, while the
-    # sketch caches they read are still populated (local import: dedup
-    # imports scoped_cache from this module).
-    from forgettable_spark.extensions.dedup import flush_bucket_reports
+        # Release runs on BOTH paths: a failed build must not leak its
+        # sketch caches (or queued report plan references) until LRU
+        # eviction — that storage-creep is the exact failure mode this
+        # module exists to prevent.
+        try:
+            # Dropped-bucket reports queued during the build run NOW,
+            # while the sketch caches they read are still populated
+            # (local import: dedup imports scoped_cache from this module).
+            from forgettable_spark.extensions.dedup import flush_bucket_reports
 
-    flush_bucket_reports()
-    for cached in scope:
-        cached.unpersist()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for key in jmap.keySet().toArray():
-        if int(key) not in before:
-            jmap.get(key).unpersist(False)
+            flush_bucket_reports()
+        finally:
+            for cached in scope:
+                try:
+                    cached.unpersist()
+                except Exception:  # dead session must not mask build error
+                    pass
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for key in jmap.keySet().toArray():
+                    if int(key) not in before:
+                        jmap.get(key).unpersist(False)
+            except Exception:
+                pass
     return spark.createDataFrame(rows, schema)

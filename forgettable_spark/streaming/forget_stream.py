@@ -305,10 +305,24 @@ def streaming_simhash_dedup(
     sketch shapes is test-asserted, so ingest-time and batch decisions
     can never disagree about a sketch value. State: one row per distinct
     sketch in the window, evicted by the watermark.
+
+    NULL-text documents pass through UNSKETCHED (``simhash`` NULL) and
+    never participate in dedup — the batch contract (``simhash_pairs``
+    filters ``isNotNull`` before sketching: NULL matches nothing).
+    Without the split, ``simhash_column(NULL)`` yields a NULL sketch and
+    ``dropDuplicatesWithinWatermark`` groups NULL keys as EQUAL, so every
+    NULL-text doc after the first in a window would be silently dropped
+    at ingest while the batch pass kept it.
     """
     from forgettable_spark.extensions.dedup import simhash_column
 
-    sketched = docs.withColumn("simhash", simhash_column(F.col(text_col)))
-    return sketched.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+    sketched = docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "simhash", simhash_column(F.col(text_col))
+    )
+    deduped = sketched.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["simhash"]
     )
+    passthrough = docs.filter(F.col(text_col).isNull()).withColumn(
+        "simhash", F.lit(None).cast("bigint")
+    )
+    return deduped.unionByName(passthrough)

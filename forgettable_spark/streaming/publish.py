@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from forgettable_spark.functions.cache import _persistent_rdd_ids
 from forgettable_spark.sources.txn import CommitConflictError, ManifestTable
 
 #: Read-modify-write attempts per micro-batch before surfacing the
@@ -75,6 +76,12 @@ def publish_batch(
     )
     # The micro-batch df is recomputed per action; the merge below reads it
     # twice (distinct dists + union) and a conflict retry reads it again.
+    # Snapshot persisted RDD ids FIRST: `updated.rdd.unpersist()` would
+    # not release the checkpoint blocks (DataFrame.rdd is a fresh derived
+    # RDD, never the persisted internal one), so without the id sweep a
+    # long-running stream leaks one checkpoint per micro-batch until JVM
+    # GC — unbounded storage creep.
+    rdd_ids_before = _persistent_rdd_ids(spark)
     updated = updated.localCheckpoint(eager=True)
 
     def shard(col: str = "bin"):
@@ -112,7 +119,10 @@ def publish_batch(
             "consecutive commit races — another writer owns this table"
         )
     finally:
-        updated.rdd.unpersist(False)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for key in jmap.keySet().toArray():
+            if int(key) not in rdd_ids_before:
+                jmap.get(key).unpersist(False)
 
 
 def publish_stream_to_table(

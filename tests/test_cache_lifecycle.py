@@ -72,3 +72,46 @@ def test_run_released_handles_empty_result(spark):
         spark, lambda: spark.range(5).filter(F.col("id") > 100)
     )
     assert out.collect() == []
+
+
+def test_run_released_failure_path_releases_storage(spark):
+    """A build that raises must still release its scoped caches and any
+    localCheckpoint blocks (ADVICE r3: the failure path leaked sketch
+    caches on exactly the session-hygiene path this module guarantees)."""
+    spark.catalog.clearCache()
+    before = _persistent_ids(spark)
+
+    def build():
+        df = scoped_cache(spark.range(100).selectExpr("id", "id * 2 AS v"))
+        df.count()  # populate the cache
+        ck = spark.range(50).localCheckpoint(eager=True)
+        ck.count()
+        raise RuntimeError("mid-build failure")
+
+    with pytest.raises(RuntimeError, match="mid-build failure"):
+        run_released(spark, build)
+    assert _persistent_ids(spark) == before
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pending_report_eviction_warns(spark, caplog):
+    """Evicting an unflushed dropped-bucket report logs the drop (cap_hot_
+    buckets docstring: 'dropped data is logged, not silent')."""
+    import logging
+
+    from forgettable_spark.extensions import dedup as dd
+
+    df = spark.range(10).selectExpr("id % 2 AS k", "id")
+    saved = list(dd._PENDING_REPORTS)
+    dd._PENDING_REPORTS.clear()
+    try:
+        with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
+            for i in range(dd._MAX_PENDING_REPORTS + 2):
+                dd.cap_hot_buckets(df, ["k"], 1, label=f"evict-test-{i}")
+        assert len(dd._PENDING_REPORTS) == dd._MAX_PENDING_REPORTS
+        evict_warnings = [r for r in caplog.records if "evicted unflushed" in r.message]
+        assert len(evict_warnings) == 2
+        assert "evict-test-0" in evict_warnings[0].message
+    finally:
+        dd._PENDING_REPORTS.clear()
+        dd._PENDING_REPORTS.extend(saved)

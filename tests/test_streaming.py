@@ -477,6 +477,61 @@ def test_streaming_simhash_dedup(spark, stream_dir):
     assert kept == [1, 3]
 
 
+def test_streaming_simhash_dedup_null_text_passes_through(spark, stream_dir):
+    """NULL-text docs never participate in sketch dedup (batch contract:
+    simhash_pairs filters isNotNull — NULL matches nothing). Both NULL
+    docs in the same watermark window must be emitted, with a NULL
+    sketch; real near-dups still dedup."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forgettable_spark.streaming import streaming_simhash_dedup
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("ts", pa.timestamp("us", tz="UTC"))]
+    )
+
+    def write_docs(name, rows):
+        t = pa.Table.from_pylist(
+            [{"doc_id": i, "text": tx, "ts": ts} for i, tx, ts in rows], schema=schema
+        )
+        fp = os.path.join(stream_dir, name)
+        pq.write_table(t, fp)
+        _BATCH_SEQ[0] += 1
+        mt = 1_700_000_000 + _BATCH_SEQ[0]
+        os.utime(fp, (mt, mt))
+
+    write_docs("d1.parquet", [(1, "alpha beta gamma delta", _ts(0)), (2, None, _ts(1))])
+    # doc 3: second NULL-text doc in the same window -> must NOT be
+    # deduped against doc 2; doc 4: near-dup of doc 1 -> suppressed.
+    write_docs("d2.parquet", [(3, None, _ts(5)), (4, "delta gamma beta alpha", _ts(6))])
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_simhash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("simhash_null_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT doc_id, simhash FROM simhash_null_stream_test"
+    ).collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert kept == [1, 2, 3]
+    by_id = {r["doc_id"]: r["simhash"] for r in rows}
+    assert by_id[2] is None and by_id[3] is None
+    assert by_id[1] is not None
+
+
 def test_simhash_column_matches_batch_sketch(spark):
     """The row-local streaming sketch and the batch explode+aggregation
     sketch must be bit-identical — ingest-time and batch dedup decisions
