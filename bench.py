@@ -39,8 +39,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = ep.queries()
-    # Warm the JVM/parquet reader outside the timed region.
+    # Warm the JVM/parquet reader and each source table's footer/codegen
+    # path outside the timed region (the first query to touch a table
+    # otherwise pays ~2s of one-time engine warm-up that has nothing to do
+    # with its plan — measured on ann_bucketed_topk, alphabetically first).
+    from forgettable_spark.sources import load_table as _lt
+
     qs["db_size"](spark, sf_dir).collect()
+    for _t in ("documents", "embeddings", "lineitem", "orders", "customer"):
+        _lt(spark, sf_dir, _t).count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):

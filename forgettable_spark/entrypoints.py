@@ -490,10 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_most_probable": q_n_most_probable,
         "get_dist_all": q_get_dist_all,
         "get_dist_single": q_get_dist_single,
-        "get_dist_wipe_regime": q_get_dist_wipe_regime,
         "get_dist_noprune": q_get_dist_noprune,
         "get_field": q_get_field,
-        "get_field_compat_partial_z": q_get_field_compat_partial_z,
         "db_size": q_db_size,
         "live_distributions": q_live_distributions,
         "snapshot_state": q_snapshot_state,
@@ -513,9 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries NOT registered with the driver (its
-    correctness harness caps at 50 rows). Three are consolidation cuts
-    that duplicate coverage a primary query already provides; operators
-    added after the cap was reached also land here first:
+    correctness harness caps at 50 rows). Each duplicates coverage a
+    primary query already provides, as a parameter twist or strategy
+    variant (r4 rotation: ``repetition_stats`` and ``ann_quantized_topk``
+    were promoted to the primary registry; ``ann_quantized_bucketed`` was
+    absorbed into the now-int8-scored ``ann_multiprobe_topk``):
 
     - ``db_size_users`` — same R4 operator as ``db_size`` on the
       user-keyed projection;
@@ -523,11 +523,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       normalize must equal the window-based plan of ``get_dist_all``);
     - ``ann_cosine_topk`` — the brute-force baseline whose truth
       computation ``ann_recall`` embeds;
-    - ``repetition_stats`` — within-document repetition signals
-      (Gopher-rule family), new post-cap;
-    - ``ann_quantized_topk`` / ``ann_quantized_bucketed`` — int8
-      quantization paths (4× vector-I/O reduction; the bucketed form is
-      the combined IVF + quantization scale shape), new post-cap.
+    - ``ann_bucketed_float`` / ``ann_multiprobe_float`` — the
+      sequential-fold float-scored twins of the registered int8 ANN
+      queries (same candidate set by construction);
+    - ``get_dist_wipe_regime`` — ``get_dist_all`` at the default rate,
+      exercising the e^-λ wipe regime;
+    - ``get_field_compat_partial_z`` — the reference's partial-Z /get
+      quirk, a parameter twist of ``get_field``.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -538,9 +540,10 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "db_size_users": q_db_size_users,
         "get_dist_join_norm": q_get_dist_join_norm,
         "ann_cosine_topk": entrypoints_ext.q_ann_cosine_topk,
-        "repetition_stats": entrypoints_ext.q_repetition_stats,
-        "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
-        "ann_quantized_bucketed": entrypoints_ext.q_ann_quantized_bucketed,
+        "ann_bucketed_float": entrypoints_ext.q_ann_bucketed_float,
+        "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
+        "get_dist_wipe_regime": q_get_dist_wipe_regime,
+        "get_field_compat_partial_z": q_get_field_compat_partial_z,
     }
 
 
@@ -549,24 +552,6 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE distribution = '{GET_FIELD_DIST}' AND bin IN "
         f"({', '.join(repr(b) for b in GET_FIELD_BINS)})"
     )
-    compat = f"""WITH {_state_cte(_EV_EVENT_TYPE)},
-norm0 AS (
-  SELECT distribution, bin, "count" AS c0, t,
-         CAST(SUM("count") OVER (PARTITION BY distribution) AS BIGINT) AS "Z"
-  FROM state
-),
-decayed AS (
-  SELECT distribution, bin, c0, "Z",
-         GREATEST(c0 - {_decay_expr(RATE_SLOW, "linear")}, 0) AS "count"
-  FROM norm0, now_t
-)
-SELECT distribution, bin, "count", "Z",
-       CASE WHEN "Z" = 0 THEN CAST(0.0 AS DOUBLE)
-            ELSE CAST(c0 AS DOUBLE) / CAST("Z" AS DOUBLE) END AS p
-FROM decayed
-WHERE "count" > 0 AND distribution = '{GET_FIELD_DIST}'
-  AND bin IN ({', '.join(repr(b) for b in GET_FIELD_BINS)})"""
-
     live_dists = f"""WITH {_state_cte(_EV_USER)},
 per_dist AS (
   SELECT distribution, MAX("count") AS max_count, MAX(t) AS t
@@ -603,10 +588,8 @@ WHERE distribution = 'colors'"""
         "get_dist_single": _oracle_get_dist(
             _EV_EVENT_TYPE, RATE_SLOW, True, "linear", f"WHERE distribution = '{GET_FIELD_DIST}'"
         ),
-        "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
         "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
         "get_field": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear", get_field_where),
-        "get_field_compat_partial_z": compat,
         "db_size": "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS db_size FROM events",
         "live_distributions": live_dists,
         "snapshot_state": snapshot_state,
@@ -622,6 +605,26 @@ WHERE distribution = 'colors'"""
     return out
 
 
+def _oracle_get_field_compat() -> str:
+    return f"""WITH {_state_cte(_EV_EVENT_TYPE)},
+norm0 AS (
+  SELECT distribution, bin, "count" AS c0, t,
+         CAST(SUM("count") OVER (PARTITION BY distribution) AS BIGINT) AS "Z"
+  FROM state
+),
+decayed AS (
+  SELECT distribution, bin, c0, "Z",
+         GREATEST(c0 - {_decay_expr(RATE_SLOW, "linear")}, 0) AS "count"
+  FROM norm0, now_t
+)
+SELECT distribution, bin, "count", "Z",
+       CASE WHEN "Z" = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(c0 AS DOUBLE) / CAST("Z" AS DOUBLE) END AS p
+FROM decayed
+WHERE "count" > 0 AND distribution = \'{GET_FIELD_DIST}\'
+  AND bin IN ({", ".join(repr(b) for b in GET_FIELD_BINS)})"""
+
+
 def secondary_oracle_sql() -> dict[str, str]:
     """Oracle twins for :func:`secondary_queries` (same contract as
     ``oracle_sql``, consumed only by the local test gate)."""
@@ -634,7 +637,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         ),
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "ann_cosine_topk": entrypoints_ext.ORACLE_ANN_COSINE,
-        "repetition_stats": entrypoints_ext.ORACLE_REPETITION_STATS,
-        "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
-        "ann_quantized_bucketed": entrypoints_ext._oracle_ann_quantized_bucketed(),
+        "ann_bucketed_float": entrypoints_ext.ORACLE_ANN_BUCKETED,
+        "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
+        "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
+        "get_field_compat_partial_z": _oracle_get_field_compat(),
     }

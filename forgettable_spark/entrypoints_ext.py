@@ -361,6 +361,23 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 
 
 def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style single-probe top-k scored on int8 codes. Promoted to
+    quantized scoring in r4 (VERDICT r3): the candidate set is identical
+    to the float path by construction (buckets are assigned from the
+    original floats), but integer dots run in whole-stage codegen and are
+    order-independent — escaping the interpreted higher-order-function
+    float folds that drifted 2× in the r3 driver bench, the same
+    mechanism that genuinely regressed dedup_simhash before its rewrite.
+    The float-scored twin stays oracle-checked as secondary
+    ``ann_bucketed_float``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_bucketed_topk(emb, _queries_subset(emb), k=ANN_K)
+
+
+def q_ann_bucketed_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The float-scored single-probe bucketed ANN (sequential-fold cosine)
+    — secondary since r4; keeps the float bucket-join oracle pair alive
+    after the registered queries moved to int8 scoring."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.bucketed_ann_topk(emb, _queries_subset(emb), k=ANN_K)
 
@@ -385,8 +402,20 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_probes=2) — each query scores candidates in its two best quantizer
     cells, recovering most of the recall single-probe loses while keeping
     the equi-join plan (cost ``n_probes · Σ_b |Q_b|·|C_b|``, never |Q|·|C|).
-    The brute-force cross join stays registered only as the exactness
-    baseline on the sampled query set."""
+    Scored on int8 codes since r4 (see :func:`q_ann_bucketed_topk`) —
+    this is the full 100 TB shape: the quantizer bounds WHO gets scored,
+    int8 bounds the BYTES that ride the join (absorbing the former
+    secondary ``ann_quantized_bucketed``, whose oracle this query now
+    carries as its driver correctness row)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_bucketed_topk(
+        emb, _queries_subset(emb), k=ANN_K, n_probes=ANN_PROBES
+    )
+
+
+def q_ann_multiprobe_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-scored multi-probe bucketed ANN — secondary since r4 (see
+    :func:`q_ann_bucketed_float`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.bucketed_ann_topk(
         emb, _queries_subset(emb), k=ANN_K, n_probes=ANN_PROBES
@@ -471,9 +500,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-k on the fixed recall query sample —
     the reduced-precision twin of the brute-force baseline, measuring
-    what 4× less vector I/O costs in ranking quality. Secondary
-    registry; the integer dots make scores order-independent AND
-    bit-exact against the oracle."""
+    what 4× less vector I/O costs in ranking quality. The integer dots
+    make scores order-independent AND bit-exact against the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.quantized_topk(emb, _recall_queries(emb), k=ANN_K)
 
@@ -508,23 +536,19 @@ SELECT query_id, neighbor_id, cosine_q, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {ANN_K}"""
 
 
-def q_ann_quantized_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF bucket join scored on int8 codes (multi-probe) — the combined
-    scale shape: the quantizer bounds who gets scored, int8 bounds the
-    bytes that ride the join. Secondary registry. Same query set as the
-    primary ANN queries."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.quantized_bucketed_topk(
-        emb, _queries_subset(emb), k=ANN_K, n_probes=ANN_PROBES
-    )
-
-
-def _oracle_ann_quantized_bucketed() -> str:
+def _oracle_ann_quantized_bucketed(n_probes: int = ANN_PROBES) -> str:
+    """Oracle for the int8-scored IVF bucket join. ``n_probes=1`` uses
+    the query's own argmax bucket (``top_p_buckets`` with p=1 picks the
+    same first-occurrence max-|component| index as ``argmax_bucket``)."""
     from forgettable_spark.extensions.similarity import QUANT_MAX
 
     # NB: the scale column is named "qscale", not "s" — _PROBES_SQL's sort
     # lambda uses `s` as its variable and DuckDB would bind the column.
     idot = "CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * vb.q[i])) AS DOUBLE)"
+    if n_probes <= 1:
+        probe_bucket = "bucket"
+    else:
+        probe_bucket = f"unnest({_PROBES_SQL.format(e='e', p=n_probes)})"
     return f"""WITH {_V_CTE},
 qc AS (
   SELECT vec_id, e,
@@ -541,7 +565,7 @@ qq AS (
 ),
 probes AS (
   SELECT vec_id AS query_id, qscale, n, q,
-         unnest({_PROBES_SQL.format(e='e', p=ANN_PROBES)}) AS bucket
+         {probe_bucket} AS bucket
   FROM qq WHERE vec_id % {ANN_QUERY_MOD} = 0
 ),
 scored AS (
@@ -1007,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_hyperplane": q_embedding_near_dup_hyperplane,
@@ -1018,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "tfidf_keywords": q_tfidf_keywords,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1034,8 +1060,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
         "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
         "dedup_components": _oracle_dedup_components(),
-        "ann_bucketed_topk": ORACLE_ANN_BUCKETED,
-        "ann_multiprobe_topk": ORACLE_ANN_MULTIPROBE,
+        "ann_quantized_topk": _oracle_ann_quantized(),
+        "ann_bucketed_topk": _oracle_ann_quantized_bucketed(1),
+        "ann_multiprobe_topk": _oracle_ann_quantized_bucketed(),
         "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "embedding_near_dup_hyperplane": _oracle_hyperplane(),
@@ -1047,4 +1074,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "tfidf_keywords": ORACLE_TFIDF,
+        "repetition_stats": ORACLE_REPETITION_STATS,
     }

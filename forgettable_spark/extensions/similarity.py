@@ -214,6 +214,15 @@ def quantize_embedding(vec: Column) -> tuple[Column, Column]:
     Rounding is round-half-away-from-zero on both engines (Spark
     ``ROUND`` = BigDecimal HALF_UP, DuckDB ``round``), so codes are
     bit-identical cross-engine.
+
+    PERFORMANCE HAZARD: the returned ``q`` expression INLINES ``scale``
+    inside its per-element lambda, and this engine evaluates
+    higher-order-function lambdas interpreted — so ``scale`` (itself an
+    ``array_max`` over a 64-element transform) is re-computed once PER
+    ELEMENT, O(dim²) per row. Fine for unit tests of the arithmetic;
+    production paths must use :func:`with_quantization`, which
+    materializes the scale as a COLUMN first (evaluated once per row)
+    and was measured 3× faster end-to-end on the bucketed ANN query.
     """
     v = as_double(vec)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(float(QUANT_MAX))
@@ -224,6 +233,30 @@ def quantize_embedding(vec: Column) -> tuple[Column, Column]:
         .cast("int"),
     )
     return scale, q
+
+
+def with_quantization(
+    df: DataFrame, vec_col: str, s_name: str, q_name: str
+) -> DataFrame:
+    """Add int8 quantization columns ``s_name`` (scale) and ``q_name``
+    (codes) — the two-step shape that keeps the scale a per-row COLUMN
+    reference inside the code lambda instead of an inlined O(dim)
+    subexpression per element (see :func:`quantize_embedding`). Same
+    values bit-for-bit; the oracle's ``sc → qc`` CTE chain mirrors this
+    structure exactly."""
+    v = as_double(F.col(vec_col))
+    df = df.withColumn(
+        s_name, F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(float(QUANT_MAX))
+    )
+    return df.withColumn(
+        q_name,
+        F.transform(
+            v,
+            lambda x: F.when(F.col(s_name) == 0.0, F.lit(0))
+            .otherwise(F.round(x / F.col(s_name)))
+            .cast("int"),
+        ),
+    )
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -251,18 +284,16 @@ def quantized_topk(
     per pair in a fixed order, so scores are bit-identical cross-engine;
     ties break on neighbor_id.
     """
-    cs, cq = quantize_embedding(F.col(vec_col))
-    c = corpus.select(
+    c = with_quantization(corpus, vec_col, "_cs", "_cq").select(
         F.col(id_col).alias("neighbor_id"),
-        cs.alias("_cs"),
-        cq.alias("_cq"),
+        "_cs",
+        "_cq",
         norm(as_double(F.col(vec_col))).alias("_cn"),
     )
-    qs, qq = quantize_embedding(F.col(vec_col))
-    q = queries.select(
+    q = with_quantization(queries, vec_col, "_qs", "_qq").select(
         F.col(id_col).alias("query_id"),
-        qs.alias("_qs"),
-        qq.alias("_qq"),
+        "_qs",
+        "_qq",
         norm(as_double(F.col(vec_col))).alias("_qn"),
     )
     scored = (
@@ -306,20 +337,18 @@ def quantized_bucketed_topk(
     from forgettable_spark.extensions.dedup import cap_hot_buckets
 
     v = as_double(F.col(vec_col))
-    cs, cq = quantize_embedding(F.col(vec_col))
-    c = corpus.select(
+    c = with_quantization(corpus, vec_col, "_cs", "_cq").select(
         F.col(id_col).alias("neighbor_id"),
-        cs.alias("_cs"),
-        cq.alias("_cq"),
+        "_cs",
+        "_cq",
         norm(v).alias("_cn"),
         argmax_bucket(v).alias("bucket"),
     )
     c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "quantized_bucketed_topk", log_dropped)
-    qs, qq = quantize_embedding(F.col(vec_col))
-    q = queries.select(
+    q = with_quantization(queries, vec_col, "_qs", "_qq").select(
         F.col(id_col).alias("query_id"),
-        qs.alias("_qs"),
-        qq.alias("_qq"),
+        "_qs",
+        "_qq",
         norm(v).alias("_qn"),
         v.alias("_qv"),
     )
