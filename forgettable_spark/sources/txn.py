@@ -35,8 +35,10 @@ import re
 import shutil
 import time
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 
@@ -80,13 +82,83 @@ class ManifestTable:
         with open(os.path.join(self._versions_dir, f"v{version:08d}.json")) as f:
             return json.load(f)
 
+    @staticmethod
+    def _segments(manifest: dict) -> list[dict]:
+        """A version's ordered segment list (oldest → newest). Pre-delta
+        manifests carry only ``data_path`` — one full segment."""
+        return manifest.get("segments") or [
+            {"data_path": manifest["data_path"], "groups": None}
+        ]
+
+    def segment_count(self, version: int | None = None) -> int:
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return 0
+        return len(self._segments(self.manifest(version)))
+
+    def _resolve(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        """Latest-wins resolution of a segmented version: each state group
+        ((key) or (key, shard)) is served by the NEWEST segment that wrote
+        it; base rows of groups later deltas claimed are masked.
+
+        Scale shape: the claim map is one row per (group, owner-segment) —
+        bounded by touched groups per delta × chain length, kilobytes at
+        any table size — so every mask is a broadcast semi/anti join
+        against each segment's scan. The big base segment is read ONCE
+        with a broadcast anti join; no shuffle of table data, no window.
+        """
+        segs = self._segments(manifest)
+        if len(segs) == 1:
+            return spark.read.parquet(segs[0]["data_path"])
+        key_col = manifest.get("delta_key_col", "distribution")
+        shard_col = manifest.get("delta_shard_col", "bin")
+        n_shards = manifest.get("delta_n_shards")
+
+        def shard():
+            return F.pmod(F.xxhash64(shard_col), F.lit(n_shards)).cast("int")
+
+        claimed: dict[tuple, int] = {}
+        for i, seg in enumerate(segs):
+            for g in seg["groups"] or []:
+                claimed[tuple(g)] = i
+        if n_shards:
+            owners = spark.createDataFrame(
+                [(k, int(sh), i) for (k, sh), i in claimed.items()],
+                f"{key_col} STRING, _shard INT, _owner INT",
+            )
+            keys = [key_col, "_shard"]
+        else:
+            owners = spark.createDataFrame(
+                [(k, i) for (k,), i in claimed.items()],
+                f"{key_col} STRING, _owner INT",
+            )
+            keys = [key_col]
+        parts = []
+        for i, seg in enumerate(segs):
+            df = spark.read.parquet(seg["data_path"])
+            if n_shards:
+                df = df.withColumn("_shard", shard())
+            if seg["groups"] is None:
+                mask = owners.filter(F.col("_owner") > i).select(*keys)
+                df = df.join(F.broadcast(mask), keys, "left_anti")
+            else:
+                own = owners.filter(F.col("_owner") == i).select(*keys)
+                df = df.join(F.broadcast(own), keys, "left_semi")
+            if n_shards:
+                df = df.drop("_shard")
+            parts.append(df)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the table at the current (or an explicit retained) version."""
+        """Read the table at the current (or an explicit retained) version.
+        Segmented versions (from :meth:`commit_delta`) resolve latest-wins
+        per state group; single-segment versions are a plain scan."""
         if version is None:
             version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return spark.read.parquet(self.manifest(version)["data_path"])
+        return self._resolve(spark, self.manifest(version))
 
     def read_pinned(self, spark: SparkSession) -> tuple[DataFrame, int]:
         """Read the current version and return ``(df, version)`` so the
@@ -99,7 +171,7 @@ class ManifestTable:
         version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return spark.read.parquet(self.manifest(version)["data_path"]), version
+        return self._resolve(spark, self.manifest(version)), version
 
     # -- write side --------------------------------------------------------
 
@@ -147,23 +219,28 @@ class ManifestTable:
         data_path = os.path.join(self._data_dir, f"v{version:08d}-{token}")
         out = df.repartition(partition_col) if partition_col else df
         out.write.mode("overwrite").parquet(data_path)
+        manifest = {
+            "version": version,
+            "data_path": data_path,
+            "segments": [{"data_path": data_path, "groups": None}],
+            "committed_at_unix": int(time.time()),
+        }
+        return self._publish_manifest(version, manifest, data_path)
 
+    def _publish_manifest(self, version: int, manifest: dict, new_data_path: str) -> int:
+        """Atomically publish ``manifest`` as version ``version`` via the
+        ``os.link`` create-if-absent arbiter; on a lost race, clean up
+        ONLY the newly staged data directory (shared older segments stay)."""
         os.makedirs(self._versions_dir, exist_ok=True)
+        token = uuid.uuid4().hex[:8]
         staged = os.path.join(self._versions_dir, f".staged-{token}.json")
         with open(staged, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "data_path": data_path,
-                    "committed_at_unix": int(time.time()),
-                },
-                f,
-            )
+            json.dump(manifest, f)
         final = os.path.join(self._versions_dir, f"v{version:08d}.json")
         try:
             os.link(staged, final)  # atomic create-if-absent: the commit point
         except FileExistsError:
-            shutil.rmtree(data_path, ignore_errors=True)
+            shutil.rmtree(new_data_path, ignore_errors=True)
             raise CommitConflictError(
                 f"version {version} of {self.root} was committed concurrently"
             ) from None
@@ -171,17 +248,109 @@ class ManifestTable:
             os.unlink(staged)
         return version
 
+    def commit_delta(
+        self,
+        df: DataFrame,
+        groups: list[tuple],
+        base_version: int,
+        n_shards: int | None = None,
+        key_col: str = "distribution",
+        shard_col: str = "bin",
+        partition_col: str | None = "distribution",
+    ) -> int:
+        """Commit ``df`` as a DELTA SEGMENT on top of ``base_version``:
+        per-version I/O is O(batch), not O(table).
+
+        ``df`` must carry the FULL new content of every state group it
+        touches — ``groups`` (each ``(key,)`` or ``(key, shard)`` with
+        ``n_shards``) lists exactly those groups, and readers serve each
+        group from the newest segment that claimed it (latest-wins; see
+        :meth:`_resolve`). This is the log-structured shape of a Delta/
+        Iceberg MERGE with deletion-vector-style masking: the baseline is
+        never rewritten per commit; :func:`fold_segments` (or any full
+        :meth:`commit`) periodically compacts the chain back to one
+        segment. The reference's write-back has the same asymmetry — it
+        rewrites only the touched distribution's ZSET, never the whole
+        keyspace (``goforget/redis_utils.go:163-181``).
+
+        The whole chain must share one grouping: mixing ``n_shards``
+        values (or key/shard columns) across a chain raises ValueError —
+        re-anchor with a full :meth:`commit` first.
+        """
+        if not isinstance(base_version, int):
+            raise TypeError("commit_delta requires a pinned integer base_version")
+        base_manifest = self.manifest(base_version)
+        if len(self._segments(base_manifest)) > 1:
+            same = (
+                base_manifest.get("delta_n_shards") == n_shards
+                and base_manifest.get("delta_key_col", "distribution") == key_col
+                and base_manifest.get("delta_shard_col", "bin") == shard_col
+            )
+            if not same:
+                raise ValueError(
+                    f"delta grouping mismatch on {self.root}: chain uses "
+                    f"(key={base_manifest.get('delta_key_col')}, shard_col="
+                    f"{base_manifest.get('delta_shard_col')}, n_shards="
+                    f"{base_manifest.get('delta_n_shards')}) — fold to a full "
+                    "commit before changing granularity"
+                )
+        version = base_version + 1
+        current = self.current_version()
+        if current != base_version:
+            raise CommitConflictError(
+                f"stale read of {self.root}: expected version "
+                f"{base_version}, table is now at {current} — re-read and retry"
+            )
+        token = uuid.uuid4().hex[:8]
+        data_path = os.path.join(self._data_dir, f"v{version:08d}-{token}")
+        out = df.repartition(partition_col) if partition_col else df
+        out.write.mode("overwrite").parquet(data_path)
+        manifest = {
+            "version": version,
+            "data_path": data_path,
+            "segments": self._segments(base_manifest)
+            + [{"data_path": data_path, "groups": [list(g) for g in groups]}],
+            "delta_key_col": key_col,
+            "delta_shard_col": shard_col,
+            "delta_n_shards": n_shards,
+            "committed_at_unix": int(time.time()),
+        }
+        return self._publish_manifest(version, manifest, data_path)
+
+    def fold_segments(self, spark: SparkSession) -> int | None:
+        """Compact the current version's segment chain back to ONE full
+        segment (the periodic amortization of :meth:`commit_delta`'s
+        O(batch) commits). No-op (returns None) when the chain is already
+        a single segment; raises CommitConflictError on a lost race."""
+        df, pinned = self.read_pinned(spark)
+        if self.segment_count(pinned) <= 1:
+            return None
+        return self.commit(df, base_version=pinned)
+
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` versions (manifest first, so a
         reader never holds a manifest whose data is gone mid-read *after*
         it resolved the path — matching table-format vacuum semantics:
-        only versions older than the retention window are reclaimed)."""
+        only versions older than the retention window are reclaimed).
+        Segment dirs REFERENCED by any retained manifest survive — a
+        delta chain shares its base and intermediate segments across
+        versions, so reclamation is reference-counted, not per-version."""
         vs = self.versions()
+        to_drop = vs[:-keep] if keep else vs
+        kept_paths = {
+            seg["data_path"]
+            for v in vs
+            if v not in to_drop
+            for seg in self._segments(self.manifest(v))
+        }
         dropped = []
-        for v in vs[:-keep] if keep else vs:
-            manifest = self.manifest(v)
+        for v in to_drop:
+            drop_paths = {
+                seg["data_path"] for seg in self._segments(self.manifest(v))
+            }
             os.unlink(os.path.join(self._versions_dir, f"v{v:08d}.json"))
-            shutil.rmtree(manifest["data_path"], ignore_errors=True)
+            for path in drop_paths - kept_paths:
+                shutil.rmtree(path, ignore_errors=True)
             dropped.append(v)
         return dropped
 

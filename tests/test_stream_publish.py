@@ -60,9 +60,12 @@ def test_stream_publish_end_to_end(spark, dirs):
     q = publish_stream_to_table(stream, table, ckpt, available_now=True)
     q.awaitTermination(180)
 
-    # one commit per non-empty micro-batch, all time-travelable
+    # one commit per non-empty micro-batch, all time-travelable; batches
+    # 2 and 3 are delta segments (O(batch) I/O), not baseline rewrites
     assert table.current_version() == 3
     assert table.versions() == [1, 2, 3]
+    assert table.segment_count(1) == 1
+    assert table.segment_count(3) == 3
 
     # untouched-distribution carry-over: batch 2 updated only 'colors';
     # version 2 must still hold animals/cat from version 1

@@ -157,3 +157,187 @@ def test_compaction_cycle_through_table(spark, tmp_path):
     snap2 = ops.snapshot(t.read(spark))
     d0b0 = {(r["distribution"], r["bin"]): r["count"] for r in snap2.collect()}[("d0", "b0")]
     assert d0b0 == direct[("d0", "b0")] + 5
+
+
+# -- delta segments (r4) ------------------------------------------------------
+
+
+def _dir_bytes(path):
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "distribution STRING, bin STRING, n BIGINT, ts TIMESTAMP"
+    )
+
+
+def test_commit_delta_writes_o_batch_not_o_table(spark, tmp_path):
+    """The r3 scale fix: a delta commit's written bytes scale with the
+    BATCH, not the baseline. A wide baseline plus a one-group delta must
+    write far less for the delta than for the base."""
+    from datetime import datetime
+
+    import hashlib
+
+    t = datetime(2024, 6, 1)
+    table = ManifestTable(str(tmp_path / "t"))
+    # high-entropy bins so the baseline's size reflects its row count
+    # instead of dictionary compression collapsing it to the format floor
+    base_rows = [
+        (f"d{i:03d}", hashlib.md5(f"{i}/{j}".encode()).hexdigest(), 10 + i + j, t)
+        for i in range(200)
+        for j in range(20)
+    ]
+    table.commit(_events_df(spark, base_rows), base_version=None)
+    base_bytes = _dir_bytes(table.manifest(1)["data_path"])
+
+    v2 = table.commit_delta(
+        _events_df(spark, [("d000", "b0", 99, t)]), [("d000",)], base_version=1
+    )
+    delta_bytes = _dir_bytes(table.manifest(v2)["data_path"])
+    # the old full-rewrite path wrote ~base_bytes per batch; the delta
+    # writes a fixed small fraction regardless of baseline size
+    assert delta_bytes < base_bytes / 20
+
+    # resolution: the touched group is served from the delta (latest
+    # wins, INCLUDING rows the delta dropped from the group), everything
+    # else from the base
+    got = {
+        (r["distribution"], r["bin"]): r["n"]
+        for r in table.read(spark).collect()
+    }
+    assert got[("d000", "b0")] == 99
+    assert sum(1 for (d, _b) in got if d == "d000") == 1  # group fully replaced
+    assert sum(1 for (d, _b) in got if d == "d199") == 20  # base served intact
+    assert len(got) == 199 * 20 + 1
+
+
+def test_delta_chain_three_versions_latest_wins(spark, tmp_path):
+    from datetime import datetime
+
+    t = datetime(2024, 6, 1)
+    table = ManifestTable(str(tmp_path / "t"))
+    table.commit(
+        _events_df(spark, [("a", "x", 1, t), ("b", "y", 2, t), ("c", "z", 3, t)]),
+        base_version=None,
+    )
+    table.commit_delta(_events_df(spark, [("a", "x", 10, t)]), [("a",)], base_version=1)
+    table.commit_delta(
+        _events_df(spark, [("a", "x", 100, t), ("b", "y", 20, t)]),
+        [("a",), ("b",)],
+        base_version=2,
+    )
+    # all three versions stay readable with per-version resolution
+    v = lambda n: {
+        (r["distribution"], r["bin"]): r["n"]
+        for r in table.read(spark, version=n).collect()
+    }
+    assert v(1) == {("a", "x"): 1, ("b", "y"): 2, ("c", "z"): 3}
+    assert v(2) == {("a", "x"): 10, ("b", "y"): 2, ("c", "z"): 3}
+    assert v(3) == {("a", "x"): 100, ("b", "y"): 20, ("c", "z"): 3}
+    assert table.segment_count(3) == 3
+
+
+def test_sharded_delta_masks_at_shard_granularity(spark, tmp_path):
+    """With n_shards, a delta claims (key, shard) groups: bins of the
+    SAME distribution in other shards keep being served from the base."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    t = datetime(2024, 6, 1)
+    n_shards = 4
+    bins = [f"b{i:02d}" for i in range(16)]
+    table = ManifestTable(str(tmp_path / "t"))
+    table.commit(
+        _events_df(spark, [("wide", b, 10, t) for b in bins]), base_version=None
+    )
+    shard_of = {
+        r["bin"]: r["s"]
+        for r in spark.createDataFrame([(b,) for b in bins], "bin STRING")
+        .select("bin", F.pmod(F.xxhash64("bin"), F.lit(n_shards)).cast("int").alias("s"))
+        .collect()
+    }
+    target = bins[0]
+    same_shard = [b for b in bins if shard_of[b] == shard_of[target]]
+    table.commit_delta(
+        _events_df(spark, [(("wide"), target, 11, t)]),
+        [("wide", shard_of[target])],
+        base_version=1,
+        n_shards=n_shards,
+    )
+    got = {r["bin"]: r["n"] for r in table.read(spark).collect()}
+    assert got[target] == 11
+    # bins in the SAME shard were replaced by the delta (dropped there)
+    for b in same_shard:
+        if b != target:
+            assert b not in got
+    # bins in other shards survive from the base
+    for b in bins:
+        if shard_of[b] != shard_of[target]:
+            assert got[b] == 10
+
+
+def test_fold_segments_compacts_chain(spark, tmp_path):
+    from datetime import datetime
+
+    t = datetime(2024, 6, 1)
+    table = ManifestTable(str(tmp_path / "t"))
+    table.commit(_events_df(spark, [("a", "x", 1, t), ("b", "y", 2, t)]), base_version=None)
+    table.commit_delta(_events_df(spark, [("a", "x", 10, t)]), [("a",)], base_version=1)
+    before = {
+        (r["distribution"], r["bin"]): r["n"] for r in table.read(spark).collect()
+    }
+    v = table.fold_segments(spark)
+    assert v == 3 and table.segment_count(3) == 1
+    after = {
+        (r["distribution"], r["bin"]): r["n"] for r in table.read(spark).collect()
+    }
+    assert before == after
+    assert table.fold_segments(spark) is None  # already one segment
+
+
+def test_delta_grouping_mismatch_raises(spark, tmp_path):
+    from datetime import datetime
+
+    t = datetime(2024, 6, 1)
+    table = ManifestTable(str(tmp_path / "t"))
+    table.commit(_events_df(spark, [("a", "x", 1, t)]), base_version=None)
+    table.commit_delta(
+        _events_df(spark, [("a", "x", 2, t)]), [("a", 0)], base_version=1, n_shards=4
+    )
+    with pytest.raises(ValueError, match="grouping mismatch"):
+        table.commit_delta(
+            _events_df(spark, [("a", "x", 3, t)]), [("a",)], base_version=2
+        )
+
+
+def test_vacuum_keeps_segments_shared_with_retained_versions(spark, tmp_path):
+    import os
+    from datetime import datetime
+
+    t = datetime(2024, 6, 1)
+    table = ManifestTable(str(tmp_path / "t"))
+    table.commit(_events_df(spark, [("a", "x", 1, t), ("b", "y", 2, t)]), base_version=None)
+    table.commit_delta(_events_df(spark, [("a", "x", 10, t)]), [("a",)], base_version=1)
+    table.commit_delta(_events_df(spark, [("b", "y", 20, t)]), [("b",)], base_version=2)
+    base_path = table.manifest(1)["data_path"]
+    # dropping v1 must NOT delete its data dir: v2 and v3 still resolve
+    # their untouched groups from that base segment
+    assert table.vacuum(keep=2) == [1]
+    assert os.path.isdir(base_path)
+    got = {
+        (r["distribution"], r["bin"]): r["n"] for r in table.read(spark).collect()
+    }
+    assert got == {("a", "x"): 10, ("b", "y"): 20}
+    # after folding, nothing retained references the old segments
+    table.fold_segments(spark)
+    table.vacuum(keep=1)
+    assert not os.path.isdir(base_path)
