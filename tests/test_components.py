@@ -42,7 +42,7 @@ def test_convergence_cap_raises(spark):
     loudly rather than return a half-propagated labeling."""
     chain = [(i, i + 1) for i in range(30)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(spark, chain), max_rounds=2)
+        connected_components(_pairs(spark, chain), max_rounds=2, local_threshold=0)
 
 
 def test_path_graph_converges_logarithmically(spark):
@@ -50,9 +50,22 @@ def test_path_graph_converges_logarithmically(spark):
     64-node path (diameter 63) must converge in ~log2 rounds, far under
     the 63 that plain 1-hop propagation would need."""
     chain = [(i, i + 1) for i in range(63)]
-    comp = connected_components(_pairs(spark, chain), max_rounds=10)
+    comp = connected_components(_pairs(spark, chain), max_rounds=10, local_threshold=0)
     rows = {r["node"]: r["component"] for r in comp.collect()}
     assert rows == {i: 0 for i in range(64)}
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The driver-local union-find fast path and the distributed hash-min
+    loop are result-identical on the same graph (mixed components,
+    duplicate and reversed edges, a self-loop)."""
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1), (7, 7), (10, 11), (11, 12), (5, 4)]
+    local = connected_components(_pairs(spark, edges))
+    dist = connected_components(_pairs(spark, edges), local_threshold=0)
+    as_map = lambda df: {r["node"]: r["component"] for r in df.collect()}
+    got = as_map(local)
+    assert got == as_map(dist)
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10, 12: 10, 4: 4, 5: 4}
 
 
 def test_string_node_ids(spark):
