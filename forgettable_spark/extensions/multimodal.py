@@ -58,14 +58,31 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes) -> object:
-    """Real decode hook — requires an image codec library (PIL/cv2), which
-    this environment does not ship. Swap in the real implementation when
-    deploying; the pipeline around it does not change."""
-    raise NotImplementedError(
-        "image decoding requires a codec library (e.g. Pillow); "
-        "use fake_decode_features for plumbing tests"
-    )
+def decode_image(content: bytes, dim: int = 8) -> list[float]:
+    """Real decode hook: when an image codec library is importable
+    (Pillow), decode and featurize — a ``dim``-pixel grayscale thumbnail
+    normalized to [0, 1], the same output shape as
+    :func:`fake_decode_features`. The import is resolved PER CALL (cheap
+    after the first: ``sys.modules`` hit) so the same wheel is
+    production-real wherever codecs exist and an explicit fence where
+    they don't — this build environment ships no codec, so here it
+    raises; the distributed pipeline around it is exercised with the
+    fake decoder either way."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. Pillow); "
+            "use fake_decode_features for plumbing tests"
+        ) from None
+    import io
+
+    img = Image.open(io.BytesIO(content))
+    w = max(1, dim // 2)
+    h = max(1, dim // w)
+    small = img.convert("L").resize((w, h))
+    pixels = list(small.getdata())[:dim]
+    return [p / 255.0 for p in pixels]
 
 
 def fake_decode_features(content: bytes, dim: int = 8) -> list[float]:

@@ -197,6 +197,52 @@ def test_multimodal_real_decoder_is_stubbed(spark):
         multimodal.extract_image_features(media, use_fake_decoder=False).collect()
 
 
+def test_decode_image_uses_codec_when_importable(monkeypatch):
+    """decode_image auto-detects the codec per call: with a (fake) PIL in
+    sys.modules it runs the real-decode branch end-to-end; without one it
+    keeps the explicit NotImplementedError fence."""
+    import sys
+    import types
+
+    class _FakeImg:
+        def __init__(self):
+            self.resized_to = None
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            self.resized_to = size
+            return self
+
+        def getdata(self):
+            w, h = self.resized_to
+            return list(range(w * h))
+
+    opened = {}
+
+    def _open(buf):
+        opened["bytes"] = buf.read()
+        return _FakeImg()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=_open)
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
+
+    feats = multimodal.decode_image(b"not-really-a-png", dim=8)
+    assert opened["bytes"] == b"not-really-a-png"
+    assert feats == [p / 255.0 for p in range(8)]  # 4x2 grayscale thumbnail
+
+    # fence intact when no codec is importable
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    monkeypatch.setattr(sys, "path", [])
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_image(b"x")
+
+
 def test_frame_sample_plan(spark):
     media = multimodal.synthetic_media(spark, n=30)
     plan = multimodal.frame_sample_plan(media, every_ms=1000)
