@@ -34,7 +34,14 @@ def main() -> None:
         app_name="forgettable-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # local[N] runs N executor threads in ONE JVM: the 1g driver
+            # default thrashes GC above sf0.1 (observed GCLocker retry
+            # warnings at sf1). Applied at session launch, so it must be
+            # set here, not after getOrCreate.
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

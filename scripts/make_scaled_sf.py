@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Generate a scaled-up copy of a testdata scale factor for benchmarking.
+
+Replicates each table FACTOR times with deterministic key offsets so the
+result behaves like a genuinely larger corpus rather than a pile of exact
+duplicates:
+
+- fact keys (event_id, doc_id, vec_id, o_orderkey/l_orderkey, c_custkey,
+  p_partkey, s_suppkey) get per-copy offsets, preserving FK integrity
+  (order copy i joins customer copy i, lineitem copy i joins order/part/
+  supplier copy i);
+- document text is perturbed per copy (a per-copy suffix token) so dedup
+  candidate generation scales like real near-dup data instead of
+  exploding on exact 10-way duplicate groups;
+- embeddings are perturbed per copy (one component nudged) so ANN sees
+  distinct vectors; user_id / event_type / ts are left alone, so the
+  number of live distributions stays constant while rows-per-distribution
+  grow with the factor - how a real event log scales.
+
+Usage: python scripts/make_scaled_sf.py [--src /root/testdata/sf0.1]
+                                        [--dst /tmp/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _offset(col: pa.ChunkedArray, off: int) -> pa.ChunkedArray:
+    return pc.add(col, pa.scalar(off, type=col.type))
+
+
+def scale_table(name: str, table: pa.Table, i: int) -> pa.Table:
+    """Copy ``i`` (0 = identity) of one table, keys offset deterministically."""
+    if i == 0 or name in ("region", "nation"):
+        return table
+    cols = {c: table.column(c) for c in table.column_names}
+
+    def key_off(col_name: str) -> int:
+        return i * (pc.max(table.column(col_name)).as_py() + 1)
+
+    if name == "events":
+        cols["event_id"] = _offset(cols["event_id"], key_off("event_id"))
+    elif name == "documents":
+        off = key_off("doc_id")
+        cols["doc_id"] = _offset(cols["doc_id"], off)
+        suffix = pc.binary_join_element_wise(
+            pa.chunked_array([pa.array([""] * len(table))]),
+            pc.cast(cols["doc_id"], pa.string()),
+            f" sfcopy{i}d",
+        )
+        cols["text"] = pc.binary_join_element_wise(
+            cols["text"], suffix, ""
+        )
+        cols["n_chars"] = pc.cast(pc.utf8_length(cols["text"]), pa.int64())
+    elif name == "embeddings":
+        off = key_off("vec_id")
+        vec_ids = cols["vec_id"].to_numpy()
+        emb = np.stack(cols["embedding"].to_numpy(zero_copy_only=False))
+        dim = emb.shape[1]
+        # nudge one component per vector so copies are distinct vectors
+        idx = (vec_ids + i) % dim
+        emb = emb.copy()
+        emb[np.arange(len(emb)), idx] += 0.001 * i
+        cols["vec_id"] = _offset(cols["vec_id"], off)
+        cols["embedding"] = pa.chunked_array(
+            [pa.array(list(emb), type=pa.list_(pa.float32()))]
+        )
+    elif name == "orders":
+        cols["o_orderkey"] = _offset(cols["o_orderkey"], key_off("o_orderkey"))
+        cols["o_custkey"] = _offset(cols["o_custkey"], key_off("o_custkey"))
+    elif name == "lineitem":
+        cols["l_orderkey"] = _offset(cols["l_orderkey"], key_off("l_orderkey"))
+        cols["l_partkey"] = _offset(cols["l_partkey"], key_off("l_partkey"))
+        cols["l_suppkey"] = _offset(cols["l_suppkey"], key_off("l_suppkey"))
+    elif name == "customer":
+        cols["c_custkey"] = _offset(cols["c_custkey"], key_off("c_custkey"))
+    elif name == "part":
+        cols["p_partkey"] = _offset(cols["p_partkey"], key_off("p_partkey"))
+    elif name == "supplier":
+        cols["s_suppkey"] = _offset(cols["s_suppkey"], key_off("s_suppkey"))
+    return pa.table(cols, schema=None)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+    for fn in sorted(os.listdir(args.src)):
+        if not fn.endswith(".parquet"):
+            continue
+        name = fn.removesuffix(".parquet")
+        src = pq.read_table(os.path.join(args.src, fn))
+        if name in ("region", "nation"):
+            out = src
+        else:
+            out = pa.concat_tables(
+                [scale_table(name, src, i) for i in range(args.factor)]
+            )
+        pq.write_table(out, os.path.join(args.dst, fn))
+        print(f"{name}: {len(src)} -> {len(out)} rows")
+
+
+if __name__ == "__main__":
+    main()
