@@ -661,17 +661,53 @@ SELECT n_probes, n_truth, n_hit,
 FROM m"""
 
 
+EMBEDDING_CELL_CAP = 150  # ≫ any sf0.01 cell: correctness-scale runs
+# uncapped (the oracle needs no cap model); at corpus scale the cap bounds
+# dominant-component skew cells, dropped cells logged.
+
+IVF_NEAR_DUP_COSINE = 0.3  # demo threshold for the two-level cell: the
+# synthetic vectors are near-orthogonal, so pairs agreeing on BOTH top
+# components max out near cos≈0.35 at sf0.01 — real embedding dedup runs
+# this query at 0.9+ where the top-2 agreement assumption is strong.
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COSINE
+    """IVF-path cosine near-dup pairs over the two-level (sorted top-2
+    |component|) cell — rewritten in r4 after the sf1 scaling run measured
+    the single-argmax cell's self-join at 98× time for 10× rows (uniform
+    growth makes every one of only ``dim`` cells 10× hotter; see
+    SCALING.md sf1 table)."""
+    return run_released(
+        spark,
+        lambda: similarity.embedding_near_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=IVF_NEAR_DUP_COSINE,
+            max_bucket_size=EMBEDDING_CELL_CAP,
+        ),
     )
 
 
+# Top-2 |component| indices, ties broken first-occurrence — mirrors
+# top_p_buckets' (-|x|, idx) struct sort: m1 is the first position of the
+# max; m2 re-scans with position m1 masked to -1, so a duplicated max
+# value yields its SECOND occurrence, exactly the struct sort's idx-asc
+# tie order.
+_MASKED_ABS = (
+    "list_transform(range(1, len(e) + 1),"
+    " i -> CASE WHEN i = m1 THEN -1.0 ELSE abs(e[i]) END)"
+)
+
 ORACLE_EMBEDDING_NEAR_DUP = f"""WITH {_V_CTE},
-vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL.format(e='e')} AS BIGINT) AS bucket FROM v)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.e', 'b.e')} AS cosine
-FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.e', 'b.e')} >= {NEAR_DUP_COSINE:e}"""
+vm AS (SELECT vec_id, e, {_BUCKET_SQL.format(e='e')} AS m1 FROM v),
+vm2 AS (SELECT vec_id, e, m1,
+        list_position({_MASKED_ABS}, list_max({_MASKED_ABS})) AS m2 FROM vm),
+vu AS (SELECT vec_id, e, least(m1, m2) AS c1, greatest(m1, m2) AS c2,
+        sqrt(list_sum(list_transform(e, y -> y * y))) AS n
+        FROM vm2)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ({_DOT.format(a='a.e', b='b.e')}) / (a.n * b.n) AS cosine
+FROM vu a JOIN vu b ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
+WHERE ({_DOT.format(a='a.e', b='b.e')}) / (a.n * b.n) >= {IVF_NEAR_DUP_COSINE:e}"""
 
 
 HYPERPLANE_BUCKET_CAP = 150  # > sf0.01 max bucket (119): correctness-scale

@@ -163,27 +163,60 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
-    cosine >= threshold, id_a < id_b, candidates bucketed by the coarse
-    quantizer (near-identical vectors share an argmax component).
-    ``max_bucket_size`` caps the self-joined bucket size (skew guard,
-    logged drop)."""
+    cosine >= threshold, id_a < id_b, candidates bucketed by a TWO-LEVEL
+    coarse quantizer: the cell is the *sorted* pair of top-2 |component|
+    indices. Near-identical vectors share their two dominant components
+    (sorting makes the cell invariant to a rank swap between them); the
+    residual recall trade — components 2 and 3 in a near-tie — is the
+    same family as IVF ``n_probes`` and is why the sign-LSH variant
+    (:func:`hyperplane_near_dup_pairs`) exists as the high-recall path.
+
+    Why two levels: the single-argmax cell made the self-join
+    O(Σ_cell |cell|²) over only ``dim`` cells, which grows quadratically
+    when the corpus grows uniformly — measured 98× time at 10× rows
+    (SCALING.md sf1 table). ``dim·(dim−1)/2`` sorted-pair cells keep
+    per-cell population — and the pair join — ~O(corpus) under uniform
+    growth; ``max_bucket_size`` still caps genuinely hot cells
+    (dominant-component skew in real embedding sets; logged drop).
+
+    Verification is norm-once: each row carries its scalar L2 norm, so a
+    candidate pair costs ONE dot fold plus a division — not dot+2 norms.
+    (An earlier draft materialized unit vectors instead; the per-element
+    division lambda re-inlines through projection collapse and tripled
+    the row-local cost — scalars don't.) The capped projection is
+    scope-cached (``persist``) because three plan branches consume it:
+    the cap's window count and both self-join sides."""
     from forgettable_spark.extensions.dedup import cap_hot_buckets
 
-    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")).withColumn(
-        "bucket", argmax_bucket(F.col("_v"))
+    cells = F.array_sort(top_p_buckets(F.col("_v"), 2))
+    v = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+        .withColumn("_c1", F.element_at(cells, 1))
+        .withColumn("_c2", F.element_at(cells, 2))
     )
-    v = cap_hot_buckets(v, ["bucket"], max_bucket_size, "embedding_near_dup_pairs", log_dropped)
+    v = cap_hot_buckets(
+        v, ["_c1", "_c2"], max_bucket_size, "embedding_near_dup_pairs", log_dropped
+    )
+    if persist:
+        from forgettable_spark.functions.cache import scoped_cache
+
+        v = scoped_cache(v)
     a = v.alias("a")
     b = v.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a._c1") == F.col("b._c1"))
+            & (F.col("a._c2") == F.col("b._c2"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("cosine", cosine(F.col("a._v"), F.col("b._v")))
+        .withColumn(
+            "cosine", dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

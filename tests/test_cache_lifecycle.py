@@ -19,6 +19,7 @@ CACHING_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_simhash_capped",
     "dedup_components",
+    "embedding_near_dup",
     "embedding_near_dup_hyperplane",
     "ann_recall",
 ]
