@@ -9,16 +9,21 @@ duplicates:
   p_partkey, s_suppkey) get per-copy offsets, preserving FK integrity
   (order copy i joins customer copy i, lineitem copy i joins order/part/
   supplier copy i);
-- document text is perturbed per copy (a per-copy suffix token) so dedup
-  candidate generation scales like real near-dup data instead of
-  exploding on exact 10-way duplicate groups;
-- embeddings are perturbed per copy (one component nudged) so ANN sees
-  distinct vectors; user_id / event_type / ts are left alone, so the
-  number of live distributions stays constant while rows-per-distribution
-  grow with the factor - how a real event log scales.
+- document text is re-tokenized per copy (every token gets a copy tag,
+  so cross-copy shingle/SimHash/MinHash similarity is ~0): near-dup
+  structure WITHIN each copy is preserved exactly, so candidate pairs
+  scale linearly with the factor — a single suffix token would instead
+  leave copies >0.95 Jaccard-similar and turn every document into a
+  FACTOR-clique (quadratic pair blowup that no real corpus has);
+- embeddings are decorrelated per copy (cyclic dimension roll + an
+  i-dependent sign-flip pattern, norm-preserving), so cross-copy cosine
+  is ~0 and ANN/near-dup candidate structure also scales linearly;
+- user_id / event_type / ts are left alone, so the number of live
+  distributions stays constant while rows-per-distribution grow with
+  the factor - how a real event log scales.
 
 Usage: python scripts/make_scaled_sf.py [--src /root/testdata/sf0.1]
-                                        [--dst /tmp/sf1] [--factor 10]
+                                        [--dst .scratch/sf1] [--factor 10]
 """
 
 from __future__ import annotations
@@ -50,24 +55,24 @@ def scale_table(name: str, table: pa.Table, i: int) -> pa.Table:
     elif name == "documents":
         off = key_off("doc_id")
         cols["doc_id"] = _offset(cols["doc_id"], off)
-        suffix = pc.binary_join_element_wise(
-            pa.chunked_array([pa.array([""] * len(table))]),
-            pc.cast(cols["doc_id"], pa.string()),
-            f" sfcopy{i}d",
-        )
-        cols["text"] = pc.binary_join_element_wise(
-            cols["text"], suffix, ""
+        # Tag EVERY token with the copy index: within-copy similarity is
+        # bit-identical to the source corpus, cross-copy shingle overlap
+        # is zero — near-dup pairs scale linearly with the factor.
+        cols["text"] = pc.replace_substring_regex(
+            cols["text"], pattern=r"(\w+)", replacement=rf"\1q{i}"
         )
         cols["n_chars"] = pc.cast(pc.utf8_length(cols["text"]), pa.int64())
     elif name == "embeddings":
         off = key_off("vec_id")
-        vec_ids = cols["vec_id"].to_numpy()
         emb = np.stack(cols["embedding"].to_numpy(zero_copy_only=False))
         dim = emb.shape[1]
-        # nudge one component per vector so copies are distinct vectors
-        idx = (vec_ids + i) % dim
-        emb = emb.copy()
-        emb[np.arange(len(emb)), idx] += 0.001 * i
+        # Norm-preserving decorrelation: cyclic roll by a copy-dependent
+        # stride plus an i-dependent sign-flip pattern. Cross-copy cosine
+        # collapses to ~0 while within-copy geometry (all pairwise dots)
+        # is exactly preserved.
+        emb = np.roll(emb, shift=(i * 7) % dim, axis=1)
+        signs = np.where((np.arange(dim) * i) % 3 == 0, 1.0, -1.0).astype(emb.dtype)
+        emb = emb * signs
         cols["vec_id"] = _offset(cols["vec_id"], off)
         cols["embedding"] = pa.chunked_array(
             [pa.array(list(emb), type=pa.list_(pa.float32()))]
@@ -91,7 +96,7 @@ def scale_table(name: str, table: pa.Table, i: int) -> pa.Table:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--dst", default="/tmp/sf1")
+    ap.add_argument("--dst", default=".scratch/sf1")
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
