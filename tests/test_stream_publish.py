@@ -73,6 +73,19 @@ def test_stream_publish_end_to_end(spark, dirs):
     assert v2[("animals", "cat")] == 7
     assert v2[("colors", "red")] == 5
 
+    # per-batch written BYTES scale with the batch, not the baseline:
+    # version 2's newly staged segment holds only the touched
+    # distribution's rows ('colors'), never a rewrite of 'animals'
+    seg2 = table._segments(table.manifest(2))[-1]["data_path"]
+    seg2_rows = spark.read.parquet(seg2).collect()
+    assert {r["distribution"] for r in seg2_rows} == {"colors"}
+    assert len(seg2_rows) <= 2  # red + blue, not the 3-row baseline
+    # and version 2 SHARES version 1's base segment rather than copying it
+    assert (
+        table._segments(table.manifest(2))[0]["data_path"]
+        == table._segments(table.manifest(1))[0]["data_path"]
+    )
+
     # the published baseline is a valid increment log: snapshot + get_dist
     # over it equals the direct batch pipeline over the raw events
     # the helper writes tz-naive micro timestamps (NTZ on read); the test
