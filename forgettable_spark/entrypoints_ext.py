@@ -33,7 +33,12 @@ ANN_PROBES = 2  # multi-probe IVF: search the 2 best quantizer cells
 ANN_RECALL_N = 20
 NEAR_DUP_COSINE = 0.4  # demo threshold: the synthetic vectors are near-orthogonal
 SIMHASH_MAX_HAMMING = 3
-SIMHASH_BUCKET_CAP = 30  # hot-bucket cap: bites at sf0.01 (largest block = 128 docs)
+SIMHASH_BUCKET_CAP = 5  # hot-bucket cap for the registered capped variant:
+# the smallest value that CHANGES the sf0.01 output (13 -> 12 pairs), so the
+# driver hash-match verifies the drop SEMANTICS, not just the plumbing (with
+# 15-bit bands the largest sf0.01 block holds 27 docs and caps >=10 drop only
+# buckets whose pairs all re-form through other bands). Production corpora
+# tune this orders of magnitude higher; it exists to bound boilerplate skew.
 
 _STOP_LIST_SQL = ", ".join(f"'{w}'" for w in text.ALL_STOPWORDS)
 
@@ -240,7 +245,7 @@ def _simhash_sql(th_col: str = "th") -> str:
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform({th_col}, x -> ((x >> {j}) & 1) * 2 - 1)) > 0"
         f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(32)
+        for j in range(60)
     )
     return terms
 
@@ -248,7 +253,7 @@ def _simhash_sql(th_col: str = "th") -> str:
 ORACLE_DEDUP_SIMHASH = f"""WITH h AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
-                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
   FROM documents
 )
 SELECT doc_id, {_simhash_sql()} AS simhash FROM h"""
@@ -280,14 +285,14 @@ def _simhash_cand_cte(cap: int | None = None) -> str:
     return f"""h AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
-                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
   FROM documents
 ),
 sim AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM h),
 blocked0 AS (
   SELECT doc_id, simhash, unnest(range(0, 4)) AS block,
-         unnest([(simhash >> 0) & 255, (simhash >> 8) & 255,
-                 (simhash >> 16) & 255, (simhash >> 24) & 255]) AS byte
+         unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+                 (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS byte
   FROM sim
 ),
 {capped},

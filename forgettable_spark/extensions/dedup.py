@@ -9,7 +9,7 @@ as declarative Spark plans:
   doc_id), never the text) → verify candidates with true Jaccard.
 - **n-gram Jaccard** — brute-force verified pairs inside a blocking key
   (default: ``lang``); the quadratic baseline the LSH path approximates.
-- **SimHash** — 32-bit sign-of-weighted-sum sketch (row-local), near-dup
+- **SimHash** — 60-bit sign-of-weighted-sum sketch, near-dup
   candidates via the byte-block pigeonhole (hamming ≤ 3 ⇒ some byte of 4
   equal), verified with ``bit_count(xor)``.
 
@@ -355,82 +355,132 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------
 
 
-def token_hash32(t: Column) -> Column:
-    """32-bit token hash: first 8 hex chars of md5, parsed to BIGINT.
+#: SimHash geometry. 60 bits (not 64) so the packed sketch and the
+#: per-token hash stay inside a SIGNED BIGINT in both engines (Spark
+#: ``conv`` and DuckDB ``::BIGINT`` both overflow above 2^63); 4 blocks
+#: of 15 bits satisfy the pigeonhole bound for hamming <= 3 (3 errors
+#: can dirty at most 3 of 4 blocks). Block width is the SCALE knob:
+#: random corpus-pair band collisions cost 1/2^width per band, so 8-bit
+#: bands (the old 32-bit sketch's only option) made candidates grow
+#: quadratically with corpus size — measured 2.5M -> 49.5M candidates
+#: for 5k -> 50k docs, vs 272k -> 4.2M with 15-bit bands (SCALING.md
+#: sf1 table). The same geometry as Manku et al.'s 64-bit/4-block
+#: web-crawl configuration.
+SIMHASH_BITS = 60
+SIMHASH_BLOCK_BITS = 15
+SIMHASH_BLOCKS = 4
+_SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
 
-    Oracle twin: ``('0x' || substr(md5(t), 1, 8))::BIGINT`` — both parse
-    the same 8 hex chars, so values agree exactly.
+
+def token_hash60(t: Column) -> Column:
+    """60-bit token hash: first 15 hex chars of md5, parsed to BIGINT.
+
+    Oracle twin: ``('0x' || substr(md5(t), 1, 15))::BIGINT`` — both parse
+    the same 15 hex chars, so values agree exactly.
     """
-    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
 
 
-def simhash_column(text: Column) -> Column:
-    """Row-local 32-bit SimHash as a single Column expression — the
+def simhash_column(text: Column, token_hash=None) -> Column:
+    """Row-local 60-bit SimHash as a single Column expression — the
     streaming-friendly twin of :func:`simhash_sketch`.
 
     Same sketch, different shape constraint: a stream can't run the
     batch path's explode + keyed aggregation before stateful dedup
     (chained stateful operators), so this folds the token-hash array
-    with a 32-vector accumulator entirely inside the row. Interpreted
+    with a per-bit accumulator entirely inside the row. Interpreted
     HOF evaluation makes it ~1.6× slower per byte than the batch
     aggregation — acceptable on a stream, where per-batch volume is
     small; batch jobs should use :func:`simhash_sketch`. Values are
     bit-identical between the two (asserted in tests).
+
+    ``token_hash`` as in :func:`simhash_sketch`.
     """
-    hashed = F.transform(tokens(text), token_hash32)
-    init = F.array(*[F.lit(0).cast("bigint") for _ in range(32)])
+    hashed = F.transform(tokens(text), token_hash or token_hash60)
+    init = F.array(*[F.lit(0).cast("bigint") for _ in range(SIMHASH_BITS)])
 
     def merge(acc: Column, th: Column) -> Column:
-        bits = F.array(*[(F.shiftright(th, j) % 2) * 2 - 1 for j in range(32)])
+        # bitwiseAND, not % 2: a signed hash (xxhash64) shifted right
+        # sign-extends, and Spark's % keeps the dividend's sign — so
+        # (th>>j) % 2 yields -1 for negative hashes and every vote would
+        # read as "bit clear". & 1 extracts the bit for any sign.
+        bits = F.array(
+            *[
+                F.shiftright(th, j).bitwiseAND(F.lit(1)) * 2 - 1
+                for j in range(SIMHASH_BITS)
+            ]
+        )
         return F.zip_with(acc, bits, lambda a, b: a + b)
 
     votes = F.aggregate(hashed, init, merge)
     # Pack bits with ONE reference to the fold result: a per-element
-    # when() zipped against bit weights, summed. Referencing `votes` 32
+    # when() zipped against bit weights, summed. Referencing `votes` 60
     # times (one per bit) would re-inline the whole interpreted fold per
-    # bit — 32× the work.
-    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(32)])
+    # bit — 60× the work.
+    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
     flags = F.zip_with(
         votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint"))
     )
     return F.aggregate(flags, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
-def simhash_sketch(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — 32-bit SimHash of the token multiset.
+def simhash_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash=None,
+) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash of the token multiset.
 
-    Per token: 32 bits of :func:`token_hash32`; each occurrence votes
+    Per token: 60 bits of :func:`token_hash60`; each occurrence votes
     +1/-1 per bit position; simhash bit j is 1 iff the vote sum is
     positive. NULL or empty text sketches to 0 (callers that must not
     match NULLs exclude them first — see :func:`simhash_pairs`).
 
-    Shape: explode tokens → hash → grouped conditional sums (32 bit-vote
+    ``token_hash`` (Column → Column, default :func:`token_hash60`)
+    exists because the default is an ORACLE-PARITY pin, not the fast
+    path: md5+conv is the one token hash both this engine and DuckDB
+    compute bit-identically, and it costs ~2 s of the sf1 corpus's
+    ~4 s sketch stage (JVM MessageDigest per token occurrence). A
+    production deployment with no cross-engine verification constraint
+    should pass ``lambda t: F.xxhash64(t)`` — measured 5× cheaper per token with
+    identical sketch geometry (bits 0..59 of the 64-bit hash).
+
+    Shape: explode tokens → hash → grouped conditional sums (60 bit-vote
     columns) → pack bits. This deliberately trades the previous row-local
-    32-vector ``aggregate`` fold for explode + hash aggregation: Spark
+    per-bit ``aggregate`` fold for explode + hash aggregation: Spark
     evaluates higher-order functions interpreted (outside whole-stage
     codegen), and the measured end-to-end cost of the interpreted fold is
     ~1.6× the codegen'd aggregation on the same corpus. The aggregation's
     map-side partial collapses every doc's tokens inside the scan stage
     (a doc's tokens are co-located by construction), so the exchange
-    carries ONE 32-counter row per document — the same order of shuffle
-    the downstream candidate join (4 byte-block rows per doc) already
+    carries ONE 60-counter row per document — the same order of shuffle
+    the downstream candidate join (4 block rows per doc) already
     pays, bought for ~1.6× less CPU on the corpus-sized stage.
     """
     ex = docs.select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
     )
-    votes = ex.select(F.col(id_col), token_hash32(F.col("_tok")).alias("_th")).groupBy(
+    # Set-bit counts, not ±1 votes: sum((th>>j)&1) is half the per-token
+    # arithmetic of sum(((th>>j)%2)*2-1), and the majority test
+    # 2·ones_j > n_tokens is bit-identical to votes_j > 0 (a tie yields
+    # bit 0 under both). n_tokens = count(_th) skips the NULL row
+    # explode_outer emits for empty/NULL text, so those sketch to 0.
+    votes = ex.select(
+        F.col(id_col), (token_hash or token_hash60)(F.col("_tok")).alias("_th")
+    ).groupBy(
         id_col
     ).agg(
+        F.count("_th").alias("_n"),
         *[
-            F.sum((F.shiftright(F.col("_th"), j) % 2) * 2 - 1).alias(f"_v{j}")
-            for j in range(32)
-        ]
+            F.sum(F.shiftright(F.col("_th"), j).bitwiseAND(F.lit(1))).alias(f"_v{j}")
+            for j in range(SIMHASH_BITS)
+        ],
     )
     sim = F.lit(0).cast("bigint")
-    for j in range(32):
+    for j in range(SIMHASH_BITS):
         sim = sim + F.when(
-            F.col(f"_v{j}") > 0, F.lit(1 << j).cast("bigint")
+            F.col(f"_v{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
@@ -443,18 +493,24 @@ def simhash_pairs(
     persist: bool = False,
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    token_hash=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(a, b) <= max_hamming (default 3).
+    ``token_hash`` as in :func:`simhash_sketch` (pass ``lambda t: F.xxhash64(t)``
+    when cross-engine verifiability is not required).
 
-    Candidate generation by the pigeonhole principle: a 32-bit sketch
-    splits into 4 bytes; hamming <= 3 implies at least one byte matches
-    exactly, so candidates are an equi-join on (byte_index, byte_value) —
-    fixed-width keys, no text shuffled. Verification is
-    ``bit_count(xor) <= max_hamming``. ``max_bucket_size`` drops
-    (block, byte) buckets larger than the cap before the self-join
-    (see :func:`cap_hot_buckets`) — near-identical boilerplate makes one
-    byte value dominate a block and the cap keeps that bucket from
-    squaring.
+    Candidate generation by the pigeonhole principle: the 60-bit sketch
+    splits into 4 blocks of 15 bits; hamming <= 3 implies at least one
+    block matches exactly, so candidates are an equi-join on
+    (block_index, block_value) — fixed-width keys, no text shuffled.
+    Verification is ``bit_count(xor) <= max_hamming``. Block width is
+    what keeps the join linear in the corpus: a random non-dup pair
+    collides on a 15-bit band with probability 1/32768 per band (the
+    old 8-bit bands' 1/256 made candidates quadratic — SCALING.md sf1
+    table). ``max_bucket_size`` drops (block, byte) buckets larger than
+    the cap before the self-join (see :func:`cap_hot_buckets`) —
+    near-identical boilerplate makes one block value dominate and the
+    cap keeps that bucket from squaring.
 
     ``persist`` defaults to False: the sketch ends in the doc_id
     aggregation exchange (see :func:`simhash_sketch`), and both sides of
@@ -467,14 +523,20 @@ def simhash_pairs(
     # hamming 0 — but verification here is sketch-only (no content
     # join-back), so they must be excluded up front: NULL matches nothing.
     docs = docs.filter(F.col(text_col).isNotNull())
-    sk = simhash_sketch(docs, text_col, id_col)
+    sk = simhash_sketch(docs, text_col, id_col, token_hash=token_hash)
     if persist:
         sk = scoped_cache(sk)
     blocked = sk.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftright(F.col("simhash"), 8 * i) % 256 for i in range(4)])
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * i)
+                    % (_SIMHASH_BLOCK_MASK + 1)
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
         ).alias("block", "byte"),
     )
     blocked = cap_hot_buckets(

@@ -292,7 +292,7 @@ def streaming_simhash_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming sketch-level near-dup: emit only the first document per
-    32-bit SimHash value within the watermark window.
+    60-bit SimHash value within the watermark window.
 
     The near-dup tier between exact content dedup and the batch pairwise
     pass: token-order changes, whitespace noise, and small substitutions

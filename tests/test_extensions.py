@@ -72,6 +72,33 @@ def test_simhash_close_for_near_dups(docs):
         assert h <= 10, f"near-dup pair {p} has hamming {h}"
 
 
+def test_simhash_xxhash64_fast_path(docs):
+    """The production token-hash hook: F.xxhash64 in place of the
+    oracle-parity md5 hash. Batch sketch and row-local column must stay
+    bit-identical to each other under the alternate hash, and the pairs
+    pipeline must run end-to-end on it."""
+    spark = docs.sparkSession
+    batch = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_sketch(docs, token_hash=lambda t: F.xxhash64(t)).collect()
+    }
+    col = {
+        r["doc_id"]: r["simhash"]
+        for r in docs.select(
+            "doc_id",
+            dedup.simhash_column(F.col("text"), token_hash=lambda t: F.xxhash64(t)).alias("simhash"),
+        ).collect()
+    }
+    assert batch == col
+    assert all(0 <= v < (1 << 60) for v in batch.values())
+    # different hash family -> (almost surely) different sketches
+    md5_sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash_sketch(docs).collect()}
+    assert batch != md5_sk
+    pairs = dedup.simhash_pairs(docs, token_hash=lambda t: F.xxhash64(t))
+    assert pairs.columns == ["doc_a", "doc_b", "hamming"]
+    pairs.collect()
+
+
 def test_brute_force_topk_sanity(emb):
     q = emb.filter(F.col("vec_id") == 0)
     out = similarity.brute_force_topk(emb, q, k=5).collect()
