@@ -529,7 +529,11 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``get_dist_wipe_regime`` — ``get_dist_all`` at the default rate,
       exercising the e^-λ wipe regime;
     - ``get_field_compat_partial_z`` — the reference's partial-Z /get
-      quirk, a parameter twist of ``get_field``.
+      quirk, a parameter twist of ``get_field``;
+    - ``dedup_chunk_exact`` — NEW in r4 (sub-document duplicated-chunk
+      detection); secondary only because the primary registry sits at
+      the driver's 50-query cap — first candidate for the next
+      rotation.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -544,6 +548,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
         "get_dist_wipe_regime": q_get_dist_wipe_regime,
         "get_field_compat_partial_z": q_get_field_compat_partial_z,
+        "dedup_chunk_exact": entrypoints_ext.q_dedup_chunk_exact,
     }
 
 
@@ -641,4 +646,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
         "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
         "get_field_compat_partial_z": _oracle_get_field_compat(),
+        "dedup_chunk_exact": entrypoints_ext.ORACLE_DEDUP_CHUNK_EXACT,
     }

@@ -237,6 +237,38 @@ FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD:e}"""
 
 
+CHUNK_DEDUP_WIDTH = 20
+
+
+def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: duplicated 20-token chunks across the
+    corpus (Lee et al. 2022's exact-substring motivation, fixed-window
+    approximation). Lazy — output scales with duplicated chunks."""
+    return dedup.chunk_dedup(
+        load_table(spark, sf_dir, "documents"), width=CHUNK_DEDUP_WIDTH
+    )
+
+
+ORACLE_DEDUP_CHUNK_EXACT = f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         md5(array_to_string(
+           w[(i * {CHUNK_DEDUP_WIDTH} + 1):(i * {CHUNK_DEDUP_WIDTH} + {CHUNK_DEDUP_WIDTH})],
+           ' ')) AS chunk_md5
+  FROM t, unnest(range(0, CAST(ceil(len(w) / {CHUNK_DEDUP_WIDTH}.0) AS BIGINT))) AS u(i)
+),
+m AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY chunk_md5) AS n_copies,
+         ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id, chunk_idx, chunk_md5, n_copies, rn = 1 AS is_canonical
+FROM m WHERE n_copies > 1"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_sketch(load_table(spark, sf_dir, "documents"))
 

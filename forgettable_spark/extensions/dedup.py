@@ -352,6 +352,70 @@ def ngram_jaccard_pairs(
     return _verify_candidate_pairs(cand, sh.select(id_col, "shd", "nsh"), id_col, threshold)
 
 
+# --- Chunk-level exact dedup -------------------------------------------
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 20,
+) -> DataFrame:
+    """Exact duplicate detection at sub-document granularity: fixed
+    ``width``-token chunks, reported when the same chunk text appears
+    more than once anywhere in the corpus.
+
+    The training-data step document-level dedup misses: boilerplate
+    headers, license blocks, and quoted passages repeat across otherwise
+    distinct documents (the motivation for exact substring dedup in
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, which uses 50-token windows; fixed non-overlapping chunks
+    are the cheap corpus-scale approximation of their suffix-array
+    pass). A downstream pass can drop every non-canonical occurrence's
+    span from its document.
+
+    Returns one row per occurrence of a duplicated chunk:
+    ``(doc_id, chunk_idx, chunk_md5, n_copies, is_canonical)`` with
+    ``is_canonical`` marking the first occurrence in (doc_id,
+    chunk_idx) order — O(duplicated occurrences), not O(corpus).
+
+    Scale shape: chunking and hashing are row-local at scan time; the
+    single shuffle is keyed by ``chunk_md5`` (fixed 32 chars — chunk
+    TEXT never moves), and the count + canonical-rank windows share
+    that one exchange. The final tail chunk may be shorter than
+    ``width``; it participates as-is (deterministic, oracle-mirrored).
+    """
+    w = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(width)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width)),
+    )
+    exploded = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+    )
+    hashed = exploded.select(
+        id_col, "chunk_idx", F.md5(F.col("_chunk")).alias("chunk_md5")
+    )
+    from pyspark.sql import Window
+
+    wdup = Window.partitionBy("chunk_md5")
+    worder = wdup.orderBy(id_col, "chunk_idx")
+    return (
+        hashed.withColumn("n_copies", F.count("*").over(wdup).cast("bigint"))
+        .withColumn("_rn", F.row_number().over(worder))
+        .filter(F.col("n_copies") > 1)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint"),
+            "chunk_md5",
+            "n_copies",
+            (F.col("_rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------
 
 

@@ -33,6 +33,13 @@ def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(FORGET_EVENTS_SCHEMA).parquet(path)
 
 
+def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — typed like parquet (no wire-string normalization);
+    predicate pushdown and column pruning work the same way, so a
+    bucketed ORC log serves the zero-exchange read path identically."""
+    return spark.read.schema(FORGET_EVENTS_SCHEMA).orc(path)
+
+
 def read_events_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
     return _normalize(spark.read.schema(_WIRE_SCHEMA).option("header", header).csv(path))
 

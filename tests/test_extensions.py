@@ -99,6 +99,26 @@ def test_simhash_xxhash64_fast_path(docs):
     pairs.collect()
 
 
+def test_chunk_dedup_finds_planted_chunk(spark):
+    """A 20-token block shared verbatim by two docs must surface as one
+    duplicated chunk with the earlier (doc_id, chunk_idx) canonical;
+    unique text must produce nothing."""
+    block = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, block + " tail one"),            # chunk 0 == block, chunk 1 = tail
+        (2, "unique words only here"),
+        (3, block),                           # chunk 0 == block again
+        (4, None),                            # NULL text: excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.chunk_dedup(docs, width=20).collect()
+    assert {(r["doc_id"], r["chunk_idx"]) for r in out} == {(1, 0), (3, 0)}
+    by_key = {(r["doc_id"], r["chunk_idx"]): r for r in out}
+    assert by_key[(1, 0)]["is_canonical"] is True
+    assert by_key[(3, 0)]["is_canonical"] is False
+    assert all(r["n_copies"] == 2 for r in out)
+
+
 def test_brute_force_topk_sanity(emb):
     q = emb.filter(F.col("vec_id") == 0)
     out = similarity.brute_force_topk(emb, q, k=5).collect()

@@ -28,7 +28,7 @@ def events(spark):
     return spark.createDataFrame(ROWS, FORGET_EVENTS_SCHEMA)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_roundtrip(spark, events, fmt):
     d = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
     try:
@@ -37,6 +37,7 @@ def test_roundtrip(spark, events, fmt):
             "parquet": formats.read_events_parquet,
             "csv": formats.read_events_csv,
             "json": formats.read_events_json,
+            "orc": formats.read_events_orc,
         }[fmt]
         back = reader(spark, d)
         assert back.schema == FORGET_EVENTS_SCHEMA or [f.name for f in back.schema.fields] == [

@@ -56,6 +56,21 @@ def test_scan_prunes_columns(spark):
     assert "value" not in rs and "props" not in rs
 
 
+def test_chunk_dedup_single_hash_exchange_no_text(spark):
+    """Sub-document chunk dedup: chunking + md5 are scan-stage row-local;
+    the count and canonical-rank windows must share ONE exchange keyed by
+    chunk_md5, and the chunk text must never ride a shuffle (only the
+    fixed-width hash does)."""
+    plan = _formatted_plan(ep.secondary_queries()["dedup_chunk_exact"](spark, SF_SMOKE))
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l
+    ]
+    assert len(exchanges) == 1, f"expected 1 exchange:\n" + "\n".join(exchanges)
+    assert "hashpartitioning(chunk_md5" in plan
+    # the exploded chunk string is projected away before the exchange
+    assert "_chunk" not in plan.split("Exchange", 1)[1].split("Project", 1)[0]
+
+
 def test_text_ops_are_shuffle_free(spark):
     """Text analysis is row-local: no Exchange anywhere in the plan."""
     plan = _formatted_plan(ep.queries()["text_stats"](spark, SF_SMOKE))
