@@ -355,6 +355,21 @@ def ngram_jaccard_pairs(
 # --- Chunk-level exact dedup -------------------------------------------
 
 
+def chunk_array(text: Column, width: int = 20) -> Column:
+    """Non-overlapping ``width``-token chunk texts as an array — the
+    shared chunking expression of batch :func:`chunk_dedup` and the
+    streaming twin (:func:`forgettable_spark.streaming.forget_stream.
+    streaming_chunk_dedup`), so ingest-time and batch passes can never
+    disagree on chunk boundaries. Row-local; the tail chunk may be
+    shorter than ``width``."""
+    w = tokens(text)
+    n_chunks = F.ceil(F.size(w) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width)),
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -385,15 +400,11 @@ def chunk_dedup(
     that one exchange. The final tail chunk may be shorter than
     ``width``; it participates as-is (deterministic, oracle-mirrored).
     """
-    w = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(w) / F.lit(width)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width)),
-    )
     exploded = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+        F.posexplode(chunk_array(F.col(text_col), width)).alias(
+            "chunk_idx", "_chunk"
+        ),
     )
     hashed = exploded.select(
         id_col, "chunk_idx", F.md5(F.col("_chunk")).alias("chunk_md5")

@@ -5,6 +5,7 @@ from forgettable_spark.streaming.forget_stream import (
     read_increment_stream,
     streaming_snapshot,
     streaming_forget_table,
+    streaming_chunk_dedup,
     streaming_exact_dedup,
     streaming_simhash_dedup,
     windowed_event_counts,
@@ -18,6 +19,7 @@ __all__ = [
     "read_increment_stream",
     "streaming_snapshot",
     "streaming_forget_table",
+    "streaming_chunk_dedup",
     "streaming_exact_dedup",
     "streaming_simhash_dedup",
     "windowed_event_counts",

@@ -285,6 +285,51 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    width: int = 20,
+) -> DataFrame:
+    """Streaming sub-document dedup: explode each document into
+    fixed-``width`` token chunks and emit only the FIRST occurrence of
+    each chunk hash within the watermark window.
+
+    The ingest-time twin of the batch :func:`forgettable_spark.
+    extensions.dedup.chunk_dedup`: boilerplate blocks repeated across a
+    crawl are suppressed as they arrive, while the batch pass over the
+    compacted corpus computes the global copy counts and canonical
+    occupants. Both sides chunk through the SAME expression
+    (:func:`~forgettable_spark.extensions.dedup.chunk_array`), so they
+    can never disagree on chunk boundaries. Output is chunk-granular —
+    ``(doc_id, ts, chunk_idx, chunk_md5)`` — a kept-span list the
+    ingest sink joins back against its documents. NULL-text documents
+    emit nothing (the batch contract: NULL matches nothing). State: one
+    row per distinct chunk hash in the window, evicted by the
+    watermark.
+    """
+    from forgettable_spark.extensions.dedup import chunk_array
+
+    exploded = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(chunk_array(F.col(text_col), width)).alias(
+            "chunk_idx", "_chunk"
+        ),
+    )
+    hashed = exploded.select(
+        id_col,
+        ts_col,
+        F.col("chunk_idx").cast("bigint"),
+        F.md5(F.col("_chunk")).alias("chunk_md5"),
+    )
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["chunk_md5"]
+    )
+
+
 def streaming_simhash_dedup(
     docs: DataFrame,
     text_col: str = "text",

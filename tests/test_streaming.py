@@ -477,6 +477,60 @@ def test_streaming_simhash_dedup(spark, stream_dir):
     assert kept == [1, 3]
 
 
+def test_streaming_chunk_dedup(spark, stream_dir):
+    """Sub-document dedup at ingest: a 20-token block repeated verbatim
+    in a later document is suppressed (only its first occurrence's chunk
+    row is emitted); unique chunks pass. Chunk boundaries come from the
+    same chunk_array expression the batch pass uses."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forgettable_spark.streaming import streaming_chunk_dedup
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("ts", pa.timestamp("us", tz="UTC"))]
+    )
+
+    def write_docs(name, rows):
+        t = pa.Table.from_pylist(
+            [{"doc_id": i, "text": tx, "ts": ts} for i, tx, ts in rows], schema=schema
+        )
+        fp = os.path.join(stream_dir, name)
+        pq.write_table(t, fp)
+        _BATCH_SEQ[0] += 1
+        mt = 1_700_000_000 + _BATCH_SEQ[0]
+        os.utime(fp, (mt, mt))
+
+    block = " ".join(f"w{i}" for i in range(20))
+    write_docs("c1.parquet", [(1, block + " tail one two", _ts(0))])
+    # doc 2 repeats the block (chunk 0 suppressed) but adds a new tail
+    # (its chunk 1 passes); doc 3 is NULL text (emits nothing)
+    write_docs("c2.parquet", [(2, block + " other tail here", _ts(5)),
+                              (3, None, _ts(6))])
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_chunk_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("chunk_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_idx"])
+        for r in spark.sql("SELECT doc_id, chunk_idx FROM chunk_stream_test").collect()
+    }
+    assert got == {(1, 0), (1, 1), (2, 1)}
+
+
 def test_streaming_simhash_dedup_null_text_passes_through(spark, stream_dir):
     """NULL-text docs never participate in sketch dedup (batch contract:
     simhash_pairs filters isNotNull — NULL matches nothing). Both NULL
