@@ -533,7 +533,10 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``dedup_chunk_exact`` — NEW in r4 (sub-document duplicated-chunk
       detection); secondary only because the primary registry sits at
       the driver's 50-query cap — first candidate for the next
-      rotation.
+      rotation;
+    - ``ann_signature_topk`` — NEW in r4 (sign-LSH-cell IVF, the
+      corpus-scalable cell scheme); same 50-cap reason, second rotation
+      candidate.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -549,6 +552,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_wipe_regime": q_get_dist_wipe_regime,
         "get_field_compat_partial_z": q_get_field_compat_partial_z,
         "dedup_chunk_exact": entrypoints_ext.q_dedup_chunk_exact,
+        "ann_signature_topk": entrypoints_ext.q_ann_signature_topk,
     }
 
 
@@ -647,4 +651,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
         "get_field_compat_partial_z": _oracle_get_field_compat(),
         "dedup_chunk_exact": entrypoints_ext.ORACLE_DEDUP_CHUNK_EXACT,
+        "ann_signature_topk": entrypoints_ext._oracle_ann_signature(),
     }

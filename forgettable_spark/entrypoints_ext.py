@@ -397,6 +397,62 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {ANN_K}"""
 
 
+SIG_ANN_BITS = 6  # 64 cells at correctness scale (~9 vectors/cell at
+# sf0.01); at corpus scale bits grow with log2(corpus/target_cell) —
+# the whole point of the signature cell (see similarity.signature_cell)
+SIG_ANN_FLIPS = 2  # exact cell + 2 one-bit-flip probes
+SIG_ANN_CAP = 8  # sample-to-cap bites at sf0.01 (largest cell = 34), so
+# the hash match verifies the deterministic-subsample semantics — the
+# knob that keeps clustered-corpus ANN linear (SCALING.md sf3)
+
+
+def q_ann_signature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over sign-LSH cells with one-bit-flip multiprobe and
+    sample-to-cap cell bounding — the corpus-scalable IVF variant
+    (argmax cells are capped at dim and measured quadratic on the sf3
+    validation corpus; signature cells + deterministic subsampling
+    measured near-linear with 100% query coverage — SCALING.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.signature_ann_topk(
+        emb,
+        _queries_subset(emb),
+        k=ANN_K,
+        n_bits=SIG_ANN_BITS,
+        n_flip=SIG_ANN_FLIPS,
+        max_bucket_size=SIG_ANN_CAP,
+        cap_mode="sample",
+    )
+
+
+def _oracle_ann_signature() -> str:
+    cell = " + ".join(
+        f"({_hyperplane_bit_sql(i)}) * {1 << i}" for i in range(SIG_ANN_BITS)
+    )
+    probes = ", ".join(
+        ["CAST(cell AS BIGINT)"]
+        + [f"CAST(xor(cell, {1 << i}) AS BIGINT)" for i in range(SIG_ANN_FLIPS)]
+    )
+    return f"""WITH {_V_CTE},
+s AS (SELECT vec_id, e, {cell} AS cell FROM v),
+sc AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+    FROM s
+  ) WHERE srn <= {SIG_ANN_CAP}
+),
+q0 AS (SELECT vec_id AS query_id, e AS qv, cell FROM s WHERE vec_id % {ANN_QUERY_MOD} = 0),
+q AS (SELECT query_id, qv, unnest([{probes}]) AS cell FROM q0),
+scored AS (
+  SELECT query_id, sc.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine
+  FROM q JOIN sc USING (cell) WHERE query_id != sc.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}"""
+
+
 def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style single-probe top-k scored on int8 codes. Promoted to
     quantized scoring in r4 (VERDICT r3): the candidate set is identical

@@ -439,6 +439,124 @@ def hyperplane_signature(vec: Column) -> Column:
     return F.array(*bits)
 
 
+def signature_cell(vec: Column, n_bits: int = HYPERPLANE_BITS) -> Column:
+    """Sign-LSH coarse cell id: the ``n_bits``-bit hyperplane signature
+    packed into one BIGINT.
+
+    This is the IVF cell whose COUNT scales with the corpus — the knob
+    :func:`argmax_bucket` lacks. argmax cells are capped at ``dim``
+    (64 here), so when both the corpus and a corpus-proportional query
+    set grow ×s, every cell gets ×s hotter and the bucket join does
+    ×s² work — measured 8.2× wall for 3× rows on the sf3 validation
+    corpus (SCALING.md). Sign-LSH cells number 2^n_bits: sizing
+    ``n_bits ≈ log2(corpus / target_cell_size)`` holds per-cell
+    occupancy constant as the corpus grows (the classic LSH answer;
+    a trained k-means codebook is the production refinement and slots
+    into the same equi-join shape). Each bit is one oracle-pinned
+    sequential dot fold; like the md5 token hash, a deployment without
+    cross-engine verification would swap in a native vectorized dot.
+    """
+    v = as_double(vec)
+    size = F.size(v)
+    cell = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        cell = cell + F.when(
+            dot(v, _hyperplane_weights(i, size)) >= 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return cell
+
+
+def signature_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = HYPERPLANE_BITS,
+    n_flip: int = 0,
+    max_bucket_size: int | None = None,
+    cap_mode: str = "sample",
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Approximate top-k over sign-LSH cells — the corpus-scalable IVF
+    variant of :func:`bucketed_ann_topk` (see :func:`signature_cell` for
+    why cell count must scale).
+
+    Multi-probe is the standard LSH form: each query searches its exact
+    cell plus the ``n_flip`` cells at Hamming distance 1 (bits 0..n_flip-1
+    flipped) — the analogue of :func:`top_p_buckets`' second-best cells.
+    Join cost is ``(n_flip+1) · Σ_cell |Q_cell|·|C_cell|`` with per-cell
+    occupancy held constant by the ``n_bits`` sizing rule.
+
+    ``max_bucket_size`` with ``cap_mode="sample"`` (default) SUBSAMPLES
+    an over-full cell to the cap — deterministic pseudo-random order
+    (md5 of the id, both engines restate it) — instead of dropping it.
+    LSH on clustered data makes this the load-bearing knob, not the bit
+    count: near-identical vectors agree on every hyperplane by
+    construction, so a tight cluster occupies ONE cell no matter how
+    many bits the signature has (measured: 126 occupied cells at both
+    20k and 60k vectors on the clustered validation corpus). Dropping
+    (``cap_mode="drop"``, the near-dup semantics) would strand every
+    query inside a big cluster with no candidates; sampling keeps
+    per-query work bounded at ``cap`` while hot-cluster queries still
+    rank a uniform subset of their cluster — the graceful trade a real
+    serving system makes (FAISS's balanced-codebook training is the
+    production refinement).
+    """
+    from pyspark.sql import Window as W
+
+    from forgettable_spark.extensions.dedup import cap_hot_buckets
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("cell", signature_cell(F.col("_cv"), n_bits))
+    if max_bucket_size is not None and cap_mode == "sample":
+        wcell = W.partitionBy("cell").orderBy(
+            F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
+        )
+        c = (
+            c.withColumn("_rn", F.row_number().over(wcell))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    else:
+        c = cap_hot_buckets(
+            c, ["cell"], max_bucket_size, "signature_ann_topk", log_dropped
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("cell", signature_cell(F.col("_qv"), n_bits))
+    if n_flip > 0:
+        q = q.withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    F.col("cell"),
+                    *[
+                        F.col("cell").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                        for i in range(n_flip)
+                    ],
+                )
+            ),
+        )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    # a query probing several cells can meet the same neighbor once per
+    # cell only at n_flip>0 with duplicate cells — impossible here (the
+    # flip set is distinct by construction), so no distinct needed
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -187,6 +187,37 @@ def test_multiprobe_ann_recall_improves(emb):
     assert r16 > r1  # probing more buckets must actually help on this data
 
 
+def test_signature_ann_sample_cap_serves_hot_cell_queries(spark):
+    """A tight cluster occupies ONE sign-LSH cell no matter the bit
+    count; sample-to-cap must keep every query served with at most cap
+    candidates, while drop mode strands them all — the clustered-corpus
+    contract SCALING.md documents."""
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(0.5, 1.0) for _ in range(16)]
+    rows = [
+        (i, [x + rnd.uniform(-0.01, 0.01) for x in base]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 5)
+    sampled = similarity.signature_ann_topk(
+        emb, qs, k=10, n_bits=12, n_flip=0, max_bucket_size=4, cap_mode="sample"
+    ).collect()
+    served = {r["query_id"] for r in sampled}
+    assert served == {0, 1, 2, 3, 4}
+    per_q = {}
+    for r in sampled:
+        per_q.setdefault(r["query_id"], 0)
+        per_q[r["query_id"]] += 1
+    assert all(n <= 4 for n in per_q.values())  # cap bounds candidates
+    dropped = similarity.signature_ann_topk(
+        emb, qs, k=10, n_bits=12, n_flip=0, max_bucket_size=4,
+        cap_mode="drop", log_dropped=False,
+    ).collect()
+    assert dropped == []  # the one hot cell was dropped entirely
+
+
 def test_language_id_prefers_en(docs):
     out = text.language_id(docs)
     dist = {r["lang_pred"]: r["cnt"] for r in out.groupBy("lang_pred").agg(F.count("*").alias("cnt")).collect()}
