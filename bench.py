@@ -30,17 +30,20 @@ def main() -> None:
     from forgettable_spark.session import get_spark
     from forgettable_spark import entrypoints as ep
 
+    # local[N] runs N executor threads in ONE JVM, so the driver heap
+    # carries the whole suite: 8g is right at sf<=0.1 but measured
+    # GC-bound at sf3 (row-local queries went 4-7x for 3x rows; 24g
+    # restored ~3x — SCALING.md sf3 section). Scale the default with SF;
+    # SPARK_GRAFT_DRIVER_MEM still overrides. Applied at session launch,
+    # so it must be set here, not after getOrCreate.
+    default_mem = "24g" if sf >= 1 else "8g"
     spark = get_spark(
         app_name="forgettable-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
         extra_conf={
             "spark.ui.enabled": "false",
-            # local[N] runs N executor threads in ONE JVM: the 1g driver
-            # default thrashes GC above sf0.1 (observed GCLocker retry
-            # warnings at sf1). Applied at session launch, so it must be
-            # set here, not after getOrCreate.
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -557,6 +557,85 @@ def signature_ann_topk(
     )
 
 
+def quantized_signature_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = HYPERPLANE_BITS,
+    n_flip: int = 0,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The composed 100 TB ANN configuration: sign-LSH cells bound WHO
+    is scored (cell count a corpus knob + sample-to-cap occupancy bound
+    — :func:`signature_ann_topk`) and int8 quantization bounds the BYTES
+    that ride the join (codes + scale + norm, ~4× less than floats, and
+    integer dots are order-independent codegen —
+    :func:`quantized_bucketed_topk`). Returns (query_id, neighbor_id,
+    cosine_q, rank); candidate set identical to
+    :func:`signature_ann_topk` at the same (n_bits, n_flip, cap) since
+    cells are assigned from the original floats."""
+    from pyspark.sql import Window as W
+
+    v = as_double(F.col(vec_col))
+    c = with_quantization(corpus, vec_col, "_cs", "_cq").select(
+        F.col(id_col).alias("neighbor_id"),
+        "_cs",
+        "_cq",
+        norm(v).alias("_cn"),
+        signature_cell(v, n_bits).alias("cell"),
+    )
+    if max_bucket_size is not None:
+        wcell = W.partitionBy("cell").orderBy(
+            F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
+        )
+        c = (
+            c.withColumn("_rn", F.row_number().over(wcell))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    q = with_quantization(queries, vec_col, "_qs", "_qq").select(
+        F.col(id_col).alias("query_id"),
+        "_qs",
+        "_qq",
+        norm(v).alias("_qn"),
+        signature_cell(v, n_bits).alias("cell"),
+    )
+    if n_flip > 0:
+        q = q.withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    F.col("cell"),
+                    *[
+                        F.col("cell").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                        for i in range(n_flip)
+                    ],
+                )
+            ),
+        )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_q",
+            (
+                F.col("_qs")
+                * F.col("_cs")
+                * int_dot(F.col("_qq"), F.col("_cq")).cast("double")
+            )
+            / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_q", "rank")
+    )
+
+
 def hyperplane_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -218,6 +218,29 @@ def test_signature_ann_sample_cap_serves_hot_cell_queries(spark):
     assert dropped == []  # the one hot cell was dropped entirely
 
 
+def test_quantized_signature_matches_float_candidates(emb):
+    """The composed config (signature cells + int8 scoring): candidate
+    sets must equal the float signature path at the same (bits, flips,
+    cap) — cells come from the original floats — and int8 rankings must
+    agree with float rankings on the vast majority of queries (the
+    quantization-error bound the int8 module unit-tests)."""
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    kw = dict(k=5, n_bits=6, n_flip=2, max_bucket_size=8)
+    fl = similarity.signature_ann_topk(emb, qs, cap_mode="sample", **kw).collect()
+    qz = similarity.quantized_signature_topk(emb, qs, **kw).collect()
+    # int8 may reorder near-ties at the top-k edge, so compare the
+    # per-query candidate pools rather than exact (id, rank) tuples
+    fl_pool = {}
+    qz_pool = {}
+    for r in fl:
+        fl_pool.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in qz:
+        qz_pool.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(fl_pool) == set(qz_pool)  # same queries served
+    same = sum(1 for q in fl_pool if fl_pool[q] == qz_pool[q])
+    assert same / len(fl_pool) >= 0.8  # int8 error rarely crosses top-k edge
+
+
 def test_language_id_prefers_en(docs):
     out = text.language_id(docs)
     dist = {r["lang_pred"]: r["cnt"] for r in out.groupBy("lang_pred").agg(F.count("*").alias("cnt")).collect()}
