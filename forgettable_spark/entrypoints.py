@@ -490,7 +490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_most_probable": q_n_most_probable,
         "get_dist_all": q_get_dist_all,
         "get_dist_single": q_get_dist_single,
-        "get_dist_noprune": q_get_dist_noprune,
         "get_field": q_get_field,
         "db_size": q_db_size,
         "live_distributions": q_live_distributions,
@@ -530,13 +529,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       exercising the e^-λ wipe regime;
     - ``get_field_compat_partial_z`` — the reference's partial-Z /get
       quirk, a parameter twist of ``get_field``;
-    - ``dedup_chunk_exact`` — NEW in r4 (sub-document duplicated-chunk
-      detection); secondary only because the primary registry sits at
-      the driver's 50-query cap — first candidate for the next
-      rotation;
-    - ``ann_signature_topk`` — NEW in r4 (sign-LSH-cell IVF, the
-      corpus-scalable cell scheme); same 50-cap reason, second rotation
-      candidate.
+    - ``get_dist_noprune`` — the floor-at-1 pyforget law, a parameter
+      twist of ``get_dist_all`` (rotated out in late r4 to give the two
+      NEW r4 operators — ``dedup_chunk_exact``, ``ann_signature_topk``
+      — driver rows in their debut round);
+    - ``dedup_simhash_capped`` — the hot-bucket-cap twist of
+      ``dedup_simhash_pairs`` (same rotation; the cap's mirrored-QUALIFY
+      semantics stay hash-verified here every session).
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -551,8 +550,8 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
         "get_dist_wipe_regime": q_get_dist_wipe_regime,
         "get_field_compat_partial_z": q_get_field_compat_partial_z,
-        "dedup_chunk_exact": entrypoints_ext.q_dedup_chunk_exact,
-        "ann_signature_topk": entrypoints_ext.q_ann_signature_topk,
+        "get_dist_noprune": q_get_dist_noprune,
+        "dedup_simhash_capped": entrypoints_ext.q_dedup_simhash_capped,
     }
 
 
@@ -597,7 +596,6 @@ WHERE distribution = 'colors'"""
         "get_dist_single": _oracle_get_dist(
             _EV_EVENT_TYPE, RATE_SLOW, True, "linear", f"WHERE distribution = '{GET_FIELD_DIST}'"
         ),
-        "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
         "get_field": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear", get_field_where),
         "db_size": "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS db_size FROM events",
         "live_distributions": live_dists,
@@ -650,6 +648,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
         "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
         "get_field_compat_partial_z": _oracle_get_field_compat(),
-        "dedup_chunk_exact": entrypoints_ext.ORACLE_DEDUP_CHUNK_EXACT,
-        "ann_signature_topk": entrypoints_ext._oracle_ann_signature(),
+        "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
+        "dedup_simhash_capped": entrypoints_ext.ORACLE_DEDUP_SIMHASH_CAPPED,
     }

@@ -1196,8 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_simhash_capped": q_dedup_simhash_capped,
+        "dedup_chunk_exact": q_dedup_chunk_exact,
         "dedup_components": q_dedup_components,
+        "ann_signature_topk": q_ann_signature_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -1227,8 +1228,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
-        "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
+        "dedup_chunk_exact": ORACLE_DEDUP_CHUNK_EXACT,
         "dedup_components": _oracle_dedup_components(),
+        "ann_signature_topk": _oracle_ann_signature(),
         "ann_quantized_topk": _oracle_ann_quantized(),
         "ann_bucketed_topk": _oracle_ann_quantized_bucketed(1),
         "ann_multiprobe_topk": _oracle_ann_quantized_bucketed(),

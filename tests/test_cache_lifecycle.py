@@ -11,8 +11,9 @@ from forgettable_spark import entrypoints as ep
 from forgettable_spark.functions.cache import run_released, scoped_cache
 from tests.conftest import SF_SMOKE
 
-#: Every registered query whose implementation persists something
-#: (sketch caches, brute-force truth tables, localCheckpoint loop state).
+#: Every registered query (primary or secondary — the storage contract
+#: is the same) whose implementation persists something (sketch caches,
+#: brute-force truth tables, localCheckpoint loop state).
 CACHING_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -33,7 +34,7 @@ def _persistent_ids(spark):
 def test_registered_query_leaves_no_storage(spark, name):
     spark.catalog.clearCache()
     before = _persistent_ids(spark)
-    df = ep.queries()[name](spark, SF_SMOKE)
+    df = {**ep.queries(), **ep.secondary_queries()}[name](spark, SF_SMOKE)
     rows = df.collect()  # driver-style materialization
     assert rows is not None
     assert _persistent_ids(spark) == before

@@ -61,7 +61,9 @@ def test_chunk_dedup_single_hash_exchange_no_text(spark):
     the count and canonical-rank windows must share ONE exchange keyed by
     chunk_md5, and the chunk text must never ride a shuffle (only the
     fixed-width hash does)."""
-    plan = _formatted_plan(ep.secondary_queries()["dedup_chunk_exact"](spark, SF_SMOKE))
+    plan = _formatted_plan(
+        {**ep.queries(), **ep.secondary_queries()}["dedup_chunk_exact"](spark, SF_SMOKE)
+    )
     exchanges = [
         l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l
     ]
