@@ -102,6 +102,34 @@ def test_stream_publish_end_to_end(spark, dirs):
     assert d[("colors", "red")][0] == 5 and d[("animals", "dog")][0] == 1
 
 
+def test_stream_publish_auto_fold_cadence(spark, dirs):
+    """With fold_every=2 the publish loop folds the delta chain back to
+    one segment as it grows: versions alternate delta commits and fold
+    commits, the final version is single-segment, and the read is
+    equivalent to the unfolded state."""
+    src, ckpt, tbl = f"{dirs}/src", f"{dirs}/ckpt", f"{dirs}/tbl"
+    import os
+
+    os.makedirs(src)
+    _write_batch(spark, src, "b1.parquet", [("colors", "red", 3, _ts(0))])
+    _write_batch(spark, src, "b2.parquet", [("animals", "cat", 7, _ts(5))])
+    _write_batch(spark, src, "b3.parquet", [("colors", "red", 2, _ts(9))])
+
+    table = ManifestTable(tbl)
+    stream = streaming_forget_table(read_increment_stream(spark, src), rate=1e-9)
+    q = publish_stream_to_table(
+        stream, table, ckpt, available_now=True, fold_every=2
+    )
+    q.awaitTermination(180)
+
+    # b1 -> v1 (full); b2 -> v2 (2 segs) -> fold v3 (1 seg);
+    # b3 -> v4 (2 segs) -> fold v5 (1 seg)
+    assert table.current_version() == 5
+    assert table.segment_count() == 1
+    final = {(r["distribution"], r["bin"]): r["n"] for r in table.read(spark).collect()}
+    assert final == {("colors", "red"): 5, ("animals", "cat"): 7}
+
+
 def test_publish_batch_skips_empty_and_retries_conflict(spark, dirs):
     table = ManifestTable(f"{dirs}/tbl")
     empty = spark.createDataFrame(
