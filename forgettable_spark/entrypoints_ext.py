@@ -269,6 +269,37 @@ SELECT doc_id, chunk_idx, chunk_md5, n_copies, rn = 1 AS is_canonical
 FROM m WHERE n_copies > 1"""
 
 
+def q_dedup_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning step chunk_dedup feeds: rebuild text with every
+    non-canonical duplicated chunk removed. Lazy — one row per doc."""
+    return dedup.chunk_dedup_apply(
+        load_table(spark, sf_dir, "documents"), width=CHUNK_DEDUP_WIDTH
+    )
+
+
+ORACLE_DEDUP_CHUNK_APPLY = f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(
+           w[(i * {CHUNK_DEDUP_WIDTH} + 1):(i * {CHUNK_DEDUP_WIDTH} + {CHUNK_DEDUP_WIDTH})],
+           ' ') AS chunk
+  FROM t, unnest(range(0, CAST(ceil(len(w) / {CHUNK_DEDUP_WIDTH}.0) AS BIGINT))) AS u(i)
+),
+f AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM c
+)
+SELECT doc_id,
+       COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep), '') AS clean_text,
+       COUNT(*) AS n_chunks,
+       SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dropped
+FROM f GROUP BY doc_id"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_sketch(load_table(spark, sf_dir, "documents"))
 

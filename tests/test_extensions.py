@@ -119,6 +119,25 @@ def test_chunk_dedup_finds_planted_chunk(spark):
     assert all(r["n_copies"] == 2 for r in out)
 
 
+def test_chunk_dedup_apply_cuts_later_occurrences(spark):
+    """The cleaning step: doc 3's copy of doc 1's block is removed from
+    doc 3's text (doc 1 keeps it — first occurrence wins); unique text
+    survives verbatim."""
+    block = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, block + " tail one"),
+        (2, "unique words only here"),
+        (3, block + " other ending"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup_apply(docs, width=20).collect()}
+    assert out[1]["clean_text"] == block + " tail one"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "unique words only here"
+    assert out[3]["clean_text"] == "other ending"  # the block was cut
+    assert out[3]["n_dropped"] == 1 and out[3]["n_chunks"] == 2
+
+
 def test_brute_force_topk_sanity(emb):
     q = emb.filter(F.col("vec_id") == 0)
     out = similarity.brute_force_topk(emb, q, k=5).collect()
