@@ -119,6 +119,35 @@ def test_chunk_dedup_finds_planted_chunk(spark):
     assert all(r["n_copies"] == 2 for r in out)
 
 
+def test_chunk_array_reconstruction_property(spark):
+    """Property: for any token count and width, concat of the chunks
+    reproduces the original text exactly (chunking is a partition, never
+    lossy) — the invariant chunk_dedup_apply's clean-text rebuild rests
+    on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=1, max_value=65), st.integers(min_value=1, max_value=25))
+    def gen(n_tokens, width):
+        cases.append((" ".join(f"t{i}" for i in range(n_tokens)), width))
+
+    gen()
+    by_width = {}
+    for text, width in cases:
+        by_width.setdefault(width, []).append(text)
+    for width, texts in by_width.items():
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = df.select(
+            "text",
+            F.concat_ws(" ", dedup.chunk_array(F.col("text"), width)).alias("re"),
+        ).collect()
+        for r in got:
+            assert r["re"] == r["text"], f"width={width}"
+
+
 def test_chunk_dedup_apply_cuts_later_occurrences(spark):
     """The cleaning step: doc 3's copy of doc 1's block is removed from
     doc 3's text (doc 1 keeps it — first occurrence wins); unique text
