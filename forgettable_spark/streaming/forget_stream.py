@@ -59,13 +59,30 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def read_increment_stream(spark, path: str) -> DataFrame:
-    """File-based increment stream (one parquet file ≈ one micro-batch in
-    tests via ``maxFilesPerTrigger=1``; swap for Kafka etc. in production)."""
+def read_increment_stream(spark, path: str, format: str = "parquet") -> DataFrame:
+    """File-based increment stream (one file ≈ one micro-batch in tests
+    via ``maxFilesPerTrigger=1``; swap for Kafka etc. in production).
+
+    ``format``: ``parquet``/``orc`` read the typed events schema
+    directly; ``csv``/``json`` read the wire schema (ts as ISO-8601
+    string) and normalize through the same malformed-row-tolerant parse
+    as the batch connectors (`sources/formats`) — one bad row yields a
+    NULL ts, never a dead stream.
+    """
+    if format in ("csv", "json"):
+        from forgettable_spark.sources.formats import _WIRE_SCHEMA, _normalize
+
+        reader = spark.readStream.schema(_WIRE_SCHEMA).option("maxFilesPerTrigger", 1)
+        if format == "csv":
+            raw = reader.option("header", True).csv(path)
+        else:
+            raw = reader.json(path)
+        return _normalize(raw)
     return (
         spark.readStream.schema(FORGET_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(path)
+        .format(format)
+        .load(path)
     )
 
 

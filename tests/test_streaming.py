@@ -107,6 +107,34 @@ def test_streaming_snapshot_accumulates(spark, stream_dir):
     assert rows[("animals", "cat")] == 1
 
 
+def test_streaming_snapshot_from_json_wire(spark, stream_dir):
+    """The wire-format stream source: JSON increments (ts as ISO-8601
+    string) normalize through the same tolerant parse as the batch
+    connector — totals equal the parquet-stream result, and one
+    malformed ts yields a NULL-ts row, not a dead stream."""
+    import json as _json
+    import os
+
+    rows = [
+        {"distribution": "colors", "bin": "red", "n": 3, "ts": "2024-06-01T12:00:00"},
+        {"distribution": "colors", "bin": "red", "n": 2, "ts": "2024-06-01T12:00:05"},
+        {"distribution": "animals", "bin": "cat", "n": 1, "ts": "not-a-timestamp"},
+    ]
+    with open(os.path.join(stream_dir, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = read_increment_stream(spark, stream_dir, format="json")
+    _run_to_completion(streaming_snapshot(stream), "json_wire_test")
+    got = {
+        (r["distribution"], r["bin"]): (r["count"], r["t_us"])
+        for r in spark.sql("SELECT * FROM json_wire_test").collect()
+    }
+    assert got[("colors", "red")][0] == 5
+    # malformed ts row still counted; its max-ts aggregate is NULL
+    assert got[("animals", "cat")][0] == 1
+    assert got[("animals", "cat")][1] is None
+
+
 def test_streaming_forget_table_decays_between_batches(spark, stream_dir):
     """batch1: red=10 at t=0; batch2: red+=1 at t=10s, rate=0.5 →
     state decays floor(0.5·10)=5 before the increment: 10-5+1=6."""
