@@ -4,6 +4,9 @@ and print ONE JSON line for the driver.
 
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    SPARK_GRAFT_ONLY     comma-separated query names: time only these
+                         (dev loop for single-query investigation; the
+                         bucketed-layout entry is skipped unless named)
 
 Each query is forced end-to-end with the no-op sink (computes every output
 column, no driver collect — honest timing, no column-pruning shortcuts).
@@ -49,6 +52,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = ep.queries()
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - set(qs) - {"layout_bucketed_get_dist"}
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in names}
     # Warm the JVM/parquet reader and each source table's footer/codegen
     # path outside the timed region (the first query to touch a table
     # otherwise pays ~2s of one-time engine warm-up that has nothing to do
@@ -80,6 +90,21 @@ def main() -> None:
     from forgettable_spark import operators as ops
     from forgettable_spark.sources import load_forget_events
     from forgettable_spark.sources.layout import read_events_bucketed, save_events_bucketed
+
+    if only and "layout_bucketed_get_dist" not in only:
+        print(
+            json.dumps(
+                {
+                    "metric": "forget_table_ops_runtime",
+                    "value": round(sum(timings.values()), 4),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     table = "bench_events_bucketed"
     save_events_bucketed(load_forget_events(spark, sf_dir), table, buckets=int(cpus))

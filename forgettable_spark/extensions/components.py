@@ -205,6 +205,41 @@ def connected_components(
     )
 
 
+def dedup_keep_best(
+    pairs: DataFrame,
+    scored_docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Keep/drop decisions that retain the HIGHEST-SCORING document of
+    each near-dup component (ties broken by minimum id) instead of
+    :func:`dedup_keep_list`'s canonical-min rule — what production
+    pipelines actually do (keep the longest / highest-quality member,
+    e.g. a `text.quality_score` column, rather than an arbitrary id).
+
+    ``scored_docs`` must carry ``id_col`` and ``score_col`` for every
+    document. Returns (doc_id, component, score, keep); singletons
+    (absent from every pair) keep themselves. One extra window over the
+    component key on top of the connected-components labels — the
+    scores join rides the same id-keyed shuffle the label join already
+    pays.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    labeled = (
+        scored_docs.select(F.col(id_col), F.col(score_col).alias("score"))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return labeled.withColumn("keep", F.row_number().over(w) == 1).select(
+        id_col, "component", "score", "keep"
+    )
+
+
 def dedup_keep_list(
     pairs: DataFrame,
     all_ids: DataFrame,
