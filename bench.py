@@ -51,21 +51,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = ep.queries()
+    all_qs = ep.queries()
+    qs = all_qs
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         names = {n.strip() for n in only.split(",") if n.strip()}
-        unknown = names - set(qs) - {"layout_bucketed_get_dist"}
+        unknown = names - set(all_qs) - {"layout_bucketed_get_dist"}
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {sorted(unknown)}")
-        qs = {n: f for n, f in qs.items() if n in names}
+        qs = {n: f for n, f in all_qs.items() if n in names}
     # Warm the JVM/parquet reader and each source table's footer/codegen
     # path outside the timed region (the first query to touch a table
     # otherwise pays ~2s of one-time engine warm-up that has nothing to do
     # with its plan — measured on ann_bucketed_topk, alphabetically first).
     from forgettable_spark.sources import load_table as _lt
 
-    qs["db_size"](spark, sf_dir).collect()
+    all_qs["db_size"](spark, sf_dir).collect()
     for _t in ("documents", "embeddings", "lineitem", "orders", "customer"):
         _lt(spark, sf_dir, _t).count()
 
