@@ -58,6 +58,31 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
+#: When True (see :func:`plan_audit_mode`), run_released returns the
+#: lazy build() result without materializing or releasing anything.
+_AUDIT_MODE = False
+
+
+class plan_audit_mode:
+    """Context manager for plan inspection: inside it, ``run_released``
+    returns the builder's LAZY DataFrame (no collect, no cache release),
+    so ``explain`` shows the real distributed plan instead of the
+    post-materialization local scan. For audit tooling only
+    (`scripts/audit_plans.py`) — executing a plan obtained this way
+    leaks the build's caches by design."""
+
+    def __enter__(self):
+        global _AUDIT_MODE
+        self._prev = _AUDIT_MODE
+        _AUDIT_MODE = True
+        return self
+
+    def __exit__(self, *exc):
+        global _AUDIT_MODE
+        _AUDIT_MODE = self._prev
+        return False
+
+
 def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
     """Run ``build()`` to completion and leave zero executor storage behind.
 
@@ -69,6 +94,8 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
     DataFrame with the original schema, so callers (driver, bench) can
     keep treating the query as a DataFrame source.
     """
+    if _AUDIT_MODE:
+        return build()
     before = _persistent_rdd_ids(spark)
     scope: list[DataFrame] = []
     _SCOPES.append(scope)

@@ -117,3 +117,24 @@ def test_pending_report_eviction_warns(spark, caplog):
     finally:
         dd._PENDING_REPORTS.clear()
         dd._PENDING_REPORTS.extend(saved)
+
+
+def test_plan_audit_mode_returns_lazy_and_restores(spark):
+    """Inside plan_audit_mode, run_released returns the builder's lazy
+    DataFrame (distributed plan visible, nothing collected); outside,
+    the collect-and-release contract is restored."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark.functions.cache import plan_audit_mode
+
+    def build():
+        return spark.range(100).groupBy((F.col("id") % 3).alias("m")).count()
+
+    with plan_audit_mode():
+        lazy = run_released(spark, build)
+    # the lazy plan still contains the aggregation (not a local re-wrap)
+    assert "count" in lazy.columns and "Scan ExistingRDD" not in lazy._jdf.queryExecution().executedPlan().toString()
+    # contract restored after the context exits
+    released = run_released(spark, build)
+    assert released.count() == 3
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
