@@ -553,6 +553,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_noprune": q_get_dist_noprune,
         "dedup_simhash_capped": entrypoints_ext.q_dedup_simhash_capped,
         "dedup_chunk_apply": entrypoints_ext.q_dedup_chunk_apply,
+        "sample_per_group": entrypoints_ext.q_sample_per_group,
     }
 
 
@@ -652,4 +653,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
         "dedup_simhash_capped": entrypoints_ext.ORACLE_DEDUP_SIMHASH_CAPPED,
         "dedup_chunk_apply": entrypoints_ext.ORACLE_DEDUP_CHUNK_APPLY,
+        "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
     }

@@ -1130,6 +1130,25 @@ SELECT doc_id, lang FROM b
 WHERE bkt < ({_stratified_threshold_case()})"""
 
 
+GROUP_SAMPLE_CAP = 40  # bites at sf0.01: every language has >40 docs
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced data mixing: at most GROUP_SAMPLE_CAP docs per language,
+    deterministic md5 order — absolute-count balancing that fraction
+    sampling can't express without knowing group sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_per_group(docs, GROUP_SAMPLE_CAP).select("doc_id", "lang")
+
+
+ORACLE_SAMPLE_PER_GROUP = f"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY md5('sample' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS srn
+  FROM documents
+) WHERE srn <= {GROUP_SAMPLE_CAP}"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-rule family): top-bigram and
     duplicate-bigram fractions per doc. Secondary registry — the driver

@@ -91,3 +91,35 @@ def stratified_sample(
     default_bound = F.lit(round(default_fraction * BUCKETS)).cast("bigint")
     thr = default_bound if thr is None else thr.otherwise(default_bound)
     return docs.filter(b < thr)
+
+
+def sample_per_group(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by a deterministic
+    pseudo-random order — the data-mixing step that balances a training
+    corpus by language/source to absolute COUNTS (a 90%-English crawl
+    capped to N docs per language), where :func:`stratified_sample`'s
+    per-stratum FRACTIONS can't express "equal representation" without
+    knowing every group's size up front.
+
+    The order is md5 over the salted id (ties impossible: id appended),
+    so the kept set is stable across runs, partitionings, and engines —
+    and raising ``cap`` only ever ADDS rows (nested samples, like the
+    fraction path). One shuffle keyed by the group column; the window
+    row_number is the same sample-to-cap machinery the signature-ANN
+    cell bound uses.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        docs.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= cap)
+        .drop("_srn")
+    )

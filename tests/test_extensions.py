@@ -673,3 +673,29 @@ def test_quantize_embedding_edge_cases(spark):
     assert rows[0]["s"] == 0.0 and rows[0]["q"] == [0, 0, 0]
     assert rows[1]["q"][1] == -QUANT_MAX  # the max-|x| component saturates
     assert all(abs(c) <= QUANT_MAX for r in rows.values() for c in r["q"])
+
+
+def test_sample_per_group_cap_determinism_nesting(spark):
+    """Per-group capped sampling: every group bounded by cap, the kept
+    set is partitioning-independent, and a larger cap strictly extends a
+    smaller one (nested samples)."""
+    from forgettable_spark.extensions import sampling
+
+    docs = spark.range(0, 900).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 9 < 6 THEN 'en' WHEN id % 9 < 8 THEN 'zh' ELSE 'de' END AS lang"
+    )
+    k10 = {r["doc_id"] for r in sampling.sample_per_group(docs, 10).collect()}
+    k10b = {
+        r["doc_id"]
+        for r in sampling.sample_per_group(docs.repartition(17), 10).collect()
+    }
+    assert k10 == k10b  # partitioning-independent
+    per_lang = (
+        sampling.sample_per_group(docs, 10)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 10 for r in per_lang)  # cap reached per group
+    k25 = {r["doc_id"] for r in sampling.sample_per_group(docs, 25).collect()}
+    assert k10 < k25  # nested: raising the cap only adds rows
