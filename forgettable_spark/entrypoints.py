@@ -554,6 +554,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_capped": entrypoints_ext.q_dedup_simhash_capped,
         "dedup_chunk_apply": entrypoints_ext.q_dedup_chunk_apply,
         "sample_per_group": entrypoints_ext.q_sample_per_group,
+        "sample_per_group_budget": entrypoints_ext.q_sample_per_group_budget,
     }
 
 
@@ -654,4 +655,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "dedup_simhash_capped": entrypoints_ext.ORACLE_DEDUP_SIMHASH_CAPPED,
         "dedup_chunk_apply": entrypoints_ext.ORACLE_DEDUP_CHUNK_APPLY,
         "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
+        "sample_per_group_budget": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP_BUDGET,
     }

@@ -1149,6 +1149,32 @@ ORACLE_SAMPLE_PER_GROUP = f"""SELECT doc_id, lang FROM (
 ) WHERE srn <= {GROUP_SAMPLE_CAP}"""
 
 
+GROUP_SAMPLE_BUDGET = 3000  # chars per language: bites at sf0.01
+
+
+def q_sample_per_group_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixing: keep docs per language until ~3000 chars
+    of cumulative weight — the unit real training mixes are specified
+    in (a doc-count cap over-weights long-document groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_per_group_budget(
+        docs, GROUP_SAMPLE_BUDGET
+    ).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_SAMPLE_PER_GROUP_BUDGET = f"""SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    SUM(n_chars) OVER (
+      PARTITION BY lang
+      ORDER BY md5('sample' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5('sample' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS srn
+  FROM documents
+) WHERE cum <= {GROUP_SAMPLE_BUDGET} OR srn = 1"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-rule family): top-bigram and
     duplicate-bigram fractions per doc. Secondary registry — the driver

@@ -123,3 +123,42 @@ def sample_per_group(
         .filter(F.col("_srn") <= cap)
         .drop("_srn")
     )
+
+
+def sample_per_group_budget(
+    docs: DataFrame,
+    budget: int,
+    weight_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Budgeted variant of :func:`sample_per_group`: keep documents in
+    the same deterministic md5 order until each group's cumulative
+    ``weight_col`` reaches ``budget`` — "about N tokens per language",
+    the unit training mixes are actually specified in, where a document
+    COUNT cap over-weights groups with long documents.
+
+    A document is kept iff the running total INCLUDING it is <= budget,
+    plus the first document of a group always (so a group whose first
+    document alone exceeds the budget still contributes one document
+    rather than silently vanishing). Deterministic, partitioning
+    independent, and nested: raising the budget only adds documents.
+    Same single group-keyed shuffle; the running sum shares the
+    row-number window's sort.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        docs.withColumn("_cum", F.sum(F.col(weight_col)).over(w))
+        .withColumn("_srn", F.row_number().over(wn))
+        .filter((F.col("_cum") <= budget) | (F.col("_srn") == 1))
+        .drop("_cum", "_srn")
+    )

@@ -699,3 +699,29 @@ def test_sample_per_group_cap_determinism_nesting(spark):
     assert all(r["count"] == 10 for r in per_lang)  # cap reached per group
     k25 = {r["doc_id"] for r in sampling.sample_per_group(docs, 25).collect()}
     assert k10 < k25  # nested: raising the cap only adds rows
+
+
+def test_sample_per_group_budget_bounds_and_floor(spark):
+    """Budgeted sampling: each group's kept cumulative weight stays
+    within budget (except the single-document floor), a group whose
+    first doc exceeds the budget still contributes exactly that one
+    doc, and raising the budget only adds documents."""
+    from forgettable_spark.extensions import sampling
+
+    rows = [(i, "en", 100) for i in range(50)] + [(100, "zh", 9999)] + [
+        (101, "zh", 50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept = sampling.sample_per_group_budget(docs, 1000).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert sum(r["n_chars"] for r in by_lang["en"]) <= 1000
+    assert len(by_lang["en"]) == 10  # 10 x 100 chars fills the budget
+    # zh's md5-first doc might be the 9999 one (floor keeps it alone) or
+    # the 50-char one (budget then excludes the 9999): either way zh is
+    # represented and within the floor contract
+    assert 1 <= len(by_lang["zh"]) <= 2
+    small = {r["doc_id"] for r in sampling.sample_per_group_budget(docs, 500).collect()}
+    big = {r["doc_id"] for r in sampling.sample_per_group_budget(docs, 2000).collect()}
+    assert small < big  # nested
