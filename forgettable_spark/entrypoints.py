@@ -555,6 +555,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_apply": entrypoints_ext.q_dedup_chunk_apply,
         "sample_per_group": entrypoints_ext.q_sample_per_group,
         "sample_per_group_budget": entrypoints_ext.q_sample_per_group_budget,
+        "corpus_report": entrypoints_ext.q_corpus_report,
     }
 
 
@@ -656,4 +657,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "dedup_chunk_apply": entrypoints_ext.ORACLE_DEDUP_CHUNK_APPLY,
         "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
         "sample_per_group_budget": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP_BUDGET,
+        "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
     }

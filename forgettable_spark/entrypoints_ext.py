@@ -1175,6 +1175,37 @@ ORACLE_SAMPLE_PER_GROUP_BUDGET = f"""SELECT doc_id, lang, n_chars FROM (
 ) WHERE cum <= {GROUP_SAMPLE_BUDGET} OR srn = 1"""
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (ingest sanity / filter impact / dup level)
+    — integer-exact corpus aggregates in one pass + an md5 group pass."""
+    return text.corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_REPORT = """WITH base AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT) AS n_null_text,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    CAST(SUM(CASE WHEN text IS NOT NULL
+         THEN len(string_split(text, ' ')) END) AS BIGINT) AS total_tokens,
+    CAST(SUM(CASE WHEN text IS NOT NULL
+         AND len(string_split(text, ' ')) >= 20
+         AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.5e-1
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality
+  FROM documents
+),
+dups AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS n_dup_docs,
+    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups
+  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+        WHERE text IS NOT NULL GROUP BY 1)
+)
+SELECT * FROM base, dups"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-rule family): top-bigram and
     duplicate-bigram fractions per doc. Secondary registry — the driver

@@ -359,6 +359,74 @@ def quality_filter(
     ).select("doc_id", "n_tokens", "distinct_ratio", "stopword_ratio", "quality_score")
 
 
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_distinct_ratio: float = 0.35,
+) -> DataFrame:
+    """One-row dataset card: the corpus-level numbers an operator reads
+    before and after a pipeline run (ingest sanity, filter impact,
+    duplication level) without assembling six queries by hand.
+
+    Columns — all exact integers, so the row is hash-stable across
+    engines and partitionings (a mean of DOUBLEs would sum in partition
+    order and break bit parity):
+
+      n_docs, n_null_text, n_langs, total_chars, total_tokens,
+      n_pass_quality   — documents passing the default quality gate
+                         (:func:`quality_filter` thresholds),
+      n_dup_docs       — documents whose exact content hash appears
+                         more than once,
+      n_dup_groups     — distinct duplicated contents.
+
+    Two aggregations (corpus scan + md5 group sizes) joined as one-row
+    frames; both have map-side partials, so the shuffles carry one row
+    per partition and per distinct hash respectively.
+    """
+    t = F.col(text_col)
+    w = tokens(t)
+    n = F.size(w).cast("bigint")
+    nd = F.size(F.array_distinct(w)).cast("bigint")
+    base = docs.select(
+        t.alias("_t"),
+        F.col("lang"),
+        F.col("n_chars"),
+        F.when(t.isNotNull(), n).alias("_n_tok"),
+        F.when(
+            t.isNotNull()
+            & (n >= min_tokens)
+            & (nd.cast("double") / n.cast("double") >= min_distinct_ratio),
+            1,
+        )
+        .otherwise(0)
+        .alias("_pass"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_text"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("_n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("_pass").cast("bigint").alias("n_pass_quality"),
+    )
+    dups = (
+        docs.filter(t.isNotNull())
+        .groupBy(F.md5(t).alias("_h"))
+        .count()
+        .agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("count") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+        )
+    )
+    return base.crossJoin(dups)
+
+
 def tfidf_keywords(
     docs: DataFrame,
     text_col: str = "text",
