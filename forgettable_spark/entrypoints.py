@@ -556,6 +556,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": entrypoints_ext.q_sample_per_group,
         "sample_per_group_budget": entrypoints_ext.q_sample_per_group_budget,
         "corpus_report": entrypoints_ext.q_corpus_report,
+        "ann_signature_quantized": entrypoints_ext.q_ann_signature_quantized,
     }
 
 
@@ -658,4 +659,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
         "sample_per_group_budget": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP_BUDGET,
         "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
+        "ann_signature_quantized": entrypoints_ext._oracle_ann_signature_quantized(),
     }
