@@ -368,6 +368,50 @@ FROM folded WHERE fin.n > 0"""
 SESSION_GAP_SEC = 1800
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution as an as-of join: each purchase credited to
+    the same user's most recent click at-or-before it. The oracle twin
+    is DuckDB's NATIVE ``ASOF JOIN``, cross-checking the engine's
+    union-interleave window composition against an independent native
+    implementation of the operator. Registered with INNER semantics
+    (attributed purchases only): the hash gate's pandas bridge turns a
+    nullable-BIGINT oracle column into float64+NaN, so the LEFT variant
+    — which as_of_join implements and a unit test covers — would fail
+    on representation, not values."""
+    from forgettable_spark.operators.asof import as_of_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = as_of_join(purchases, clicks, on=["user_id"]).filter(
+        F.col("asof_click_id").isNotNull()
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("asof_click_id").alias("click_id"),
+        F.unix_micros(F.col("asof_ts")).alias("click_ts_us"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias("gap_us"),
+    )
+
+
+ORACLE_ASOF_ATTRIBUTION = """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_id, epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min gap)."""
     from forgettable_spark.operators.sessionize import sessionize
@@ -557,6 +601,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group_budget": entrypoints_ext.q_sample_per_group_budget,
         "corpus_report": entrypoints_ext.q_corpus_report,
         "ann_signature_quantized": entrypoints_ext.q_ann_signature_quantized,
+        "asof_attribution": q_asof_attribution,
     }
 
 
@@ -660,4 +705,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "sample_per_group_budget": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP_BUDGET,
         "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
         "ann_signature_quantized": entrypoints_ext._oracle_ann_signature_quantized(),
+        "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     }
