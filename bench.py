@@ -67,7 +67,7 @@ def main() -> None:
     from forgettable_spark.sources import load_table as _lt
 
     all_qs["db_size"](spark, sf_dir).collect()
-    for _t in ("documents", "embeddings", "lineitem", "orders", "customer"):
+    for _t in ("documents", "embeddings", "lineitem", "orders", "customer", "part", "supplier"):
         _lt(spark, sf_dir, _t).count()
 
     timings: dict[str, float] = {}

@@ -380,12 +380,25 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     on representation, not values."""
     from forgettable_spark.operators.asof import as_of_join
 
+    from pyspark.sql import Window
+
     ev = load_events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), "ts"
+    # Dedupe right-side timestamp ties (keep max click_id) BEFORE the
+    # join: as_of_join itself breaks ties deterministically, but DuckDB's
+    # native ASOF JOIN makes an arbitrary pick — without this the oracle
+    # comparison would flake on any corpus with two same-user same-ts
+    # clicks (none exist in the shipped testdata; this keeps the gate
+    # honest rather than lucky).
+    wt = Window.partitionBy("user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+        .withColumn("_mx", F.max("click_id").over(wt))
+        .filter(F.col("click_id") == F.col("_mx"))
+        .drop("_mx")
     )
     out = as_of_join(purchases, clicks, on=["user_id"]).filter(
         F.col("asof_click_id").isNotNull()
@@ -404,7 +417,11 @@ ORACLE_ASOF_ATTRIBUTION = """WITH p AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 ),
 c AS (
-  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+  SELECT user_id, event_id AS click_id, ts FROM (
+    SELECT user_id, event_id, ts,
+           MAX(event_id) OVER (PARTITION BY user_id, ts) AS mx
+    FROM events WHERE event_type = 'click'
+  ) WHERE event_id = mx
 )
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_id, epoch_us(c.ts) AS click_ts_us,

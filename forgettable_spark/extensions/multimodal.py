@@ -79,10 +79,14 @@ def decode_image(content: bytes, dim: int = 8) -> list[float]:
 
     img = Image.open(io.BytesIO(content))
     w = max(1, dim // 2)
-    h = max(1, dim // w)
+    # ceil, then truncate: floor division under-produces whenever
+    # w*(dim//w) < dim (dim=5 -> 2x2 = 4 pixels for a 5-dim contract),
+    # and the docstring promises exactly fake_decode_features' shape.
+    h = max(1, -(-dim // w))
     small = img.convert("L").resize((w, h))
     pixels = list(small.getdata())[:dim]
-    return [p / 255.0 for p in pixels]
+    feats = [p / 255.0 for p in pixels]
+    return feats + [0.0] * (dim - len(feats))
 
 
 def fake_decode_features(content: bytes, dim: int = 8) -> list[float]:

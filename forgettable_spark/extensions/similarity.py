@@ -466,6 +466,26 @@ def signature_cell(vec: Column, n_bits: int = HYPERPLANE_BITS) -> Column:
     return cell
 
 
+def _sample_cells_to_cap(
+    c: DataFrame, cap: int, id_col: str = "neighbor_id", cell_col: str = "cell"
+) -> DataFrame:
+    """Deterministically subsample over-full cells to ``cap`` rows:
+    md5-of-id order (oracle twin: the same ROW_NUMBER window). ONE
+    definition shared by the float and int8 signature-ANN paths — their
+    oracle-verified "identical candidate set" claim depends on the two
+    paths never drifting on this window."""
+    from pyspark.sql import Window as W
+
+    wcell = W.partitionBy(cell_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(wcell))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def signature_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -503,8 +523,6 @@ def signature_ann_topk(
     serving system makes (FAISS's balanced-codebook training is the
     production refinement).
     """
-    from pyspark.sql import Window as W
-
     from forgettable_spark.extensions.dedup import cap_hot_buckets
 
     c = corpus.select(
@@ -512,14 +530,7 @@ def signature_ann_topk(
         as_double(F.col(vec_col)).alias("_cv"),
     ).withColumn("cell", signature_cell(F.col("_cv"), n_bits))
     if max_bucket_size is not None and cap_mode == "sample":
-        wcell = W.partitionBy("cell").orderBy(
-            F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
-        )
-        c = (
-            c.withColumn("_rn", F.row_number().over(wcell))
-            .filter(F.col("_rn") <= max_bucket_size)
-            .drop("_rn")
-        )
+        c = _sample_cells_to_cap(c, max_bucket_size)
     else:
         c = cap_hot_buckets(
             c, ["cell"], max_bucket_size, "signature_ann_topk", log_dropped
@@ -576,8 +587,6 @@ def quantized_signature_topk(
     cosine_q, rank); candidate set identical to
     :func:`signature_ann_topk` at the same (n_bits, n_flip, cap) since
     cells are assigned from the original floats."""
-    from pyspark.sql import Window as W
-
     v = as_double(F.col(vec_col))
     c = with_quantization(corpus, vec_col, "_cs", "_cq").select(
         F.col(id_col).alias("neighbor_id"),
@@ -587,14 +596,7 @@ def quantized_signature_topk(
         signature_cell(v, n_bits).alias("cell"),
     )
     if max_bucket_size is not None:
-        wcell = W.partitionBy("cell").orderBy(
-            F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
-        )
-        c = (
-            c.withColumn("_rn", F.row_number().over(wcell))
-            .filter(F.col("_rn") <= max_bucket_size)
-            .drop("_rn")
-        )
+        c = _sample_cells_to_cap(c, max_bucket_size)
     q = with_quantization(queries, vec_col, "_qs", "_qq").select(
         F.col(id_col).alias("query_id"),
         "_qs",

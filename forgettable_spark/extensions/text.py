@@ -411,15 +411,24 @@ def corpus_report(
         F.sum("_n_tok").cast("bigint").alias("total_tokens"),
         F.sum("_pass").cast("bigint").alias("n_pass_quality"),
     )
+    # coalesce(0): on a corpus with zero non-null-text docs the grouped
+    # frame is empty and SUM returns NULL — the oracle's COALESCE(...,0)
+    # and this must agree for the card to hash-match on exactly the
+    # ingest-failure corpus it exists to diagnose.
     dups = (
         docs.filter(t.isNotNull())
         .groupBy(F.md5(t).alias("_h"))
         .count()
         .agg(
-            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("n_dup_docs"),
-            F.sum(F.when(F.col("count") > 1, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("count") > 1, 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_dup_groups"),
         )

@@ -35,6 +35,8 @@ scope list only.
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,9 +115,22 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
             # Dropped-bucket reports queued during the build run NOW,
             # while the sketch caches they read are still populated
             # (local import: dedup imports scoped_cache from this module).
-            from forgettable_spark.extensions.dedup import flush_bucket_reports
+            # Guarded like the unpersists below: a failing flush (dead
+            # session, vanished source) must not MASK the build's own
+            # exception raising through this finally — and its queue must
+            # not go stale for the next query, so drop it with a warning.
+            from forgettable_spark.extensions import dedup as _dedup
 
-            flush_bucket_reports()
+            try:
+                _dedup.flush_bucket_reports()
+            except Exception:
+                n_dropped = len(_dedup._PENDING_REPORTS)
+                _dedup._PENDING_REPORTS.clear()
+                logging.getLogger("forgettable_spark.functions.cache").warning(
+                    "flush_bucket_reports failed during release; "
+                    "%d queued report(s) discarded",
+                    n_dropped,
+                )
         finally:
             for cached in scope:
                 try:

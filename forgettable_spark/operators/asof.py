@@ -62,9 +62,19 @@ def as_of_join(
         F.lit(None).cast(left.select(l_struct).schema["_l"].dataType).alias("_l"),
         r_struct,
     )
+    # _r as the final sort key: two right rows sharing (key, ts) would
+    # otherwise match whichever one Spark happened to sort last —
+    # partitioning-dependent output. Struct ordering is lexicographic by
+    # payload fields, so ties resolve deterministically to the largest
+    # payload (left rows carry NULL _r and are unaffected; last() reads
+    # only right rows, which all sort before equal-ts left rows via _tag).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc_nulls_first(), F.col("_tag"))
+        .orderBy(
+            F.col("_ts").asc_nulls_first(),
+            F.col("_tag"),
+            F.col("_r").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -122,21 +122,31 @@ class ManifestTable:
         for i, seg in enumerate(segs):
             for g in seg["groups"] or []:
                 claimed[tuple(g)] = i
+        # The claim map always carries the key as its STRING rendering and
+        # the segments join on a string-cast shadow column: the manifest
+        # round-trips groups through JSON (which would coerce a BIGINT key
+        # to int anyway), and a non-string key_col (commit_delta is
+        # key-agnostic) would otherwise make createDataFrame's hardcoded
+        # STRING schema reject the committed version at read time. The
+        # string rendering is injective for the string/int keys the state
+        # tables use, so the masking semantics are unchanged.
         if n_shards:
             owners = spark.createDataFrame(
-                [(k, int(sh), i) for (k, sh), i in claimed.items()],
-                f"{key_col} STRING, _shard INT, _owner INT",
+                [(str(k), int(sh), i) for (k, sh), i in claimed.items()],
+                "_gk STRING, _shard INT, _owner INT",
             )
-            keys = [key_col, "_shard"]
+            keys = ["_gk", "_shard"]
         else:
             owners = spark.createDataFrame(
-                [(k, i) for (k,), i in claimed.items()],
-                f"{key_col} STRING, _owner INT",
+                [(str(k), i) for (k,), i in claimed.items()],
+                "_gk STRING, _owner INT",
             )
-            keys = [key_col]
+            keys = ["_gk"]
         parts = []
         for i, seg in enumerate(segs):
-            df = spark.read.parquet(seg["data_path"])
+            df = spark.read.parquet(seg["data_path"]).withColumn(
+                "_gk", F.col(key_col).cast("string")
+            )
             if n_shards:
                 df = df.withColumn("_shard", shard())
             if seg["groups"] is None:
@@ -145,6 +155,7 @@ class ManifestTable:
             else:
                 own = owners.filter(F.col("_owner") == i).select(*keys)
                 df = df.join(F.broadcast(own), keys, "left_semi")
+            df = df.drop("_gk")
             if n_shards:
                 df = df.drop("_shard")
             parts.append(df)

@@ -98,13 +98,20 @@ def publish_batch(
     )
     # The micro-batch df is recomputed per action; the publish below reads
     # it at least twice (groups + write) and a conflict retry reads it
-    # again. Snapshot persisted RDD ids FIRST: `updated.rdd.unpersist()`
-    # would not release the checkpoint blocks (DataFrame.rdd is a fresh
-    # derived RDD, never the persisted internal one), so without the id
-    # sweep a long-running stream leaks one checkpoint per micro-batch
-    # until JVM GC — unbounded storage creep.
+    # again. `updated.rdd.unpersist()` would not release the checkpoint
+    # blocks (DataFrame.rdd is a fresh derived RDD, never the persisted
+    # internal one), so without an id sweep a long-running stream leaks
+    # one checkpoint per micro-batch until JVM GC — unbounded storage
+    # creep. The sweep set is computed IMMEDIATELY around the one persist
+    # this function performs — before/after the localCheckpoint, not at
+    # function exit — so it can only ever name our own checkpoint plus
+    # whatever a concurrent session user persisted inside that
+    # microsecond-scale window. True isolation needs one publisher per
+    # SparkSession (multiple output TABLES are fine — it is concurrent
+    # foreachBatch THREADS that could interleave persists).
     rdd_ids_before = _persistent_rdd_ids(spark)
     updated = updated.localCheckpoint(eager=True)
+    own_rdd_ids = _persistent_rdd_ids(spark) - rdd_ids_before
 
     def shard(col: str = "bin"):
         return F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
@@ -152,7 +159,7 @@ def publish_batch(
     finally:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for key in jmap.keySet().toArray():
-            if int(key) not in rdd_ids_before:
+            if int(key) in own_rdd_ids:
                 jmap.get(key).unpersist(False)
 
 

@@ -41,14 +41,27 @@ def _offset(col: pa.ChunkedArray, off: int) -> pa.ChunkedArray:
     return pc.add(col, pa.scalar(off, type=col.type))
 
 
-def scale_table(name: str, table: pa.Table, i: int) -> pa.Table:
-    """Copy ``i`` (0 = identity) of one table, keys offset deterministically."""
+def scale_table(
+    name: str, table: pa.Table, i: int, key_max: dict[str, int]
+) -> pa.Table:
+    """Copy ``i`` (0 = identity) of one table, keys offset deterministically.
+
+    ``key_max`` maps each primary key (e.g. ``c_custkey``) to ITS OWN
+    table's max — FK columns must be offset by the REFERENCED table's
+    stride, not their own max: on data where the largest key value is
+    unreferenced (standard TPC-H leaves ~1/3 of custkeys orderless) the
+    two maxima differ and every copy's FK would silently point at the
+    wrong (or no) parent row, corrupting every scaled-up join benchmark.
+    """
     if i == 0 or name in ("region", "nation"):
         return table
     cols = {c: table.column(c) for c in table.column_names}
 
-    def key_off(col_name: str) -> int:
-        return i * (pc.max(table.column(col_name)).as_py() + 1)
+    def key_off(col_name: str, ref_key: str | None = None) -> int:
+        stride = key_max[ref_key] if ref_key else (
+            pc.max(table.column(col_name)).as_py() + 1
+        )
+        return i * stride
 
     if name == "events":
         cols["event_id"] = _offset(cols["event_id"], key_off("event_id"))
@@ -78,18 +91,18 @@ def scale_table(name: str, table: pa.Table, i: int) -> pa.Table:
             [pa.array(list(emb), type=pa.list_(pa.float32()))]
         )
     elif name == "orders":
-        cols["o_orderkey"] = _offset(cols["o_orderkey"], key_off("o_orderkey"))
-        cols["o_custkey"] = _offset(cols["o_custkey"], key_off("o_custkey"))
+        cols["o_orderkey"] = _offset(cols["o_orderkey"], key_off("o_orderkey", "o_orderkey"))
+        cols["o_custkey"] = _offset(cols["o_custkey"], key_off("o_custkey", "c_custkey"))
     elif name == "lineitem":
-        cols["l_orderkey"] = _offset(cols["l_orderkey"], key_off("l_orderkey"))
-        cols["l_partkey"] = _offset(cols["l_partkey"], key_off("l_partkey"))
-        cols["l_suppkey"] = _offset(cols["l_suppkey"], key_off("l_suppkey"))
+        cols["l_orderkey"] = _offset(cols["l_orderkey"], key_off("l_orderkey", "o_orderkey"))
+        cols["l_partkey"] = _offset(cols["l_partkey"], key_off("l_partkey", "p_partkey"))
+        cols["l_suppkey"] = _offset(cols["l_suppkey"], key_off("l_suppkey", "s_suppkey"))
     elif name == "customer":
-        cols["c_custkey"] = _offset(cols["c_custkey"], key_off("c_custkey"))
+        cols["c_custkey"] = _offset(cols["c_custkey"], key_off("c_custkey", "c_custkey"))
     elif name == "part":
-        cols["p_partkey"] = _offset(cols["p_partkey"], key_off("p_partkey"))
+        cols["p_partkey"] = _offset(cols["p_partkey"], key_off("p_partkey", "p_partkey"))
     elif name == "supplier":
-        cols["s_suppkey"] = _offset(cols["s_suppkey"], key_off("s_suppkey"))
+        cols["s_suppkey"] = _offset(cols["s_suppkey"], key_off("s_suppkey", "s_suppkey"))
     return pa.table(cols, schema=None)
 
 
@@ -100,6 +113,17 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
+    # Primary-key strides from the REFERENCED tables (see scale_table):
+    # every FK offset must use its parent's max+1, not its own.
+    key_max: dict[str, int] = {}
+    for tbl, key in [
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+    ]:
+        t = pq.read_table(os.path.join(args.src, f"{tbl}.parquet"), columns=[key])
+        key_max[key] = pc.max(t.column(key)).as_py() + 1
     for fn in sorted(os.listdir(args.src)):
         if not fn.endswith(".parquet"):
             continue
@@ -109,7 +133,7 @@ def main() -> None:
             out = src
         else:
             out = pa.concat_tables(
-                [scale_table(name, src, i) for i in range(args.factor)]
+                [scale_table(name, src, i, key_max) for i in range(args.factor)]
             )
         pq.write_table(out, os.path.join(args.dst, fn))
         print(f"{name}: {len(src)} -> {len(out)} rows")

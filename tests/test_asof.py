@@ -53,3 +53,18 @@ def test_asof_null_timestamps_never_match(spark):
     assert rows[1]["asof_click_id"] is None  # NULL left ts: unmatched
     assert rows[2]["asof_click_id"] == 100   # NULL right ts never matches
     assert len(rows) == 2  # LEFT: every left row survives
+
+
+def test_asof_right_ts_ties_deterministic(spark):
+    """Two right rows at the identical (key, ts): the match must be the
+    deterministic struct-max payload regardless of partitioning."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(5)), (101, 10, _ts(5))],
+        "click_id long, user_id long, ts timestamp",
+    )
+    for rdf in (right, right.repartition(7), right.coalesce(1)):
+        out = as_of_join(left, rdf, on=["user_id"]).collect()
+        assert out[0]["asof_click_id"] == 101  # lexicographically-largest payload

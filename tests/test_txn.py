@@ -341,3 +341,20 @@ def test_vacuum_keeps_segments_shared_with_retained_versions(spark, tmp_path):
     table.fold_segments(spark)
     table.vacuum(keep=1)
     assert not os.path.isdir(base_path)
+
+
+def test_commit_delta_with_integer_key_col(spark, tmp_path):
+    """commit_delta is key-agnostic: a BIGINT key column must remain
+    readable through the segmented resolver (the claim map joins on a
+    string-cast shadow key, not a hardcoded STRING schema)."""
+    table = ManifestTable(str(tmp_path / "int_key"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "uid BIGINT, bin STRING, n BIGINT"
+    )
+    v1 = table.commit(base, base_version=None, partition_col=None)
+    delta = spark.createDataFrame([(2, "b", 99)], "uid BIGINT, bin STRING, n BIGINT")
+    v2 = table.commit_delta(
+        delta, [(2,)], base_version=v1, key_col="uid", partition_col=None
+    )
+    got = {(r["uid"], r["bin"]): r["n"] for r in table.read(spark, version=v2).collect()}
+    assert got == {(1, "a"): 10, (2, "b"): 99}
