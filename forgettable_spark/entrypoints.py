@@ -596,7 +596,12 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       — driver rows in their debut round);
     - ``dedup_simhash_capped`` — the hot-bucket-cap twist of
       ``dedup_simhash_pairs`` (same rotation; the cap's mirrored-QUALIFY
-      semantics stay hash-verified here every session).
+      semantics stay hash-verified here every session);
+    - ``ann_kmeans_topk`` — trained balanced-codebook IVF
+      (``extensions/codebook.py``): k-means is iterative (the
+      dynamic-oracle class), so its full parity runs against a GENERATED
+      literal-codebook oracle in tests/test_kmeans_ann.py and the
+      harness records rows-only here.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -619,6 +624,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": entrypoints_ext.q_corpus_report,
         "ann_signature_quantized": entrypoints_ext.q_ann_signature_quantized,
         "asof_attribution": q_asof_attribution,
+        "ann_kmeans_topk": entrypoints_ext.q_ann_kmeans_topk,
     }
 
 

@@ -608,6 +608,53 @@ def q_ann_multiprobe_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_CELLS = 8  # ~60 vectors/cell at sf0.01; corpus knob like n_bits
+KMEANS_PROBES = 2
+KMEANS_CAP = 32  # bites at sf0.01 (trained cells run 44-78) so the
+# sample-to-cap semantics stay exercised even under a balanced codebook
+
+#: Trained codebook memo per (sf_dir, k): training collects a bounded
+#: sample (O(CODEBOOK_SAMPLE·dim) driver memory), and the result is a
+#: pure function of the corpus — re-training per call would repeat the
+#: identical collect for the identical literals.
+_CODEBOOKS: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _codebook_for(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, k)
+    if key not in _CODEBOOKS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOKS[key] = cb.train_codebook(emb, k=k)
+    return _CODEBOOKS[key]
+
+
+def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a TRAINED balanced codebook (k-means IVF) — the
+    production refinement of the fixed quantizers: cells split where the
+    data is dense, so per-cell occupancy stays near corpus/k and the
+    sample-to-cap knob becomes a safety net instead of the load-bearing
+    recall trade (SCALING.md sf3: fixed cells went quadratic on
+    clustered data; trained cells are balanced by construction).
+    Secondary registry: k-means is iterative (the documented
+    dynamic-oracle class), so the full rows+schema+values parity runs in
+    tests/test_kmeans_ann.py against the generated literal-codebook
+    oracle rather than a static SQL string."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+    return cb.kmeans_ann_topk(
+        emb,
+        _queries_subset(emb),
+        cents,
+        k=ANN_K,
+        n_probes=KMEANS_PROBES,
+        max_bucket_size=KMEANS_CAP,
+    )
+
+
 #: Multi-probe list: indices of the n_probes largest |components|, ties by
 #: index asc — the struct list_sort mirrors Spark's top_p_buckets exactly.
 _PROBES_SQL = (

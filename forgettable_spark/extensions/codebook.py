@@ -1,0 +1,300 @@
+"""Trained balanced codebook (k-means IVF) for ANN cell assignment.
+
+The missing piece SCALING.md names twice: fixed quantizers — argmax
+components (``similarity.argmax_bucket``) and sign-LSH signatures
+(``similarity.signature_cell``) — partition the corpus by a DATA-BLIND
+rule, so real (clustered) embedding sets concentrate into few hot cells
+and the sample-to-cap knob has to throw recall away to bound work. A
+k-means codebook is trained ON the data: Lloyd iterations move centroids
+toward dense regions, so cells split exactly where vectors concentrate
+and per-cell occupancy stays near corpus/k by construction — the
+FAISS-style balanced-codebook refinement, in the same capped equi-join
+shape as every other candidate generator in the engine.
+
+Scale shape (100 TB posture):
+
+- **Training is O(sample), not O(corpus)**: a deterministic bounded
+  sample (md5-of-id order — the engine's standard unbiased pseudo-random
+  order, restatable in any engine) is collected once and Lloyd runs
+  driver-side in numpy. A codebook is a MODEL — kilobytes of floats —
+  and training it on a fixed-size sample is the standard IVF recipe
+  (FAISS trains on ~30-50 vectors per centroid); the corpus itself never
+  leaves the executors.
+- **Assignment is row-local codegen-shape expressions**: k dot folds
+  against literal centroid arrays per row, argmax via the same sorted
+  struct-array trick as ``similarity.top_p_buckets`` — no UDF, no
+  shuffle, evaluated in the scan stage.
+- **Search is the capped equi-join**: identical to
+  ``signature_ann_topk`` — multi-probe = the query's ``n_probes``
+  nearest centroids, over-full cells deterministically subsampled to the
+  cap (``_sample_cells_to_cap``). With trained centroids the cap is a
+  safety net, not the load-bearing knob.
+
+Determinism (the oracle story): the sample order, the init (first k
+sample vectors), the iteration count, and numpy float64 arithmetic are
+all fixed, so training is bit-reproducible for a given corpus. The
+trained centroids are then LITERALS in both engines' assignment
+expressions — :func:`codebook_oracle_sql` renders the exact DuckDB twin
+of :func:`kmeans_ann_topk` for any codebook, and the parity test
+(tests/test_kmeans_ann.py) hash-matches them end-to-end. The oracle is
+generated, not static, because k-means is an iterative algorithm (the
+documented non-SQL-expressible class): the driver records a rows-only
+check for the registered query, while the local gate keeps full
+rows+schema+values rigor.
+
+Scoring: per-vector score against centroid c is ``dot(v, c) − ‖c‖²/2``
+(argmax of which equals argmin of L2 distance); ``‖c‖²/2`` is
+precomputed driver-side so the row expression is one sequential dot fold
+plus one subtraction — the engines' bit-identical float recipe. Ties
+break toward the lowest centroid index in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.similarity import (
+    _sample_cells_to_cap,
+    as_double,
+    cosine,
+    dot,
+)
+
+#: Default bounded training-sample size: ~32-64 vectors per centroid at
+#: the default k, the standard IVF training density. Driver memory is
+#: O(CODEBOOK_SAMPLE · dim) doubles regardless of corpus size.
+CODEBOOK_SAMPLE = 2048
+
+#: Default Lloyd iteration count. Fixed (no convergence test) so the
+#: training is a pure function of the sample: same corpus → same
+#: codebook, bit-for-bit.
+CODEBOOK_ITERS = 8
+
+
+def train_codebook(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = CODEBOOK_SAMPLE,
+    iters: int = CODEBOOK_ITERS,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over a bounded sample; returns k
+    centroids (lists of float64) ready to embed as literals.
+
+    Sample = the first ``sample_size`` corpus vectors in
+    (md5(id), id) order — unbiased w.r.t. ingestion order and
+    restatable in SQL, the same device as ``_sample_cells_to_cap``.
+    Init = the first k sample vectors (distinct rows of a hash-ordered
+    sample are as good as a random init and reproducible). Each
+    iteration assigns the sample to its nearest centroid (squared L2,
+    ties to the lowest index — numpy argmin) and recenters; a centroid
+    that loses every member keeps its position (standard empty-cluster
+    rule, keeps k stable). ``iters`` is fixed, not converged, so the
+    result is a pure function of the sample.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"train_codebook: sample has {len(rows)} vectors < k={k}"
+        )
+    sample = np.array([r["_v"] for r in rows], dtype=np.float64)
+    centroids = sample[:k].copy()
+    for _ in range(iters):
+        # (n, k) squared distances; argmin ties resolve to lowest index.
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in centroids]
+
+
+def _half_norms(centroids: list[list[float]]) -> list[float]:
+    """``‖c‖²/2`` per centroid, in the same float64 arithmetic both
+    engines will treat as a literal (numpy sequential sum — computed
+    ONCE here, never re-derived engine-side)."""
+    import numpy as np
+
+    return [float(0.5 * np.dot(np.array(c, dtype=np.float64), np.array(c, dtype=np.float64))) for c in centroids]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """Score of ``vec`` against each centroid: ``dot(v, c) − ‖c‖²/2``
+    (sequential fold — the engines' shared bit-exact recipe). Argmax of
+    these equals argmin of L2 distance."""
+    halves = _half_norms(centroids)
+    out = []
+    for c, h in zip(centroids, halves):
+        lit = F.array(*[F.lit(x) for x in c])
+        out.append(dot(vec, lit) - F.lit(h))
+    return out
+
+
+def centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid (ties → lowest index).
+    ``array_max`` over (score, −index) structs compares score first,
+    then −index — so equal scores pick the smallest index, mirroring the
+    oracle's ``ORDER BY s DESC, ci ASC`` window."""
+    scored = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+            for i, s in enumerate(_centroid_scores(vec, centroids))
+        ]
+    )
+    return (-F.array_max(scored)["ni"]).cast("bigint")
+
+
+def top_p_centroid_cells(
+    vec: Column, centroids: list[list[float]], n_probes: int
+) -> Column:
+    """The query's ``n_probes`` nearest centroid indices, nearest first —
+    multi-probe IVF over the trained codebook. Sorted (−score, index)
+    structs, same determinism as ``similarity.top_p_buckets``."""
+    scored = F.array(
+        *[
+            F.struct((-s).alias("negs"), F.lit(i).cast("bigint").alias("idx"))
+            for i, s in enumerate(_centroid_scores(vec, centroids))
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["idx"]), 1, n_probes)
+
+
+def kmeans_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """IVF top-k over a TRAINED codebook: balanced cells bound who gets
+    scored; multi-probe widens recall; over-full cells (rare once
+    trained) deterministically subsample to the cap. Output shape
+    matches every other ANN query: (query_id, neighbor_id, cosine,
+    rank), ties on neighbor_id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    if max_bucket_size is not None:
+        c = _sample_cells_to_cap(c, max_bucket_size)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    )
+    if n_probes <= 1:
+        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+    else:
+        q = q.withColumn(
+            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+        )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _sql_double(x: float) -> str:
+    """A DuckDB DOUBLE literal: scientific notation parses as DOUBLE
+    (a plain decimal literal would parse as DECIMAL), and 17 significant
+    digits round-trip any float64 exactly."""
+    return f"{x:.17e}"
+
+
+def codebook_oracle_sql(
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 1,
+    max_bucket_size: int | None = None,
+    query_mod: int = 25,
+) -> str:
+    """The DuckDB twin of :func:`kmeans_ann_topk` over the pre-registered
+    ``embeddings`` view, with the trained codebook rendered as literals.
+    Generated (k-means is iterative — the documented dynamic-oracle
+    class); tests/test_kmeans_ann.py holds it to the same
+    rows+schema+values standard as the static oracles."""
+    cb_rows = ", ".join(
+        "({i}, [{vals}], {h})".format(
+            i=i,
+            vals=", ".join(_sql_double(x) for x in c),
+            h=_sql_double(h),
+        )
+        for i, (c, h) in enumerate(zip(centroids, _half_norms(centroids)))
+    )
+    dot_vc = "list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * c[j]))"
+    cos = (
+        "({d}) / ((sqrt({na})) * (sqrt({nb})))".format(
+            d="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * e[j]))",
+            na="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * qv[j]))",
+            nb="list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * e[j]))",
+        )
+    )
+    cap_cte = ""
+    corpus_src = "assigned"
+    if max_bucket_size is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+    FROM assigned
+  ) WHERE srn <= {max_bucket_size}
+)"""
+        corpus_src = "capped"
+    return f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb AS (SELECT * FROM (VALUES {cb_rows}) t(ci, c, h)),
+scores AS (
+  SELECT v.vec_id, v.e, cb.ci, ({dot_vc}) - cb.h AS s
+  FROM v CROSS JOIN cb
+),
+ranked AS (
+  SELECT vec_id, e, ci, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY s DESC, ci ASC) AS crn
+  FROM scores
+),
+assigned AS (
+  SELECT vec_id, e, CAST(ci AS BIGINT) AS cell FROM ranked WHERE crn = 1
+){cap_cte},
+q AS (
+  SELECT vec_id AS query_id, e AS qv, CAST(ci AS BIGINT) AS cell
+  FROM ranked WHERE vec_id % {query_mod} = 0 AND crn <= {n_probes}
+),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id, {cos} AS cosine
+  FROM q JOIN {corpus_src} s USING (cell) WHERE query_id != s.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def sample_order_key(vec_id) -> tuple[str, object]:
+    """The (md5, id) training-sample sort key, exposed for tests that
+    re-derive the sample outside Spark."""
+    return (hashlib.md5(str(vec_id).encode()).hexdigest(), vec_id)
