@@ -601,7 +601,11 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (``extensions/codebook.py``): k-means is iterative (the
       dynamic-oracle class), so its full parity runs against a GENERATED
       literal-codebook oracle in tests/test_kmeans_ann.py and the
-      harness records rows-only here.
+      harness records rows-only here;
+    - ``ann_bucketed_topk`` — the single-probe parameter twist of
+      ``ann_multiprobe_topk`` (same int8 scoring, same bucket scheme;
+      rotated out late r4 so the NEW ``bm25_search`` operator earns a
+      driver row in its debut round).
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -625,6 +629,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_signature_quantized": entrypoints_ext.q_ann_signature_quantized,
         "asof_attribution": q_asof_attribution,
         "ann_kmeans_topk": entrypoints_ext.q_ann_kmeans_topk,
+        "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
     }
 
 
@@ -729,4 +734,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
         "ann_signature_quantized": entrypoints_ext._oracle_ann_signature_quantized(),
         "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
+        "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
     }

@@ -608,6 +608,37 @@ def q_ann_multiprobe_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The registered BM25 query set: three keyword queries over the corpus
+#: vocabulary (single-space tokens). Multi-term so the sorted-fold
+#: summation is exercised, overlapping df ranges so ranking is
+#: non-trivial.
+BM25_QUERIES = {
+    "perf": ["spark", "fast", "slow"],
+    "join_plan": ["join", "hash", "merge"],
+    "vector_search": ["vector", "scan"],
+}
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: rational-idf BM25 top-10 documents per query
+    (`extensions/search.py` — the curriculum-slicing / corpus-QA verb).
+    Postings are filtered to the query vocabulary inside the explode
+    stage, so only fixed-width (doc_id, term, tf) rows for query terms
+    ever shuffle; per-(query, doc) scores sum via a sorted sequential
+    fold, so the float total is bit-identical cross-engine (libm-free
+    rational idf — same determinism contract as tfidf_keywords)."""
+    from forgettable_spark.extensions import search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search.bm25_topk(docs, BM25_QUERIES, k=ANN_K)
+
+
+def _oracle_bm25() -> str:
+    from forgettable_spark.extensions import search
+
+    return search.bm25_oracle_sql(BM25_QUERIES, k=ANN_K)
+
+
 KMEANS_CELLS = 8  # ~60 vectors/cell at sf0.01; corpus knob like n_bits
 KMEANS_PROBES = 2
 KMEANS_CAP = 32  # bites at sf0.01 (trained cells run 44-78) so the
@@ -1415,8 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_exact": q_dedup_chunk_exact,
         "dedup_components": q_dedup_components,
         "ann_signature_topk": q_ann_signature_topk,
-        "ann_bucketed_topk": q_ann_bucketed_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "bm25_search": q_bm25_search,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1448,8 +1479,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _oracle_dedup_components(),
         "ann_signature_topk": _oracle_ann_signature(),
         "ann_quantized_topk": _oracle_ann_quantized(),
-        "ann_bucketed_topk": _oracle_ann_quantized_bucketed(1),
         "ann_multiprobe_topk": _oracle_ann_quantized_bucketed(),
+        "bm25_search": _oracle_bm25(),
         "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "embedding_near_dup_hyperplane": _oracle_hyperplane(),
