@@ -626,11 +626,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, so only fixed-width (doc_id, term, tf) rows for query terms
     ever shuffle; per-(query, doc) scores sum via a sorted sequential
     fold, so the float total is bit-identical cross-engine (libm-free
-    rational idf — same determinism contract as tfidf_keywords)."""
+    rational idf — same determinism contract as tfidf_keywords).
+    run_released: the postings cache (two consumers — df counts and
+    scoring) must not outlive the query; output is 10 rows per query."""
     from forgettable_spark.extensions import search
 
     docs = load_table(spark, sf_dir, "documents")
-    return search.bm25_topk(docs, BM25_QUERIES, k=ANN_K)
+    return run_released(
+        spark, lambda: search.bm25_topk(docs, BM25_QUERIES, k=ANN_K)
+    )
 
 
 def _oracle_bm25() -> str:

@@ -51,8 +51,6 @@ break toward the lowest centroid index in both engines.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -294,7 +292,3 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {k}"""
 
 
-def sample_order_key(vec_id) -> tuple[str, object]:
-    """The (md5, id) training-sample sort key, exposed for tests that
-    re-derive the sample outside Spark."""
-    return (hashlib.md5(str(vec_id).encode()).hexdigest(), vec_id)

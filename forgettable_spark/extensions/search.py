@@ -25,14 +25,19 @@ rare terms more steeply than the log form, a standard family member
 
 Scale shape (100 TB posture):
 
-- The explode is FILTERED TO QUERY TERMS in the same stage — only
-  postings for the query vocabulary leave the scan: (doc_id, term, tf)
-  fixed-width rows, never text. A 3-term query set shuffles three
-  postings lists, not the corpus.
-- df and the (N, Σdl) corpus stats are tiny aggregations; query terms
+- The explode is FILTERED TO QUERY TERMS in the same codegen stage —
+  only postings for the query vocabulary leave the scan: (doc_id, dl,
+  term, tf) fixed-width rows, never text. The aggregated postings are
+  scope-CACHED because two branches consume them (df counts and
+  scoring); without the persist the dominant corpus explode stage runs
+  once per branch. Registered queries release the cache via
+  ``run_released``; the cache holds query-vocabulary postings only.
+- The (N, Σdl) corpus stats are their own row-local scan (split +
+  size, no explode — stats need every document's length, postings only
+  the matching ones). df and stats are tiny aggregates; query terms
   and df broadcast. The per-doc length rides the postings shuffle as a
-  grouping column (it is functionally dependent on doc_id), so the
-  corpus is exchanged exactly once.
+  grouping column (functionally dependent on doc_id), never a second
+  doc-keyed join.
 - Per-(query, doc) summation is a sorted sequential fold over the ≤|q|
   matched terms (collect_list → sort_array → fold), so float addition
   order is pinned on both engines.
@@ -44,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from forgettable_spark.extensions.codebook import _sql_double
 from forgettable_spark.extensions.text import tokens
 
 BM25_K1 = 1.2
@@ -63,6 +69,8 @@ def bm25_topk(
     rank), score = rational-idf BM25 (module docstring), ties on doc_id
     ascending. Documents matching none of a query's terms are absent
     (score 0 by definition); NULL text never matches."""
+    from forgettable_spark.functions.cache import scoped_cache
+
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
     if not all_terms:
         raise ValueError("bm25_topk: query_terms is empty")
@@ -73,13 +81,19 @@ def bm25_topk(
     # Corpus stats ride a broadcast 1-row aggregate; avgdl stays a
     # DIVISION OF TWO EXACT INTEGERS evaluated identically in both
     # engines (a pre-averaged double would depend on aggregation order).
+    # This is its own row-local scan (split + size, no explode): stats
+    # need every document's length, postings only the matching ones.
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("_w")).alias("sum_dl")
     )
     # dl rides the postings shuffle as a grouping column (functionally
     # dependent on doc_id) instead of joining the corpus back a second
-    # time — one corpus-wide exchange total, carrying three ints + term.
-    postings = (
+    # time — the exchange carries three ints + term. The aggregated
+    # postings are CACHED because two branches consume them (df counts
+    # and scoring): without the persist the dominant explode stage runs
+    # twice (review r4 finding). Registered queries release via
+    # run_released; the cache holds only query-vocabulary postings.
+    postings = scoped_cache(
         base.select("doc_id", F.size("_w").alias("dl"), F.explode("_w").alias("term"))
         .filter(F.col("term").isin(all_terms))
         .groupBy("doc_id", "dl", "term")
@@ -129,8 +143,12 @@ def bm25_topk(
     )
 
 
-def _sql_double(x: float) -> str:
-    return f"{x:.17e}"
+def _sql_str(s: str) -> str:
+    """A SQL string literal with single quotes doubled — query terms are
+    data, not SQL (an apostrophe term must not break or inject into the
+    oracle)."""
+    escaped = s.replace("'", "''")
+    return f"'{escaped}'"
 
 
 def bm25_oracle_sql(
@@ -143,9 +161,9 @@ def bm25_oracle_sql(
     ``documents`` view — same tokenization, same rational-idf scoring,
     same sorted-fold summation, same literals."""
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
-    term_list = ", ".join(f"'{t}'" for t in all_terms)
+    term_list = ", ".join(_sql_str(t) for t in all_terms)
     q_rows = ", ".join(
-        f"('{qid}', '{t}')"
+        f"({_sql_str(qid)}, {_sql_str(t)})"
         for qid, ts in sorted(query_terms.items())
         for t in sorted(set(ts))
     )

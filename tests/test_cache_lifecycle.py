@@ -23,6 +23,7 @@ CACHING_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_hyperplane",
     "ann_recall",
+    "bm25_search",
 ]
 
 
