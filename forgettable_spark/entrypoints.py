@@ -550,13 +550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "n_most_probable": q_n_most_probable,
         "get_dist_all": q_get_dist_all,
-        "get_dist_single": q_get_dist_single,
         "get_field": q_get_field,
         "db_size": q_db_size,
         "live_distributions": q_live_distributions,
         "snapshot_state": q_snapshot_state,
         "decay_proportional": q_decay_proportional,
-        "n_most_probable_users": q_n_most_probable_users,
         "replay_daily": q_replay_daily,
         "sessionize": q_sessionize,
         "get_dist_poisson": q_get_dist_poisson,
@@ -605,7 +603,14 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``ann_bucketed_topk`` — the single-probe parameter twist of
       ``ann_multiprobe_topk`` (same int8 scoring, same bucket scheme;
       rotated out late r4 so the NEW ``bm25_search`` operator earns a
-      driver row in its debut round).
+      driver row in its debut round);
+    - ``get_dist_single`` / ``n_most_probable_users`` /
+      ``dedup_simhash`` — rotated out late r4 so the three NEW
+      operators ``lm_score``, ``pack_sequences``, ``dedup_incremental``
+      earn driver rows in their debut round: the first two are a WHERE
+      twist and a projection twist of still-registered queries, and
+      ``dedup_simhash`` is the per-document sketch listing whose exact
+      aggregation ``dedup_simhash_pairs`` consumes and re-verifies.
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -615,6 +620,9 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "db_size_users": q_db_size_users,
         "get_dist_join_norm": q_get_dist_join_norm,
+        "get_dist_single": q_get_dist_single,
+        "n_most_probable_users": q_n_most_probable_users,
+        "dedup_simhash": entrypoints_ext.q_dedup_simhash,
         "ann_cosine_topk": entrypoints_ext.q_ann_cosine_topk,
         "ann_bucketed_float": entrypoints_ext.q_ann_bucketed_float,
         "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
@@ -671,15 +679,11 @@ WHERE distribution = 'colors'"""
     out = {
         "n_most_probable": ORACLE_N_MOST_PROBABLE,
         "get_dist_all": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
-        "get_dist_single": _oracle_get_dist(
-            _EV_EVENT_TYPE, RATE_SLOW, True, "linear", f"WHERE distribution = '{GET_FIELD_DIST}'"
-        ),
         "get_field": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear", get_field_where),
         "db_size": "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS db_size FROM events",
         "live_distributions": live_dists,
         "snapshot_state": snapshot_state,
         "decay_proportional": _oracle_get_dist(_EV_USER, RATE_PROPORTIONAL, False, "proportional"),
-        "n_most_probable_users": ORACLE_N_MOST_PROBABLE_USERS,
         "replay_daily": _oracle_replay(),
         "sessionize": ORACLE_SESSIONIZE,
         "get_dist_poisson": _oracle_get_dist_poisson(_EV_EVENT_TYPE, RATE_SLOW, POISSON_SEED),
@@ -721,6 +725,11 @@ def secondary_oracle_sql() -> dict[str, str]:
             " AS db_size FROM events"
         ),
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
+        "get_dist_single": _oracle_get_dist(
+            _EV_EVENT_TYPE, RATE_SLOW, True, "linear", f"WHERE distribution = '{GET_FIELD_DIST}'"
+        ),
+        "n_most_probable_users": ORACLE_N_MOST_PROBABLE_USERS,
+        "dedup_simhash": entrypoints_ext.ORACLE_DEDUP_SIMHASH,
         "ann_cosine_topk": entrypoints_ext.ORACLE_ANN_COSINE,
         "ann_bucketed_float": entrypoints_ext.ORACLE_ANN_BUCKETED,
         "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,

@@ -1433,6 +1433,143 @@ SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3"""
 
 
+# Sequence packing, corpus-LM scoring, incremental admission ------------------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-packing layout (``extensions/packing.py``): which
+    fixed-size training sequence(s) each document lands in, as pure
+    integer window arithmetic over sharded deterministic streams — the
+    corpus→trainer layout step. One shard-keyed shuffle; text never
+    moves."""
+    from forgettable_spark.extensions import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_concat(docs)
+
+
+def _oracle_pack_sequences() -> str:
+    from forgettable_spark.extensions import packing
+
+    return packing.pack_oracle_sql()
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM fluency score (``extensions/lm.py``): the CCNet
+    / RefinedWeb-style LM quality filter with a hash-exact rational
+    scoring rule (mean conditional probability, sorted-fold sum).
+    run_released: the (doc, gram, tf) postings cache feeds both the
+    model rollup and scoring."""
+    from forgettable_spark.extensions import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return run_released(spark, lambda: lm.bigram_lm_score(docs))
+
+
+def _oracle_lm_score() -> str:
+    from forgettable_spark.extensions import lm
+
+    return lm.LM_SCORE_ORACLE_SQL
+
+
+#: New-batch split for the incremental-admission query: documents whose
+#: salted hash bucket falls below this bound (of sampling.BUCKETS) form
+#: the incoming batch (~12.5%); the rest are the already-admitted corpus.
+INCR_SALT = "incr"
+INCR_NEW_BOUND = 1250
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission dedup (``dedup.incremental_lsh_admit``):
+    match a deterministic ~12.5% "incoming batch" slice against the
+    remaining ~87.5% "already admitted" corpus — new×old band join only,
+    no old×old pairs, one verdict row per batch document. The ingest
+    twin of ``dedup_minhash_lsh``'s batch self-join. Both slices come
+    from ONE corpus here, so the sketch table is built once, scope-cached,
+    and split by the hash bucket (two sketch passes over the same frame
+    would double the dominant shingling cost — the from-sketches entry
+    point is also the production path, where existing-side sketches are
+    a stored table)."""
+    from forgettable_spark.extensions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), INCR_SALT)
+
+    def build() -> DataFrame:
+        sigs = scoped_cache(
+            dedup.minhash_sketch_narrow(docs, k=MINHASH_K).withColumn(
+                "_bkt", hash_bucket(F.col("doc_id"), INCR_SALT)
+            )
+        )
+        return dedup.incremental_admit_from_sketches(
+            sigs.filter(F.col("_bkt") >= INCR_NEW_BOUND),
+            sigs.filter(F.col("_bkt") < INCR_NEW_BOUND),
+            docs.filter(b >= INCR_NEW_BOUND),
+            docs.filter(b < INCR_NEW_BOUND),
+            k=MINHASH_K,
+            bands=LSH_BANDS,
+            threshold=JACCARD_THRESHOLD,
+        )
+
+    return run_released(spark, build)
+
+
+def _oracle_dedup_incremental() -> str:
+    from forgettable_spark.extensions.sampling import BUCKETS
+
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band))
+        + "))"
+        for b in range(LSH_BANDS)
+    )
+    bkt = (
+        f"('0x' || substr(md5('{INCR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {BUCKETS}"
+    )
+    return f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+based AS (SELECT doc_id, shingles, {_MINHASH_BASE_SQL.format(src='shingles')} AS mhb
+          FROM sh WHERE text IS NOT NULL),
+sigs AS (
+  SELECT doc_id, shingles,
+         [{', '.join(_minhash_sql(i) for i in range(MINHASH_K))}] AS mh
+  FROM based
+),
+split AS (SELECT *, {bkt} AS bkt FROM sigs),
+banded_old AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS key, unnest(range(0, {LSH_BANDS})) AS band
+  FROM split WHERE bkt >= {INCR_NEW_BOUND}
+),
+banded_new AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS key, unnest(range(0, {LSH_BANDS})) AS band
+  FROM split WHERE bkt < {INCR_NEW_BOUND}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM banded_new n JOIN banded_old o ON n.band = o.band AND n.key = o.key
+),
+ver AS (
+  SELECT c.new_id, c.old_id, {_JACCARD_SQL} AS jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.old_id
+  WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD:e}
+),
+best AS (
+  SELECT new_id, old_id AS match_id, jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY new_id ORDER BY jaccard DESC, old_id ASC) AS rn
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, b.match_id IS NOT NULL AS is_dup,
+  CAST(COALESCE(b.match_id, -1) AS BIGINT) AS match_id,
+  COALESCE(b.jaccard, 0e0) AS jaccard
+FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+WHERE {bkt.replace('doc_id', 'd.doc_id')} < {INCR_NEW_BOUND}"""
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -1445,8 +1582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_chunk_exact": q_dedup_chunk_exact,
         "dedup_components": q_dedup_components,
         "ann_signature_topk": q_ann_signature_topk,
@@ -1465,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "tfidf_keywords": q_tfidf_keywords,
         "repetition_stats": q_repetition_stats,
+        "lm_score": q_lm_score,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1477,8 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _oracle_minhash_lsh(),
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
-        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+        "dedup_incremental": _oracle_dedup_incremental(),
         "dedup_chunk_exact": ORACLE_DEDUP_CHUNK_EXACT,
         "dedup_components": _oracle_dedup_components(),
         "ann_signature_topk": _oracle_ann_signature(),
@@ -1497,4 +1636,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": ORACLE_QUALITY_FILTER,
         "tfidf_keywords": ORACLE_TFIDF,
         "repetition_stats": ORACLE_REPETITION_STATS,
+        "lm_score": _oracle_lm_score(),
+        "pack_sequences": _oracle_pack_sequences(),
     }

@@ -213,6 +213,26 @@ def _jaccard_distinct(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return inter.cast("double") / (na + nb - inter).cast("double")
 
 
+def _minhash_sketches(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-document MinHash sketch frame (id, shd, mh): distinct shingle
+    set + k-element signature, row-local. NULL text is excluded here
+    (its shingle set would be [NULL], and array_intersect treats NULL
+    elements as equal — two NULL docs would verify at jaccard 1.0).
+    Shared by the batch self-join and the incremental admit paths."""
+    from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
+
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+        .withColumn("shd", F.array_distinct(F.col("sh")))
+        .withColumn("_base", F.transform(F.col("shd"), shingle_hash))
+        .withColumn("mh", minhash_signature_from_base(F.col("_base"), k))
+        .drop("sh", "_base")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -241,20 +261,11 @@ def minhash_lsh_pairs(
     corpora where one band key would otherwise collect a huge slice of
     the corpus and square it.
     """
-    from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
-
     # NULL text must match nothing: its shingle set is [NULL], and
     # array_intersect treats NULL elements as equal — two NULL docs would
     # verify at jaccard 1.0. Excluded before sketching.
-    docs = docs.filter(F.col(text_col).isNotNull())
     rows_per_band = k // bands
-    sigs = (
-        docs.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
-        .withColumn("shd", F.array_distinct(F.col("sh")))
-        .withColumn("_base", F.transform(F.col("shd"), shingle_hash))
-        .withColumn("mh", minhash_signature_from_base(F.col("_base"), k))
-        .drop("sh", "_base")
-    )
+    sigs = _minhash_sketches(docs, text_col, id_col, k)
     # The sketch table feeds three plan branches (band explode + both
     # verify join-backs); without persistence each branch re-shingles and
     # re-hashes the corpus. Caching the per-doc sketch is the standard
@@ -698,4 +709,208 @@ def simhash_pairs(
         cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def incremental_lsh_admit(
+    existing: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    persist: bool = True,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Admission dedup: match a NEW batch against an EXISTING corpus —
+    the shape production ingest actually runs. Batch-mode dedup
+    (:func:`minhash_lsh_pairs`) re-pairs the whole corpus every run;
+    an ingest pipeline instead asks, per incoming document, "is this a
+    near-duplicate of anything already admitted?" and never compares
+    existing documents with each other again.
+
+    Returns ONE ROW PER BATCH DOCUMENT: (doc_id, is_dup, match_id,
+    jaccard) where match_id is the best existing match (highest verified
+    Jaccard >= threshold, ties on existing id ascending); unmatched
+    documents carry the NULL-free sentinels match_id = -1, jaccard = 0.0
+    (a NULL BIGINT would round-trip as NaN through dataframe bridges and
+    break cross-engine hashing). NULL-text batch documents are admitted
+    unmatched (NULL text matches nothing, the module-wide contract);
+    batch-internal duplicates are NOT flagged here (they are the batch
+    self-join's job — at ingest, run both).
+
+    Scale posture: the candidate join is new-bands × existing-bands ONLY
+    — no existing×existing pairs ever form, so per-batch cost is
+    O(|batch| · bucket occupancy), not O(corpus). Sketch frames are
+    NARROW — (id, mh), k BIGINTs per document — so caching or storing
+    them is O(#docs · k); the exact-Jaccard verify re-shingles only the
+    candidate documents from text (semi-join), never the corpus. A
+    production deployment stores the narrow sketches as a table
+    maintained by admission itself and calls
+    :func:`incremental_admit_from_sketches` directly, at which point
+    the per-batch corpus cost drops to the band join alone. Likewise,
+    when existing and batch are slices of ONE frame, sketch it once and
+    split the sketch table — two sketch passes over overlapping lineage
+    would double the dominant shingling cost. ``max_bucket_size`` caps
+    EXISTING-side band buckets (the corpus-sized side — a boilerplate
+    band key would otherwise drag a huge existing slice onto every
+    batch).
+    """
+    old_sigs = minhash_sketch_narrow(existing, text_col, id_col, k)
+    new_sigs = minhash_sketch_narrow(batch, text_col, id_col, k)
+    if persist:  # each side feeds its band explode; cache is k ints/doc
+        old_sigs = scoped_cache(old_sigs)
+        new_sigs = scoped_cache(new_sigs)
+    return incremental_admit_from_sketches(
+        old_sigs,
+        new_sigs,
+        existing,
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        log_dropped=log_dropped,
+    )
+
+
+def minhash_sketch_narrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 12
+) -> DataFrame:
+    """NARROW per-document MinHash sketch (id, mh): k BIGINTs per doc,
+    no retained shingle arrays — the storable/cacheable admission-index
+    shape. NULL text is excluded (module-wide contract)."""
+    from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
+
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            minhash_signature_from_base(
+                F.transform(
+                    F.array_distinct(shingles(F.col(text_col))), shingle_hash
+                ),
+                k,
+            ).alias("mh"),
+        )
+    )
+
+
+def incremental_admit_from_sketches(
+    old_sigs: DataFrame,
+    new_sigs: DataFrame,
+    existing: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Admission verdicts from PRE-BUILT narrow sketch frames (id, mh —
+    :func:`minhash_sketch_narrow`); the hot inner path of
+    :func:`incremental_lsh_admit` (contract documented there).
+    ``existing`` / ``batch`` supply text for the exact-Jaccard verify,
+    which touches only candidate documents (semi-join); ``batch`` also
+    defines the output rows — one verdict per batch document INCLUDING
+    NULL-text ones (no sketch row, admitted unmatched). Callers own the
+    sketch frames' lifecycle (cache/store/release)."""
+    rows_per_band = k // bands
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            id_col,
+            F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias(
+                "band", "key"
+            ),
+        )
+
+    old_b = cap_hot_buckets(
+        banded(old_sigs),
+        ["band", "key"],
+        max_bucket_size,
+        "incremental_lsh_admit",
+        log_dropped,
+    )
+    cand = (
+        banded(new_sigs)
+        .alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"), F.col(f"o.{id_col}").alias("old_id")
+        )
+        .distinct()
+    )
+    # The candidate table feeds THREE branches (the id semi-join and
+    # both verify joins) — without a cache the band join re-executes per
+    # branch. It is two BIGINTs per candidate pair.
+    cand = scoped_cache(cand)
+    # Exact-Jaccard verify: re-shingle ONLY candidate documents from
+    # text — ONE pass over the union of both frames semi-joined to the
+    # union of candidate ids — so the corpus-wide distinct-shingle sets
+    # are never materialized or cached. (Existing and batch ids are
+    # disjoint by the caller's contract, so the union is a clean id
+    # space.) The candidate shingle table itself is scope-cached: it
+    # feeds both sides of the pair join and is bounded by the candidate
+    # count, not the corpus.
+    cand_ids = cand.select(F.col("new_id").alias("_cid")).union(
+        cand.select(F.col("old_id").alias("_cid"))
+    )
+    sh_cand = scoped_cache(
+        existing.select(F.col(id_col), F.col(text_col))
+        .union(batch.select(F.col(id_col), F.col(text_col)))
+        .join(cand_ids, F.col(id_col) == F.col("_cid"), "left_semi")
+        .select(F.col(id_col).alias("_vid"), shingles(F.col(text_col)).alias("sh"))
+        .withColumn("shd", F.array_distinct(F.col("sh")))
+        .select("_vid", "shd", F.size("shd").cast("bigint").alias("n"))
+    )
+    verified = (
+        cand.join(
+            sh_cand.select(
+                F.col("_vid").alias("new_id"),
+                F.col("shd").alias("sh_a"),
+                F.col("n").alias("na"),
+            ),
+            "new_id",
+        )
+        .join(
+            sh_cand.select(
+                F.col("_vid").alias("old_id"),
+                F.col("shd").alias("sh_b"),
+                F.col("n").alias("nb"),
+            ),
+            "old_id",
+        )
+        .withColumn(
+            "jaccard",
+            _jaccard_distinct(F.col("sh_a"), F.col("sh_b"), F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("new_id", F.col("old_id").alias("match_id"), "jaccard")
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("match_id").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("match_id"), F.lit(-1).cast("bigint")).alias("match_id"),
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        )
     )

@@ -1,0 +1,153 @@
+"""Corpus language-model scoring: a bigram LM trained on the corpus,
+scoring every document's fluency under it.
+
+The classic quality filter a pre-training pipeline runs after the
+rule-based gates (CCNet, RefinedWeb, Gopher all do a variant): train a
+cheap n-gram LM on the corpus (or a trusted reference corpus), score
+each document, and cut the tail — documents whose token transitions the
+model finds improbable are boilerplate, mangled extractions, or noise.
+
+Model and score (shared bit-for-bit with the DuckDB oracle):
+
+- Bigrams are the engine's word 2-grams (:func:`text.shingles` with
+  n=2, including its short-document whole-text fallback); NULL text is
+  excluded on both the training and scoring side.
+- The model is the DISCOUNTED conditional
+  ``p(v | u) = c(uv) / (c(u·) + 1)`` where ``c(uv)`` is the corpus
+  count of the bigram and ``c(u·)`` the count of all bigrams sharing
+  its first token — Laplace's rule-of-succession shape. The +1 is
+  load-bearing: under plain MLE a bigram whose prefix occurs exactly
+  once gets p = 1/1 = 1.0, so gibberish made of corpus-unique tokens
+  would score PERFECTLY predictable (every rare context is trivially
+  "fully predicted" by its one continuation). The discount caps a
+  once-seen transition at 1/2 while a transition seen 9-of-9 times
+  scores 9/10 — evidence mass, not just conditional purity. Still
+  exact: integer + 1 in the denominator, one IEEE division per term.
+- The document score is the MEAN CONDITIONAL PROBABILITY
+  ``lm_score = (Σ_positions p(v|u)) / n_bigrams``. The standard report
+  is mean LOG probability (perplexity), but libm ``log`` is only
+  1-ulp-reproducible across engines — not good enough for hash parity —
+  so the engine keeps the probabilities raw (same determinism trade as
+  the rational-idf BM25 and ratio-scored tf-idf: exact integers into
+  one IEEE division per term, summed in a pinned order). The raw mean
+  ranks "predictable" above "surprising" text exactly as intended; it
+  is not numerically interchangeable with perplexity and is documented
+  as such.
+- Per-document summation is the engine's sorted sequential fold
+  (sort by gram, then left-fold the doubles), so float addition order
+  is pinned on both engines. Each distinct gram contributes
+  ``tf · p(v|u)`` — one multiply before the fold, not tf fold steps.
+
+Scale posture (100 TB):
+
+- One explode+aggregate produces (doc_id, gram, tf) — the SAME
+  aggregation feeds training and scoring, so the corpus is exploded
+  once (scope-cached: two consumers; registered queries release via
+  ``run_released``).
+- The model ``c(uv)`` is a rollup of that table; the prefix totals
+  ``c(u·)`` a rollup of the model — neither rescans the corpus.
+- Scoring is one equi-join on gram (fixed-width keys; the model is
+  corpus-vocabulary-sized, so it is NOT broadcast — a standard shuffle
+  join that AQE can skew-split) followed by a per-doc aggregation.
+  Text never rides any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.text import shingles
+from forgettable_spark.functions.cache import scoped_cache
+
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document under the corpus bigram LM (module
+    docstring): (doc_id, n_bigrams, lm_score), lm_score in (0, 1)."""
+    pairs = scoped_cache(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), n=2)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = pairs.groupBy("gram").agg(F.sum("tf").alias("c_uv"))
+    # Prefix totals from the model, not the corpus: c(u·) = Σ_v c(uv).
+    # The whole-text fallback gram of a 1-token document has itself as
+    # prefix — consistent on both sides by construction.
+    prefix = model.groupBy(F.split(F.col("gram"), " ")[0].alias("u")).agg(
+        F.sum("c_uv").alias("c_u")
+    )
+    # Fold the prefix totals INTO the model first (both model-sized,
+    # joined on u), so the corpus-sized pairs table is shuffled exactly
+    # once (on gram) — joining pairs→model→prefix instead would reshuffle
+    # the pairs-sized intermediate a second time by u.
+    model_p = (
+        model.withColumn("u", F.split(F.col("gram"), " ")[0])
+        .join(prefix, "u")
+        .select(
+            "gram",
+            (F.col("c_uv").cast("double") / (F.col("c_u") + 1).cast("double")).alias(
+                "_p"
+            ),
+        )
+    )
+    scored = pairs.join(model_p, "gram").select(
+        "doc_id",
+        "gram",
+        "tf",
+        (F.col("tf").cast("double") * F.col("_p")).alias("_s"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gram", "_s"))),
+                    lambda x: x["_s"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("tf").cast("double")
+        ).alias("lm_score"),
+    )
+
+
+#: DuckDB twin of :func:`bigram_lm_score` over the pre-registered
+#: ``documents`` view — same bigrams (incl. the short-doc fallback),
+#: same MLE model, same sorted-fold mean.
+LM_SCORE_ORACLE_SQL = """WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+    [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+  ELSE [text] END AS gs FROM tok
+),
+pairs AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams)
+  GROUP BY doc_id, gram
+),
+model AS (SELECT gram, CAST(SUM(tf) AS BIGINT) AS c_uv FROM pairs GROUP BY gram),
+prefix AS (
+  SELECT string_split(gram, ' ')[1] AS u, CAST(SUM(c_uv) AS BIGINT) AS c_u
+  FROM model GROUP BY u
+),
+scored AS (
+  SELECT p.doc_id, p.gram, p.tf,
+    CAST(p.tf AS DOUBLE) * (CAST(m.c_uv AS DOUBLE) / CAST(x.c_u + 1 AS DOUBLE)) AS s
+  FROM pairs p
+  JOIN model m USING (gram)
+  JOIN prefix x ON string_split(p.gram, ' ')[1] = x.u
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+  list_sum(list_transform(list_sort(list({'gram': gram, 's': s})), x -> x.s))
+    / CAST(SUM(tf) AS DOUBLE) AS lm_score
+FROM scored GROUP BY doc_id"""

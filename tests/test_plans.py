@@ -21,7 +21,7 @@ def _formatted_plan(df) -> str:
 def test_single_distribution_filter_pushes_to_scan(spark):
     """R1 point query: the distribution predicate must reach the parquet
     reader (partition pruning / row-group skipping at scale)."""
-    plan = _formatted_plan(ep.queries()["get_dist_single"](spark, SF_SMOKE))
+    plan = _formatted_plan(ep.secondary_queries()["get_dist_single"](spark, SF_SMOKE))
     assert "PushedFilters" in plan
     assert "EqualTo(event_type,purchase)" in plan
 
@@ -84,7 +84,7 @@ def test_simhash_sketch_shuffles_one_counter_row_per_doc(spark):
     (map-side) aggregate must sit below it — so each document's token
     votes collapse inside the scan stage and the shuffle carries one
     32-counter row per doc, never the exploded tokens."""
-    plan = _formatted_plan(ep.queries()["dedup_simhash"](spark, SF_SMOKE))
+    plan = _formatted_plan(ep.secondary_queries()["dedup_simhash"](spark, SF_SMOKE))
     exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
     assert len(exchanges) == 1, f"expected 1 exchange:\n" + "\n".join(exchanges)
     assert "partial_sum" in plan or "Partial" in plan
