@@ -14,8 +14,14 @@ from forgettable_spark.streaming.publish import (
     publish_batch,
     publish_stream_to_table,
 )
+from forgettable_spark.streaming.admit import (
+    admit_batch,
+    admission_stream,
+)
 
 __all__ = [
+    "admit_batch",
+    "admission_stream",
     "read_increment_stream",
     "streaming_snapshot",
     "streaming_forget_table",

@@ -1,0 +1,230 @@
+"""Streaming admission dedup: the ingest loop over the incremental LSH
+admit operator (streaming/admit.py) — within-batch + cross-batch
+verdicts, index/corpus growth, replay idempotency, storage hygiene."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgettable_spark.streaming.admit import admission_stream, admit_batch
+
+T0 = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _ts(offset_sec: float) -> datetime:
+    return datetime.fromtimestamp(T0.timestamp() + offset_sec, tz=timezone.utc)
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="forget_admit_")
+    yield {
+        "index": f"{d}/index",
+        "corpus": f"{d}/corpus",
+        "verdicts": f"{d}/verdicts",
+        "ckpt": f"{d}/ckpt",
+        "src": f"{d}/src",
+        "root": d,
+    }
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_docs(path: str, name: str, rows, mtime_offset: float = 0.0) -> None:
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array(
+                [r[2].replace(tzinfo=None) for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    fp = os.path.join(path, name)
+    pq.write_table(table, fp)
+    mt = time.time() + mtime_offset
+    os.utime(fp, (mt, mt))
+
+
+DOC_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DOC_B = "one two three four five six seven eight nine ten eleven twelve"
+DOC_E = "completely different novel content nothing shared with any other document here"
+
+
+def _verdicts(spark, dirs):
+    return {
+        r["doc_id"]: r.asDict()
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["verdicts"])
+        .collect()
+    }
+
+
+def test_admission_stream_two_batches(spark, dirs):
+    """Batch 1: A and B admitted, C (≈A, higher id) flagged within-batch.
+    Batch 2: D (≈B) flagged against the corpus index, E admitted. Index
+    and corpus end with exactly the admitted docs."""
+    _write_docs(dirs["src"], "b1.parquet", [
+        (1, DOC_A, _ts(0)),
+        (2, DOC_B, _ts(1)),
+        (3, DOC_A + " kappa", _ts(2)),  # near-dup of 1, same batch
+    ])
+    _write_docs(dirs["src"], "b2.parquet", [
+        (10, DOC_B + " twelve", _ts(10)),  # near-dup of 2, earlier batch
+        (11, DOC_E, _ts(11)),
+    ], mtime_offset=5)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["src"])
+    )
+    q = admission_stream(
+        stream,
+        dirs["index"],
+        dirs["corpus"],
+        dirs["verdicts"],
+        dirs["ckpt"],
+        available_now=True,
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    v = _verdicts(spark, dirs)
+    assert set(v) == {1, 2, 3, 10, 11}
+    assert not v[1]["is_dup"] and not v[2]["is_dup"] and not v[11]["is_dup"]
+    assert v[3]["is_dup"] and v[3]["match_kind"] == "within_batch" and v[3]["match_id"] == 1
+    assert v[10]["is_dup"] and v[10]["match_kind"] == "corpus" and v[10]["match_id"] == 2
+    assert v[11]["match_kind"] == "none" and v[11]["match_id"] == -1
+
+    corpus_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["corpus"])
+        .collect()
+    )
+    index_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["index"])
+        .collect()
+    )
+    assert corpus_ids == [1, 2, 11]
+    assert index_ids == [1, 2, 11]
+
+
+def test_admit_batch_replay_is_idempotent(spark, dirs):
+    """Re-running a batch id (checkpoint recovery) must leave the same
+    verdicts/corpus/index — not doubled rows."""
+    batch = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B)], ["doc_id", "text"]
+    )
+
+    def run():
+        admit_batch(
+            spark, batch, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5,
+        )
+
+    run()
+    first = sorted(
+        tuple(r) for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["corpus"]).collect()
+    )
+    run()  # replay of the SAME batch id
+    second = sorted(
+        tuple(r) for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["corpus"]).collect()
+    )
+    assert first == second and len(first) == 2
+    n_verd = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["verdicts"]).count()
+    )
+    assert n_verd == 2
+
+
+def test_admit_batch_null_text_admitted_unmatched(spark, dirs):
+    batch = spark.createDataFrame([(1, DOC_A), (2, None)], ["doc_id", "text"])
+    admit_batch(
+        spark, batch, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+        threshold=0.5,
+    )
+    v = _verdicts(spark, dirs)
+    assert not v[2]["is_dup"] and v[2]["match_kind"] == "none"
+    # NULL-text doc is in the corpus but has no sketch row
+    index_ids = [
+        r["doc_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["index"]).collect()
+    ]
+    corpus_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["corpus"]).collect()
+    )
+    assert corpus_ids == [1, 2] and index_ids == [1]
+
+
+def test_admit_batch_leaves_no_storage(spark, dirs):
+    """The loop runs indefinitely: each batch must release every cache
+    and checkpoint block it pinned."""
+    batch = spark.createDataFrame([(1, DOC_A), (2, DOC_B)], ["doc_id", "text"])
+    before = {
+        int(x)
+        for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    admit_batch(
+        spark, batch, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+        threshold=0.5,
+    )
+    after = {
+        int(x)
+        for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert after <= before, f"leaked RDD blocks: {sorted(after - before)}"
+
+
+def test_admission_matches_batch_operator(spark, dirs):
+    """One-batch admission verdicts against a pre-seeded corpus must
+    agree with the batch incremental_lsh_admit operator run on the same
+    split (the streaming loop is the same math, plus persistence)."""
+    from forgettable_spark.extensions.dedup import incremental_lsh_admit
+
+    # existing docs share NO shingles with each other (every token is
+    # i-tagged) so the seeding batch admits all of them
+    existing_rows = [
+        (i, " ".join(f"w{j}x{i}" for j in range(12))) for i in range(5)
+    ]
+    batch_rows = [(100, existing_rows[3][1]), (101, DOC_E)]
+    existing = spark.createDataFrame(existing_rows, ["doc_id", "text"])
+    # seed: admit the existing corpus as batch 0 (empty index: all admitted)
+    admit_batch(
+        spark, existing, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+        threshold=0.5,
+    )
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    admit_batch(
+        spark, batch, 1, dirs["index"], dirs["corpus"], dirs["verdicts"],
+        threshold=0.5,
+    )
+    got = {
+        k: (v["is_dup"], v["match_id"])
+        for k, v in _verdicts(spark, dirs).items()
+        if k >= 100
+    }
+    want = {
+        r["doc_id"]: (r["is_dup"], r["match_id"])
+        for r in incremental_lsh_admit(existing, batch, threshold=0.5).collect()
+    }
+    assert got == want
