@@ -638,6 +638,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "ann_kmeans_topk": entrypoints_ext.q_ann_kmeans_topk,
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
+        "dedup_lsh_recall": entrypoints_ext.q_dedup_lsh_recall,
     }
 
 
@@ -744,4 +745,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_signature_quantized": entrypoints_ext._oracle_ann_signature_quantized(),
         "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
+        "dedup_lsh_recall": entrypoints_ext._oracle_dedup_lsh_recall(),
     }

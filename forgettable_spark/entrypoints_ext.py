@@ -1433,6 +1433,57 @@ SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3"""
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup recall, measured: the MinHash+LSH pair set against the
+    exact PPJoin ground truth (``dedup_ngram_jaccard``) on the same
+    corpus and threshold — one row (n_true, n_found, recall). The
+    S-curve predicts P ≈ 1-(1-J^3)^4 per pair at k=12/b=4; this gauge
+    is the empirical check (precision is 1.0 by construction — LSH
+    candidates are exact-Jaccard verified — so recall is the ONLY free
+    number). Truth is the within-language exact join (near-identical
+    docs share language, the ``ngram_jaccard_pairs`` blocking contract);
+    found-pairs are counted against that same set (semi-join). At scale
+    this runs on a SAMPLE block, like ``ann_recall``'s fixed query
+    sample — the gauge's cost model is the exact join's, not the
+    corpus'. Division is one n_found/n_true — meaningful only on a
+    corpus with at least one true pair (both test SFs have them)."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        truth = scoped_cache(
+            dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+        )
+        found = dedup.minhash_lsh_pairs(
+            docs, k=MINHASH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
+        )
+        hit = truth.join(
+            found.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+        )
+        n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        n_found = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        return n_true.crossJoin(n_found).select(
+            "n_true",
+            "n_found",
+            (F.col("n_found").cast("double") / F.col("n_true").cast("double")).alias(
+                "recall"
+            ),
+        )
+
+    return run_released(spark, build)
+
+
+def _oracle_dedup_lsh_recall() -> str:
+    truth = ORACLE_DEDUP_NGRAM
+    found = _oracle_minhash_lsh()
+    return f"""SELECT CAST(t.n AS BIGINT) AS n_true, CAST(h.n AS BIGINT) AS n_found,
+  CAST(h.n AS DOUBLE) / CAST(t.n AS DOUBLE) AS recall
+FROM (SELECT COUNT(*) AS n FROM ({truth}) x) t,
+     (SELECT COUNT(*) AS n FROM (
+        SELECT doc_a, doc_b FROM ({truth}) x
+        INTERSECT
+        SELECT doc_a, doc_b FROM ({found}) y) z) h"""
+
+
 # Sequence packing, corpus-LM scoring, incremental admission ------------------
 
 
