@@ -1446,7 +1446,11 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs on a SAMPLE block, like ``ann_recall``'s fixed query
     sample — the gauge's cost model is the exact join's, not the
     corpus'. Division is one n_found/n_true — meaningful only on a
-    corpus with at least one true pair (both test SFs have them)."""
+    corpus with at least one true pair (both test SFs have them).
+    Known inefficiency, accepted for a secondary off-bench gauge: both
+    branches shingle the corpus independently (a shared pre-shingled
+    frame would halve the scan work — worth doing if this ever becomes
+    a benched primary)."""
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")

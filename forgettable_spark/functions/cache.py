@@ -85,6 +85,44 @@ class plan_audit_mode:
         return False
 
 
+def _release_scope(spark: SparkSession, scope: list[DataFrame], before: set[int]) -> None:
+    """The shared release path of :func:`run_released` and
+    :func:`released_scope`: flush queued dropped-bucket reports (while
+    the sketch caches they read are still populated), unpersist the
+    scope's caches, then sweep any RDD blocks newly persisted since
+    ``before`` (``localCheckpoint`` lineage truncation). Every step is
+    guarded — a failing flush/unpersist (dead session, vanished source)
+    must not MASK an exception already raising through the caller's
+    finally."""
+    try:
+        # Local import: dedup imports scoped_cache from this module.
+        from forgettable_spark.extensions import dedup as _dedup
+
+        try:
+            _dedup.flush_bucket_reports()
+        except Exception:
+            n_dropped = len(_dedup._PENDING_REPORTS)
+            _dedup._PENDING_REPORTS.clear()
+            logging.getLogger("forgettable_spark.functions.cache").warning(
+                "flush_bucket_reports failed during release; "
+                "%d queued report(s) discarded",
+                n_dropped,
+            )
+    finally:
+        for cached in scope:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for key in jmap.keySet().toArray():
+                if int(key) not in before:
+                    jmap.get(key).unpersist(False)
+        except Exception:
+            pass
+
+
 def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
     """Run ``build()`` to completion and leave zero executor storage behind.
 
@@ -111,37 +149,30 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
         # sketch caches (or queued report plan references) until LRU
         # eviction — that storage-creep is the exact failure mode this
         # module exists to prevent.
-        try:
-            # Dropped-bucket reports queued during the build run NOW,
-            # while the sketch caches they read are still populated
-            # (local import: dedup imports scoped_cache from this module).
-            # Guarded like the unpersists below: a failing flush (dead
-            # session, vanished source) must not MASK the build's own
-            # exception raising through this finally — and its queue must
-            # not go stale for the next query, so drop it with a warning.
-            from forgettable_spark.extensions import dedup as _dedup
-
-            try:
-                _dedup.flush_bucket_reports()
-            except Exception:
-                n_dropped = len(_dedup._PENDING_REPORTS)
-                _dedup._PENDING_REPORTS.clear()
-                logging.getLogger("forgettable_spark.functions.cache").warning(
-                    "flush_bucket_reports failed during release; "
-                    "%d queued report(s) discarded",
-                    n_dropped,
-                )
-        finally:
-            for cached in scope:
-                try:
-                    cached.unpersist()
-                except Exception:  # dead session must not mask build error
-                    pass
-            try:
-                jmap = spark.sparkContext._jsc.getPersistentRDDs()
-                for key in jmap.keySet().toArray():
-                    if int(key) not in before:
-                        jmap.get(key).unpersist(False)
-            except Exception:
-                pass
+        _release_scope(spark, scope, before)
     return spark.createDataFrame(rows, schema)
+
+
+class released_scope:
+    """Context manager twin of :func:`run_released` for callers whose
+    results are NOT driver-small (per-document verdict logs, table
+    writes): everything inside the ``with`` block gets the same cache
+    scope and the same exit-time release (scope unpersist + new-RDD-id
+    sweep + report flush), but nothing is collected — the caller
+    materializes its frames however it wants (writes, localCheckpoint)
+    BEFORE the block ends, because after it every scoped cache and every
+    checkpoint block created inside is gone."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def __enter__(self) -> "released_scope":
+        self._before = _persistent_rdd_ids(self._spark)
+        self._scope: list[DataFrame] = []
+        _SCOPES.append(self._scope)
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        _SCOPES.pop()
+        _release_scope(self._spark, self._scope, self._before)
+        return False

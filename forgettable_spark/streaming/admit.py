@@ -30,27 +30,39 @@ Each micro-batch runs two passes:
    (``match_kind='corpus'``).
 
 Survivors of both passes are ADMITTED: their documents append to the
-corpus and their sketches to the index.
+corpus and their (already-computed) sketches to the index.
 
 Exactly-once: every write (verdicts, admitted docs, admitted sketches)
 lands under a ``batch-<id>`` subdirectory in OVERWRITE mode, so a
 replayed micro-batch (checkpoint recovery) rewrites its own partition
-byte-identically instead of appending twice — the same
-deterministic-republish contract as ``streaming/publish.py``, with the
-partition directory playing the role of the versioned segment. One
-writer per table set, serialized by the streaming engine (foreachBatch
-batches never overlap within a query).
+byte-identically instead of appending twice; readers EXCLUDE the
+current batch's own partition, so replay sees exactly the state the
+first attempt saw. One writer per table set, serialized by the
+streaming engine (foreachBatch batches never overlap within a query).
+
+Fragmentation is bounded the same way ``streaming/publish.py`` bounds
+its delta chain: every ``fold_every`` batches the index and corpus
+subdirectories consolidate into one ``fold-<B>`` directory covering
+all batches STRICTLY BEFORE B (never B itself — a fold containing the
+current batch would make its replay self-match), and subsumed
+directories are vacuumed. Readers take the highest fold plus the
+batch dirs at-or-after it, so a crash anywhere in the fold-write /
+vacuum sequence leaves reads correct (stale dirs are simply ignored
+until the next fold deletes them). The verdict directory is an
+append-only log the loop never reads back; it is left unfolded.
 
 At 100 TB: the index is O(admitted · k) BIGINTs — a fixed-width table
 a band join can digest; per-batch cost is sketching the batch plus the
 band join against index buckets (cap via ``max_bucket_size``), plus
 candidate-only verify. Nothing in the loop scales with corpus text
-except the bounded candidate join-back.
+except the bounded candidate join-back, and nothing in it collects to
+the driver (verdicts stay on executors via ``released_scope``).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,11 +70,21 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from forgettable_spark.extensions import dedup
+from forgettable_spark.functions.cache import (
+    _persistent_rdd_ids,
+    released_scope,
+    scoped_cache,
+)
 
 #: Verdict match_kind values.
 KIND_NONE = "none"
 KIND_WITHIN_BATCH = "within_batch"
 KIND_CORPUS = "corpus"
+
+#: Fold the index/corpus subdirectory chain once it reaches this many
+#: live batch directories (same role as publish.FOLD_EVERY: per-batch
+#: read planning stays O(fold_every), not O(stream age)).
+FOLD_EVERY = 16
 
 _INDEX_SCHEMA = T.StructType(
     [
@@ -72,31 +94,73 @@ _INDEX_SCHEMA = T.StructType(
 )
 
 
+def _table_parts(path: str, exclude_batch: int) -> list[str]:
+    """Live part-directories of a batch-subdir table: the highest
+    ``fold-<m>`` (consolidation of everything before batch m) plus every
+    ``batch-<i>`` with ``i >= m``, excluding the CURRENT batch's own
+    directory. Excluding the own partition is what makes replay correct:
+    on checkpoint recovery the previous attempt's output is already on
+    disk, and reading it back would make every replayed document a
+    perfect duplicate OF ITSELF — admitting nothing and overwriting the
+    partition with an empty verdict set. Subdirs are plain names, NOT
+    hive ``batch=`` partitions — the batch id is a write-idempotency
+    address, not a query dimension."""
+    if not os.path.isdir(path):
+        return []
+    entries = sorted(os.listdir(path))
+    # A fold is live only once its _SUCCESS marker exists: a crash
+    # mid-fold leaves a partial directory that readers (and the replay's
+    # rebuild check) must treat as absent, falling back to the unvacuumed
+    # originals it was being built from.
+    folds = [
+        int(e[5:])
+        for e in entries
+        if e.startswith("fold-")
+        and os.path.isfile(os.path.join(path, e, "_SUCCESS"))
+    ]
+    m = max(folds) if folds else None
+    parts: list[str] = []
+    if m is not None:
+        parts.append(os.path.join(path, f"fold-{m}"))
+    for e in entries:
+        if e.startswith("batch-"):
+            i = int(e[6:])
+            if (m is None or i >= m) and i != exclude_batch:
+                parts.append(os.path.join(path, e))
+    return parts
+
+
 def _read_or_empty(
     spark: SparkSession, path: str, schema: T.StructType, exclude_batch: int
 ) -> DataFrame:
-    """Read a batch-subdir parquet table, or an empty frame before the
-    first commit (exists-check, not try/except: a corrupt table must
-    raise, only a missing one is 'empty'). Subdirs are plain
-    ``batch-<id>`` names (NOT hive ``batch=`` partitions — the batch id
-    is a write-idempotency address, not a query dimension).
-
-    ``exclude_batch`` skips the CURRENT batch's own subdir: on replay
-    after checkpoint recovery, the previous attempt's output is already
-    on disk, and reading it back would make every replayed document a
-    perfect duplicate OF ITSELF — admitting nothing and overwriting the
-    partition with an empty verdict set. Excluding the own partition
-    makes replay read exactly the state the first attempt saw."""
-    own = f"batch-{exclude_batch}"
-    if os.path.isdir(path):
-        parts = [
-            os.path.join(path, e)
-            for e in sorted(os.listdir(path))
-            if e.startswith("batch-") and e != own
-        ]
-        if parts:
-            return spark.read.schema(schema).parquet(*parts)
+    """Read a batch-subdir table's live parts, or an empty frame before
+    the first commit (exists-check, not try/except: a corrupt table must
+    raise, only a missing one is 'empty')."""
+    parts = _table_parts(path, exclude_batch)
+    if parts:
+        return spark.read.schema(schema).parquet(*parts)
     return spark.createDataFrame([], schema)
+
+
+def _fold(spark: SparkSession, path: str, batch_id: int) -> None:
+    """Consolidate everything strictly before ``batch_id`` into
+    ``fold-<batch_id>`` and vacuum the subsumed directories. Idempotent
+    under replay: an existing fold target is kept as-is (its inputs may
+    already be vacuumed), and re-vacuuming is a no-op. Read without a
+    pruned schema so every column a batch wrote survives the fold."""
+    target = os.path.join(path, f"fold-{batch_id}")
+    if not os.path.isfile(os.path.join(target, "_SUCCESS")):
+        # Absent OR partial (crash mid-write, no _SUCCESS): rebuild from
+        # the still-unvacuumed originals; overwrite clears partial files.
+        parts = _table_parts(path, batch_id)  # everything before batch_id
+        if not parts:
+            return
+        spark.read.parquet(*parts).write.mode("overwrite").parquet(target)
+    for e in os.listdir(path):
+        if (e.startswith("batch-") and int(e[6:]) < batch_id) or (
+            e.startswith("fold-") and int(e[5:]) < batch_id
+        ):
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 
 def admit_batch(
@@ -112,13 +176,17 @@ def admit_batch(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    fold_every: int | None = FOLD_EVERY,
 ) -> None:
     """Process one micro-batch (module docstring): write verdicts, and
     append admitted documents + sketches, all under ``batch-<id>``
     subdirs (idempotent overwrite). ``batch`` must have at least
-    (id_col, text_col); extra columns ride into the admitted corpus."""
-    from forgettable_spark.functions.cache import run_released
-
+    (id_col, text_col); extra columns ride into the admitted corpus
+    (the loop reads back only (id, text) via its pruned schema)."""
+    if batch.isEmpty():
+        # An empty trigger must not run the two-pass job or mint three
+        # empty directories that every later batch would list and read.
+        return
     corpus_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -131,16 +199,16 @@ def admit_batch(
     # DataFrame.unpersist on the derived frame would not free them, and
     # a blanket sweep would evict a co-resident session user's caches
     # (same discipline as publish_batch).
-    before_ids = {
-        int(x) for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    }
+    before_ids = _persistent_rdd_ids(spark)
     batch = batch.localCheckpoint(eager=True)
-    own_ids = {
-        int(x) for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    } - before_ids
+    own_ids = _persistent_rdd_ids(spark) - before_ids
     try:
-
-        def build() -> DataFrame:
+        # released_scope, not run_released: verdicts are one row PER
+        # DOCUMENT — collecting them would put O(batch) rows on the
+        # driver (cache.py's documented anti-pattern). Everything is
+        # materialized by the writes inside the scope; at exit every
+        # scoped cache and checkpoint block created here is released.
+        with released_scope(spark):
             # Pass 1: within-batch near-dups (earlier id wins).
             from pyspark.sql import Window
 
@@ -151,7 +219,7 @@ def admit_batch(
                 k=k,
                 bands=bands,
                 threshold=threshold,
-                persist=False,  # micro-batch scale; nothing to cache
+                persist=False,  # micro-batch scale; nothing worth caching
                 max_bucket_size=max_bucket_size,
             )
             w = Window.partitionBy("doc_b").orderBy(F.desc("jaccard"), F.asc("doc_a"))
@@ -163,17 +231,22 @@ def admit_batch(
                     F.col("doc_a").alias("match_id"),
                     "jaccard",
                 )
-                # two consumers (verdict union + survivor anti-join);
-                # the block is swept by run_released's own-ids pass
+                # two consumers (verdict union + survivor anti-join)
                 .localCheckpoint(eager=True)
             )
             survivors = batch.join(within.select(id_col), id_col, "left_anti")
 
             # Pass 2: survivors vs the stored index; verify text comes
             # from the admitted corpus (existing) and the batch (new).
+            # The survivor sketches are scope-cached because they have
+            # two consumers: the admit pass and the index write (the
+            # admitted rows are a subset — re-sketching them would be a
+            # third shingle pass over the same documents).
             old_sigs = _read_or_empty(spark, index_dir, _INDEX_SCHEMA, batch_id)
             existing = _read_or_empty(spark, corpus_dir, corpus_schema, batch_id)
-            new_sigs = dedup.minhash_sketch_narrow(survivors, text_col, id_col, k)
+            new_sigs = scoped_cache(
+                dedup.minhash_sketch_narrow(survivors, text_col, id_col, k)
+            )
             corpus_verdicts = dedup.incremental_admit_from_sketches(
                 old_sigs.withColumnRenamed("doc_id", id_col),
                 new_sigs,
@@ -186,7 +259,7 @@ def admit_batch(
                 threshold=threshold,
                 max_bucket_size=max_bucket_size,
             )
-            return (
+            verdicts = (
                 within.select(
                     F.col(id_col).alias("doc_id"),
                     F.lit(True).alias("is_dup"),
@@ -206,28 +279,34 @@ def admit_batch(
                     )
                 )
                 .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+                # three consumers: the verdict write and both admitted
+                # projections below
+                .localCheckpoint(eager=True)
             )
 
-        # run_released: verdicts are O(batch) rows; every cache the admit
-        # machinery registered (candidate table, candidate shingles) and
-        # every localCheckpoint inside the build is released before the
-        # writes below — per-micro-batch storage hygiene on a loop that
-        # runs indefinitely.
-        verdicts = run_released(spark, build)
+            admitted_ids = verdicts.filter(~F.col("is_dup")).select(
+                F.col("doc_id").alias(id_col)
+            )
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdict_dir}/batch-{batch_id}"
+            )
+            # Full batch schema rides into the corpus (ts, source, ...).
+            batch.join(admitted_ids, id_col).write.mode("overwrite").parquet(
+                f"{corpus_dir}/batch-{batch_id}"
+            )
+            new_sigs.join(admitted_ids, id_col).withColumnRenamed(
+                id_col, "doc_id"
+            ).write.mode("overwrite").parquet(f"{index_dir}/batch-{batch_id}")
 
-        admitted_ids = verdicts.filter(~F.col("is_dup")).select(
-            F.col("doc_id").alias(id_col)
-        )
-        admitted = batch.join(admitted_ids, id_col)
-        admitted_sigs = dedup.minhash_sketch_narrow(admitted, text_col, id_col, k)
-
-        verdicts.write.mode("overwrite").parquet(f"{verdict_dir}/batch-{batch_id}")
-        # Full batch schema rides into the corpus (ts, source, ...);
-        # the admit loop reads back only (id, text) via its pruned schema.
-        admitted.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
-        admitted_sigs.withColumnRenamed(id_col, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/batch-{batch_id}")
+        if fold_every:
+            live = [
+                p
+                for p in _table_parts(index_dir, exclude_batch=-1)
+                if os.path.basename(p).startswith("batch-")
+            ]
+            if len(live) >= fold_every:
+                _fold(spark, index_dir, batch_id)
+                _fold(spark, corpus_dir, batch_id)
     finally:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for key in jmap.keySet().toArray():
@@ -249,10 +328,11 @@ def admission_stream(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    fold_every: int | None = FOLD_EVERY,
 ) -> StreamingQuery:
     """Wire a document stream into the per-batch admission loop. Returns
     the started query; exactly-once anchored by the checkpoint + the
-    idempotent ``batch=<id>`` overwrites."""
+    idempotent ``batch-<id>`` overwrites."""
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         admit_batch(
@@ -268,6 +348,7 @@ def admission_stream(
             bands=bands,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
+            fold_every=fold_every,
         )
 
     writer = (

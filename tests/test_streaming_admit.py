@@ -228,3 +228,68 @@ def test_admission_matches_batch_operator(spark, dirs):
         for r in incremental_lsh_admit(existing, batch, threshold=0.5).collect()
     }
     assert got == want
+
+
+def test_fold_bounds_directory_growth(spark, dirs):
+    """With fold_every=2, the index/corpus subdir chains consolidate:
+    after three disjoint batches only one fold dir + the latest batch
+    dir remain, the reader still sees every admitted doc, and replaying
+    the folding batch is idempotent."""
+    def batch_df(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"tok{j}b{i}" for j in range(12))) for i in ids],
+            ["doc_id", "text"],
+        )
+
+    def run(bid, ids):
+        admit_batch(
+            spark, batch_df(ids), bid, dirs["index"], dirs["corpus"],
+            dirs["verdicts"], threshold=0.5, fold_every=2,
+        )
+
+    run(0, [1, 2])
+    run(1, [3, 4])
+    run(2, [5, 6])
+
+    entries = sorted(os.listdir(dirs["index"]))
+    assert entries == ["batch-2", "fold-2"], entries
+    corpus_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["corpus"]).collect()
+    )
+    assert corpus_ids == [1, 2, 3, 4, 5, 6]
+
+    run(2, [5, 6])  # replay of the folding batch
+    entries2 = sorted(os.listdir(dirs["index"]))
+    assert entries2 == ["batch-2", "fold-2"], entries2
+    corpus_ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["corpus"]).collect()
+    )
+    assert corpus_ids2 == corpus_ids
+    # verdicts across the three batches: everything admitted
+    v = _verdicts(spark, dirs)
+    assert len(v) == 6 and not any(r["is_dup"] for r in v.values())
+
+
+def test_cross_batch_dedup_after_fold(spark, dirs):
+    """A near-dup arriving AFTER its match was folded must still be
+    flagged — the fold preserves index and corpus content."""
+    text = "stable shared content tokens alpha beta gamma delta epsilon zeta"
+    def run(bid, rows):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bid,
+            dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=2,
+        )
+
+    run(0, [(1, text)])
+    run(1, [(2, "unrelated filler one two three four five six seven eight")])
+    run(2, [(3, "another distinct document nine ten eleven twelve thirteen fourteen")])
+    # doc 1 now lives only inside a fold dir
+    assert any(e.startswith("fold-") for e in os.listdir(dirs["index"]))
+    run(3, [(10, text + " zeta")])
+    v = _verdicts(spark, dirs)
+    assert v[10]["is_dup"] and v[10]["match_kind"] == "corpus" and v[10]["match_id"] == 1
