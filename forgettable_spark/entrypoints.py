@@ -639,6 +639,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_topk": entrypoints_ext.q_ann_kmeans_topk,
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
         "dedup_lsh_recall": entrypoints_ext.q_dedup_lsh_recall,
+        "quality_filter": entrypoints_ext.q_quality_filter,
     }
 
 
@@ -746,4 +747,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
         "dedup_lsh_recall": entrypoints_ext._oracle_dedup_lsh_recall(),
+        "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
     }

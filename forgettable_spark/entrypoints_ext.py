@@ -1433,6 +1433,26 @@ SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3"""
 
 
+def q_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality classifier (``extensions/classifier.py``): the
+    rules → learned-model step of the production quality ladder, run
+    end-to-end — label with the rule gate, train naive-Bayes token odds
+    (Laplace-smoothed, overflow-free two-division form), score with the
+    libm-free linear-odds fold, and report teacher/student agreement
+    per document. run_released: the (doc, token, tf, label) postings
+    cache feeds both training rollups and scoring."""
+    from forgettable_spark.extensions import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return run_released(spark, lambda: classifier.distill_quality_classifier(docs))
+
+
+def _oracle_quality_distill() -> str:
+    from forgettable_spark.extensions import classifier
+
+    return classifier.distill_oracle_sql()
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH dedup recall, measured: the MinHash+LSH pair set against the
     exact PPJoin ground truth (``dedup_ngram_jaccard``) on the same
@@ -1654,7 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
-        "quality_filter": q_quality_filter,
+        "quality_distill": q_quality_distill,
         "tfidf_keywords": q_tfidf_keywords,
         "repetition_stats": q_repetition_stats,
         "lm_score": q_lm_score,
@@ -1688,7 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
         "hash_split": ORACLE_HASH_SPLIT,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
-        "quality_filter": ORACLE_QUALITY_FILTER,
+        "quality_distill": _oracle_quality_distill(),
         "tfidf_keywords": ORACLE_TFIDF,
         "repetition_stats": ORACLE_REPETITION_STATS,
         "lm_score": _oracle_lm_score(),

@@ -153,3 +153,64 @@ def test_incremental_admit_best_match_ties(spark):
     assert len(out) == 1
     r = out[0]
     assert r["is_dup"] and r["match_id"] == 3 and r["jaccard"] == 1.0
+
+
+# Distilled quality classifier -------------------------------------------------
+
+
+def test_distill_weights_hand_computed(spark):
+    """Tiny separable corpus: pass docs (>=3 tokens here via min_tokens=3,
+    all distinct) use 'good'; fail docs (2 tokens) use 'bad'.
+
+    Model by hand (min_tokens=3): docs 1,2 pass -> tokens good a b / good c d;
+    doc 3 fails -> bad e. T_pos=6, T_neg=2, V=7 (good,a,b,c,d,bad,e).
+    w(good) = (2+1)/(6+7) / ((0+1)/(2+7)) = (3/13)/(1/9) = 27/13.
+    w(bad)  = (0+1)/13 / ((1+1)/9) = (1/13)/(2/9) = 9/26.
+    """
+    from forgettable_spark.extensions.classifier import distill_quality_classifier
+
+    docs = _docs(spark, [(1, "good a b"), (2, "good c d"), (3, "bad e")])
+    out = {r["doc_id"]: r for r in distill_quality_classifier(
+        docs, min_tokens=3, min_distinct_ratio=0.0).collect()}
+    assert out[1]["label"] == 1 and out[3]["label"] == 0
+    w_good = (3 / 13) / (1 / 9)
+    # doc 1 score = (w_good + w_a + w_b)/3 where w_a = (1+1)/13/(1/9)
+    w_rare_pos = (2 / 13) / (1 / 9)
+    assert out[1]["clf_score"] == pytest.approx((w_good + 2 * w_rare_pos) / 3)
+    assert out[1]["pred"] == 1 and out[1]["agree"]
+    w_bad = (1 / 13) / (2 / 9)
+    w_e = (1 / 13) / (2 / 9)
+    assert out[3]["clf_score"] == pytest.approx((w_bad + w_e) / 2)
+    assert out[3]["pred"] == 0 and out[3]["agree"]
+
+
+def test_distill_recovers_lexically_separable_gate(spark):
+    """When the classes ARE lexically separable, the student recovers
+    the teacher: pass docs draw from a common-word pool, fail docs are
+    short gibberish. Agreement must be 100% here."""
+    from forgettable_spark.extensions.classifier import distill_quality_classifier
+
+    common = "the quick brown fox jumps over the lazy dog near the old stone bridge today again".split()
+    rows = []
+    for i in range(20):
+        toks = [common[(i + j) % len(common)] for j in range(25)]
+        rows.append((i, " ".join(toks)))          # pass: long, common words
+    for i in range(20, 30):
+        rows.append((i, f"zx{i}q vb{i}n"))        # fail: short gibberish
+    out = distill_quality_classifier(_docs(spark, rows)).collect()
+    assert len(out) == 30
+    assert all(r["agree"] for r in out), [
+        (r["doc_id"], r["label"], round(r["clf_score"], 3)) for r in out if not r["agree"]
+    ]
+
+
+def test_distill_single_class_is_well_defined(spark):
+    """All-pass corpus: T_neg = 0 — smoothing keeps every weight finite
+    and scores stay positive."""
+    from forgettable_spark.extensions.classifier import distill_quality_classifier
+
+    rows = [(i, " ".join(f"w{j}" for j in range(25))) for i in range(5)]
+    out = distill_quality_classifier(_docs(spark, rows)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["label"] == 1 and r["clf_score"] > 0.0
