@@ -640,6 +640,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
         "dedup_lsh_recall": entrypoints_ext.q_dedup_lsh_recall,
         "quality_filter": entrypoints_ext.q_quality_filter,
+        "pack_apply": entrypoints_ext.q_pack_apply,
     }
 
 
@@ -748,4 +749,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
         "dedup_lsh_recall": entrypoints_ext._oracle_dedup_lsh_recall(),
         "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
+        "pack_apply": entrypoints_ext._oracle_pack_apply(),
     }

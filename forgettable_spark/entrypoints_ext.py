@@ -1529,6 +1529,24 @@ def _oracle_pack_sequences() -> str:
     return packing.pack_oracle_sql()
 
 
+def q_pack_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing (``packing.pack_apply``): one row per
+    (shard, bin) with the packed sequence's md5 — every packed training
+    sequence verified byte-for-byte cross-engine without text leaving
+    the executors. Secondary registry: the apply step of the primary
+    `pack_sequences` layout (same rotation logic as dedup_chunk_apply)."""
+    from forgettable_spark.extensions import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_apply(docs)
+
+
+def _oracle_pack_apply() -> str:
+    from forgettable_spark.extensions import packing
+
+    return packing.pack_apply_oracle_sql()
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram-LM fluency score (``extensions/lm.py``): the CCNet
     / RefinedWeb-style LM quality filter with a hash-exact rational

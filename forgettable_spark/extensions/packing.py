@@ -136,3 +136,145 @@ SELECT doc_id, shard, n_tokens,
   CAST((cb + n_tokens - 1) // {budget} AS BIGINT) AS end_bin,
   CAST(cb % {budget} AS BIGINT) AS offset_in_bin
 FROM cum"""
+
+
+def pack_apply(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """MATERIALIZE the packed sequences :func:`pack_concat` lays out:
+    one row per (shard, bin) with the bin's document count, token count,
+    and the md5 of its space-joined token stream — the verification
+    shape (the oracle checks every packed sequence byte-for-byte without
+    the text ever leaving the executors; a trainer-facing writer would
+    emit the joined text instead of its hash).
+
+    Documents spanning a bin boundary are SPLIT at it (the concat-and-
+    cut contract): each (doc, bin) overlap contributes the token slice
+    covering ``[bin·budget, (bin+1)·budget) ∩ [cum_before, cum_before +
+    n_tokens)``. Within a bin, pieces concatenate in stream order
+    (ascending ``cum_before`` — unique per shard, so the sort is total).
+    Every bin except possibly each shard's last holds exactly ``budget``
+    tokens (test-asserted).
+
+    Plan shape: the same single shard-keyed window as the layout, then
+    one explode of per-doc bin spans (a doc yields
+    ``end_bin - start_bin + 1`` rows — corpus tokens / budget total, not
+    corpus × anything) and one (shard, bin) aggregation whose sorted
+    struct list reassembles the stream deterministically.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_apply: budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"pack_apply: n_shards must be positive, got {n_shards}")
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    shard_h = F.md5(F.concat_ws("|", F.lit(salt + "-shard"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(shard_h, 1, 15), 16, 10).cast("bigint") % F.lit(n_shards)
+    ).cast("int")
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("_w"),
+            shard.alias("shard"),
+            order.alias("_ord"),
+        )
+        .withColumn("n_tokens", F.size("_w").cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = base.withColumn(
+        "_cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    )
+    spans = cum.select(
+        "shard",
+        "_w",
+        "_cb",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"_cb DIV {budget}"),
+                F.expr(f"(_cb + n_tokens - 1) DIV {budget}"),
+            )
+        ).alias("bin"),
+    )
+    # token indices (0-based within the doc) covered by this bin
+    lo = F.greatest(F.col("bin") * budget - F.col("_cb"), F.lit(0).cast("bigint"))
+    hi = F.least(
+        (F.col("bin") + 1) * budget - F.col("_cb"), F.col("n_tokens")
+    )  # exclusive
+    pieces = spans.select(
+        "shard",
+        "bin",
+        F.col("_cb").alias("_pos"),
+        F.slice(F.col("_w"), (lo + 1).cast("int"), (hi - lo).cast("int")).alias(
+            "_piece"
+        ),
+    )
+    return (
+        pieces.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size("_piece")).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("_pos", "_piece"))
+                            ),
+                            lambda x: x["_piece"],
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("packed_md5"),
+        )
+        .select("shard", F.col("bin").cast("bigint").alias("bin"), "n_docs", "n_tokens", "packed_md5")
+    )
+
+
+def pack_apply_oracle_sql(
+    budget: int = PACK_BUDGET, n_shards: int = 4, salt: str = "pack"
+) -> str:
+    """DuckDB twin of :func:`pack_apply` — same window, spans, slices,
+    stream-order reassembly, and md5."""
+    return f"""WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5('{salt}-shard' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % {n_shards} AS INT) AS shard,
+    md5('{salt}' || '|' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents WHERE text IS NOT NULL
+),
+cum AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM base
+),
+spans AS (
+  SELECT shard, w, cb, n_tokens,
+    unnest(range(CAST(cb // {budget} AS BIGINT),
+                 CAST((cb + n_tokens - 1) // {budget} + 1 AS BIGINT))) AS bin
+  FROM cum
+),
+pieces AS (
+  SELECT shard, bin, cb AS pos,
+    w[CAST(GREATEST(bin * {budget} - cb, 0) + 1 AS INT):CAST(LEAST((bin + 1) * {budget} - cb, n_tokens) AS INT)] AS piece
+  FROM spans
+)
+SELECT shard, CAST(bin AS BIGINT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+  md5(array_to_string(flatten(list_transform(
+    list_sort(list({{'pos': pos, 'piece': piece}})), x -> x.piece)), ' ')) AS packed_md5
+FROM pieces GROUP BY shard, bin"""
