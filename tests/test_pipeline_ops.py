@@ -263,3 +263,40 @@ def test_pack_apply_reconstructs_known_stream(spark):
     for b, row in out.items():
         expect = " ".join(stream[b * 7 : (b + 1) * 7])
         assert row["packed_md5"] == hashlib.md5(expect.encode()).hexdigest(), b
+
+
+def test_pack_matches_independent_python_model(spark):
+    """Differential check against a THIRD implementation: the layout
+    recomputed in pure Python (hashlib md5, cumsum) must equal Spark's
+    row for row — catching any divergence the two-SQL-engine parity
+    could share (e.g. a wrong shared hash recipe)."""
+    import hashlib
+
+    from forgettable_spark.extensions.packing import pack_concat
+
+    budget, shards, salt = 32, 5, "pack"
+    rows = [(i * 7 + 3, " ".join(f"w{i}_{j}" for j in range(1 + (i * 13) % 40)))
+            for i in range(120)]
+
+    def h(prefix, i):
+        return hashlib.md5(f"{prefix}|{i}".encode()).hexdigest()
+
+    model = {}
+    per_shard = {}
+    for doc_id, text in rows:
+        shard = int(h(salt + "-shard", doc_id)[:15], 16) % shards
+        per_shard.setdefault(shard, []).append((h(salt, doc_id), doc_id, len(text.split(" "))))
+    for shard, docs_ in per_shard.items():
+        cb = 0
+        for _, doc_id, n in sorted(docs_):
+            model[doc_id] = dict(
+                doc_id=doc_id, shard=shard, n_tokens=n,
+                start_bin=cb // budget, end_bin=(cb + n - 1) // budget,
+                offset_in_bin=cb % budget,
+            )
+            cb += n
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pack_concat(_docs(spark, rows), budget=budget, n_shards=shards).collect()
+    }
+    assert got == model
