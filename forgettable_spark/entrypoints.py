@@ -610,7 +610,14 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       earn driver rows in their debut round: the first two are a WHERE
       twist and a projection twist of still-registered queries, and
       ``dedup_simhash`` is the per-document sketch listing whose exact
-      aggregation ``dedup_simhash_pairs`` consumes and re-verifies.
+      aggregation ``dedup_simhash_pairs`` consumes and re-verifies;
+    - ``quality_filter`` — the rule gate the NEW ``quality_distill``
+      embeds verbatim as its labeling step (same late-r4 rotation);
+    - ``dedup_lsh_recall`` — measured LSH recall vs the exact PPJoin
+      truth, a composition of two already-registered operators;
+    - ``pack_apply`` — the materialize step of ``pack_sequences``
+      (same primary-layout/secondary-apply split as the chunk-dedup
+      family).
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.

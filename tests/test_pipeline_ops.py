@@ -300,3 +300,17 @@ def test_pack_matches_independent_python_model(spark):
         for r in pack_concat(_docs(spark, rows), budget=budget, n_shards=shards).collect()
     }
     assert got == model
+
+
+def test_narrow_sketch_equals_fat_sketch_signatures(spark):
+    """The storable narrow (id, mh) sketch must carry byte-identical
+    signatures to the batch path's fat sketch frame — the admission
+    index and the batch self-join speak the same MinHash."""
+    from forgettable_spark.extensions.dedup import _minhash_sketches, minhash_sketch_narrow
+
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(30)]
+    rows.append((99, None))
+    docs = _docs(spark, rows)
+    fat = {r["doc_id"]: r["mh"] for r in _minhash_sketches(docs, "text", "doc_id", 12).collect()}
+    narrow = {r["doc_id"]: r["mh"] for r in minhash_sketch_narrow(docs).collect()}
+    assert fat == narrow and 99 not in narrow and len(narrow) == 30
