@@ -773,6 +773,7 @@ def incremental_lsh_admit(
         k=k,
         bands=bands,
         threshold=threshold,
+        persist=persist,
         max_bucket_size=max_bucket_size,
         log_dropped=log_dropped,
     )
@@ -783,21 +784,11 @@ def minhash_sketch_narrow(
 ) -> DataFrame:
     """NARROW per-document MinHash sketch (id, mh): k BIGINTs per doc,
     no retained shingle arrays — the storable/cacheable admission-index
-    shape. NULL text is excluded (module-wide contract)."""
-    from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
-
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            minhash_signature_from_base(
-                F.transform(
-                    F.array_distinct(shingles(F.col(text_col))), shingle_hash
-                ),
-                k,
-            ).alias("mh"),
-        )
-    )
+    shape. One projection over :func:`_minhash_sketches` (column pruning
+    drops the shingle output; the signature still derives from the same
+    single chain, so the two shapes cannot diverge). NULL text is
+    excluded (module-wide contract)."""
+    return _minhash_sketches(docs, text_col, id_col, k).select(id_col, "mh")
 
 
 def incremental_admit_from_sketches(
@@ -810,6 +801,7 @@ def incremental_admit_from_sketches(
     k: int = 12,
     bands: int = 4,
     threshold: float = 0.8,
+    persist: bool = True,
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
 ) -> DataFrame:
@@ -820,7 +812,12 @@ def incremental_admit_from_sketches(
     which touches only candidate documents (semi-join); ``batch`` also
     defines the output rows — one verdict per batch document INCLUDING
     NULL-text ones (no sketch row, admitted unmatched). Callers own the
-    sketch frames' lifecycle (cache/store/release)."""
+    sketch frames' lifecycle (cache/store/release). ``persist`` gates
+    the two INTERNAL caches (candidate pairs, candidate shingles —
+    each feeds multiple plan branches): with it, run under
+    ``released_scope``/``run_released`` (or accept plain ``.cache()``
+    lifetimes); without it, the branches recompute instead — the choice
+    a long-running library ingest loop without a scope should make."""
     rows_per_band = k // bands
 
     def banded(sigs: DataFrame) -> DataFrame:
@@ -853,7 +850,8 @@ def incremental_admit_from_sketches(
     # The candidate table feeds THREE branches (the id semi-join and
     # both verify joins) — without a cache the band join re-executes per
     # branch. It is two BIGINTs per candidate pair.
-    cand = scoped_cache(cand)
+    if persist:
+        cand = scoped_cache(cand)
     # Exact-Jaccard verify: re-shingle ONLY candidate documents from
     # text — ONE pass over the union of both frames semi-joined to the
     # union of candidate ids — so the corpus-wide distinct-shingle sets
@@ -865,7 +863,7 @@ def incremental_admit_from_sketches(
     cand_ids = cand.select(F.col("new_id").alias("_cid")).union(
         cand.select(F.col("old_id").alias("_cid"))
     )
-    sh_cand = scoped_cache(
+    sh_cand = (
         existing.select(F.col(id_col), F.col(text_col))
         .union(batch.select(F.col(id_col), F.col(text_col)))
         .join(cand_ids, F.col(id_col) == F.col("_cid"), "left_semi")
@@ -873,6 +871,8 @@ def incremental_admit_from_sketches(
         .withColumn("shd", F.array_distinct(F.col("sh")))
         .select("_vid", "shd", F.size("shd").cast("bigint").alias("n"))
     )
+    if persist:
+        sh_cand = scoped_cache(sh_cand)
     verified = (
         cand.join(
             sh_cand.select(

@@ -6,12 +6,14 @@ T5 "pack", most open pipelines) is CONCATENATION PACKING: put the
 documents in a deterministic order, concatenate their token streams,
 and cut the stream every ``budget`` tokens; a document may span a cut
 (the attention mask / EOS handling downstream is the trainer's
-concern). This operator computes that layout — which bin(s) each
+concern). :func:`pack_concat` computes that layout — which bin(s) each
 document lands in and at what offset — without materializing any token
-stream: it is pure integer window arithmetic over per-document token
-counts.
+stream; :func:`pack_apply` materializes the packed bins (emitting each
+sequence's md5, so the whole packed corpus verifies cross-engine
+without text leaving the executors).
 
-Semantics (shared bit-for-bit with the DuckDB oracle):
+Semantics (shared bit-for-bit with the DuckDB oracles, and defined ONCE
+in :func:`_sharded_cum` / :func:`_cum_cte_sql` for both operators):
 
 - Documents with NULL text are excluded (they contribute no tokens).
 - Order is the engine's standard deterministic pseudo-random order:
@@ -31,11 +33,10 @@ Semantics (shared bit-for-bit with the DuckDB oracle):
   integers — the result row hashes identically on any engine.
 
 Scale posture: one shuffle keyed by shard, then a sort-based window per
-shard (Spark's standard window execution); rows carry (id, 3 ints) —
-the text itself never moves. This is the cheapest possible shape for a
-layout decision: the expensive step (actually tokenizing and writing
-packed sequences) consumes this table as a join against the corpus,
-shard by shard.
+shard (Spark's standard window execution). The layout's rows carry
+(id, 3 ints) — the text itself never moves; the apply step additionally
+explodes per-doc bin spans (corpus_tokens / budget rows in total) and
+reassembles each bin with one (shard, bin) aggregation.
 """
 
 from __future__ import annotations
@@ -43,11 +44,91 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from forgettable_spark.extensions.search import _sql_str
 from forgettable_spark.extensions.text import tokens
 
 #: Default tokens per packed training sequence (a common context slice
 #: at test scale; production would pass 2048/4096/8192).
 PACK_BUDGET = 256
+
+
+def _sharded_cum(
+    docs: DataFrame,
+    n_shards: int,
+    text_col: str,
+    id_col: str,
+    salt: str,
+    keep_tokens: bool,
+) -> DataFrame:
+    """THE layout definition, shared by :func:`pack_concat` and
+    :func:`pack_apply` (one encoding → the apply step can never pack a
+    different stream than the layout reports): (doc_id, shard, n_tokens,
+    _cb) with the token array ``_w`` kept only when the caller needs it
+    — the layout's window shuffle must stay (id, ints)-narrow, so the
+    array is carried through the sort only for the apply step."""
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    # Shard from a DIFFERENT salt than the order hash: deriving both from
+    # one digest would correlate "which stream" with "where in the
+    # stream" (the low shards would always pack the lexicographically
+    # small hashes first).
+    shard_h = F.md5(
+        F.concat_ws("|", F.lit(salt + "-shard"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(shard_h, 1, 15), 16, 10).cast("bigint") % F.lit(n_shards)
+    ).cast("int")
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_w"),
+        shard.alias("shard"),
+        order.alias("_ord"),
+    ]
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(*cols)
+        .withColumn("n_tokens", F.size("_w").cast("bigint"))
+    )
+    if not keep_tokens:
+        base = base.drop("_w")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.withColumn(
+        "_cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    ).drop("_ord")
+
+
+def _cum_cte_sql(n_shards: int, salt: str, keep_tokens: bool) -> str:
+    """DuckDB twin of :func:`_sharded_cum` as ``base``/``cum`` CTE text
+    (same single definition discipline on the oracle side). The salt is
+    data, not SQL — escaped."""
+    s = _sql_str(salt)
+    s_shard = _sql_str(salt + "-shard")
+    w_col = "w, " if keep_tokens else ""
+    return f"""base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5({s_shard} || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % {n_shards} AS INT) AS shard,
+    md5({s} || '|' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents WHERE text IS NOT NULL
+),
+cum AS (
+  SELECT doc_id, {w_col}shard, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM base
+)"""
+
+
+def _check_params(op: str, budget: int, n_shards: int) -> None:
+    if budget <= 0:
+        raise ValueError(f"{op}: budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"{op}: n_shards must be positive, got {n_shards}")
 
 
 def pack_concat(
@@ -67,46 +148,16 @@ def pack_concat(
     ``end_bin - start_bin + 1`` sequences. Offsets and bins are
     shard-local (module docstring).
     """
-    if budget <= 0:
-        raise ValueError(f"pack_concat: budget must be positive, got {budget}")
-    if n_shards <= 0:
-        raise ValueError(f"pack_concat: n_shards must be positive, got {n_shards}")
-    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
-    # Shard from a DIFFERENT salt than the order hash: deriving both from
-    # one digest would correlate "which stream" with "where in the
-    # stream" (the low shards would always pack the lexicographically
-    # small hashes first).
-    shard_h = F.md5(F.concat_ws("|", F.lit(salt + "-shard"), F.col(id_col).cast("string")))
-    shard = (
-        F.conv(F.substring(shard_h, 1, 15), 16, 10).cast("bigint") % F.lit(n_shards)
-    ).cast("int")
-    base = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
-            shard.alias("shard"),
-            order.alias("_ord"),
-        )
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("_ord", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    _check_params("pack_concat", budget, n_shards)
     # Integer division (DIV / DuckDB //), not floor-of-double-divide:
     # exact at any stream length, no dependence on double rounding.
-    return (
-        base.withColumn("_cb", cum_before)
-        .select(
-            "doc_id",
-            "shard",
-            "n_tokens",
-            F.expr(f"CAST(_cb DIV {budget} AS BIGINT)").alias("start_bin"),
-            F.expr(f"CAST((_cb + n_tokens - 1) DIV {budget} AS BIGINT)").alias("end_bin"),
-            (F.col("_cb") % budget).cast("bigint").alias("offset_in_bin"),
-        )
+    return _sharded_cum(docs, n_shards, text_col, id_col, salt, keep_tokens=False).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"CAST(_cb DIV {budget} AS BIGINT)").alias("start_bin"),
+        F.expr(f"CAST((_cb + n_tokens - 1) DIV {budget} AS BIGINT)").alias("end_bin"),
+        (F.col("_cb") % budget).cast("bigint").alias("offset_in_bin"),
     )
 
 
@@ -115,22 +166,8 @@ def pack_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`pack_concat` over the pre-registered
     ``documents`` view — same hashes, same window, same integer
-    arithmetic."""
-    return f"""WITH base AS (
-  SELECT doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-    CAST(('0x' || substr(md5('{salt}-shard' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-         % {n_shards} AS INT) AS shard,
-    md5('{salt}' || '|' || CAST(doc_id AS VARCHAR)) AS ord
-  FROM documents WHERE text IS NOT NULL
-),
-cum AS (
-  SELECT doc_id, shard, n_tokens,
-    COALESCE(SUM(n_tokens) OVER (
-      PARTITION BY shard ORDER BY ord, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-  FROM base
-)
+    arithmetic (shared CTE text)."""
+    return f"""WITH {_cum_cte_sql(n_shards, salt, keep_tokens=False)}
 SELECT doc_id, shard, n_tokens,
   CAST(cb // {budget} AS BIGINT) AS start_bin,
   CAST((cb + n_tokens - 1) // {budget} AS BIGINT) AS end_bin,
@@ -161,39 +198,15 @@ def pack_apply(
     Every bin except possibly each shard's last holds exactly ``budget``
     tokens (test-asserted).
 
-    Plan shape: the same single shard-keyed window as the layout, then
-    one explode of per-doc bin spans (a doc yields
+    Plan shape: the same single shard-keyed window as the layout (via
+    the shared :func:`_sharded_cum`, with the token arrays carried
+    through), then one explode of per-doc bin spans (a doc yields
     ``end_bin - start_bin + 1`` rows — corpus tokens / budget total, not
     corpus × anything) and one (shard, bin) aggregation whose sorted
     struct list reassembles the stream deterministically.
     """
-    if budget <= 0:
-        raise ValueError(f"pack_apply: budget must be positive, got {budget}")
-    if n_shards <= 0:
-        raise ValueError(f"pack_apply: n_shards must be positive, got {n_shards}")
-    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
-    shard_h = F.md5(F.concat_ws("|", F.lit(salt + "-shard"), F.col(id_col).cast("string")))
-    shard = (
-        F.conv(F.substring(shard_h, 1, 15), 16, 10).cast("bigint") % F.lit(n_shards)
-    ).cast("int")
-    base = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            tokens(F.col(text_col)).alias("_w"),
-            shard.alias("shard"),
-            order.alias("_ord"),
-        )
-        .withColumn("n_tokens", F.size("_w").cast("bigint"))
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("_ord", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = base.withColumn(
-        "_cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
-    )
+    _check_params("pack_apply", budget, n_shards)
+    cum = _sharded_cum(docs, n_shards, text_col, id_col, salt, keep_tokens=True)
     spans = cum.select(
         "shard",
         "_w",
@@ -238,29 +251,22 @@ def pack_apply(
                 )
             ).alias("packed_md5"),
         )
-        .select("shard", F.col("bin").cast("bigint").alias("bin"), "n_docs", "n_tokens", "packed_md5")
+        .select(
+            "shard",
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_docs",
+            "n_tokens",
+            "packed_md5",
+        )
     )
 
 
 def pack_apply_oracle_sql(
     budget: int = PACK_BUDGET, n_shards: int = 4, salt: str = "pack"
 ) -> str:
-    """DuckDB twin of :func:`pack_apply` — same window, spans, slices,
-    stream-order reassembly, and md5."""
-    return f"""WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS w,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-    CAST(('0x' || substr(md5('{salt}-shard' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-         % {n_shards} AS INT) AS shard,
-    md5('{salt}' || '|' || CAST(doc_id AS VARCHAR)) AS ord
-  FROM documents WHERE text IS NOT NULL
-),
-cum AS (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
-      PARTITION BY shard ORDER BY ord, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-  FROM base
-),
+    """DuckDB twin of :func:`pack_apply` — same window (shared CTE
+    text), spans, slices, stream-order reassembly, and md5."""
+    return f"""WITH {_cum_cte_sql(n_shards, salt, keep_tokens=True)},
 spans AS (
   SELECT shard, w, cb, n_tokens,
     unnest(range(CAST(cb // {budget} AS BIGINT),
