@@ -293,3 +293,43 @@ def test_cross_batch_dedup_after_fold(spark, dirs):
     run(3, [(10, text + " zeta")])
     v = _verdicts(spark, dirs)
     assert v[10]["is_dup"] and v[10]["match_kind"] == "corpus" and v[10]["match_id"] == 1
+
+
+def test_partial_fold_without_success_is_ignored_and_rebuilt(spark, dirs):
+    """Crash mid-fold leaves a fold dir without _SUCCESS: readers must
+    ignore it (falling back to the unvacuumed originals) and the next
+    fold attempt must rebuild it rather than trust partial data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forgettable_spark.streaming.admit import _fold, _table_parts
+
+    def run(bid, ids):
+        admit_batch(
+            spark,
+            spark.createDataFrame(
+                [(i, " ".join(f"tok{j}b{i}" for j in range(12))) for i in ids],
+                ["doc_id", "text"],
+            ),
+            bid, dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=None,  # no auto-fold; we drive it
+        )
+
+    run(0, [1, 2])
+    run(1, [3, 4])
+    # simulate a crashed fold: partial parquet, NO _SUCCESS marker
+    partial = os.path.join(dirs["index"], "fold-2")
+    os.makedirs(partial)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([999], pa.int64()),
+                  "mh": pa.array([[1, 2]], pa.list_(pa.int64()))}),
+        os.path.join(partial, "part-poison.parquet"),
+    )
+    # readers ignore the partial fold: parts are the two batch dirs
+    parts = _table_parts(dirs["index"], exclude_batch=-1)
+    assert sorted(os.path.basename(p) for p in parts) == ["batch-0", "batch-1"]
+    # the rebuilt fold contains the real rows, not the poison row
+    _fold(spark, dirs["index"], 2)
+    folded = spark.read.parquet(os.path.join(dirs["index"], "fold-2"))
+    assert sorted(r["doc_id"] for r in folded.collect()) == [1, 2, 3, 4]
+    assert sorted(os.listdir(dirs["index"])) == ["fold-2"]
