@@ -1449,26 +1449,27 @@ def q_source_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer divisions, and a keep verdict under explicit thresholds
     (sources under SRC_MIN_DOCS are unjudgeable, not innocent)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.source_curation(
-        docs,
-        min_pass_rate=SRC_MIN_PASS_RATE,
-        max_dup_rate=SRC_MAX_DUP_RATE,
-        min_docs=SRC_MIN_DOCS,
+    return run_released(
+        spark,
+        lambda: text.source_curation(
+            docs,
+            min_pass_rate=SRC_MIN_PASS_RATE,
+            max_dup_rate=SRC_MAX_DUP_RATE,
+            min_docs=SRC_MIN_DOCS,
+        ),
     )
 
 
 def _oracle_source_curation() -> str:
     from forgettable_spark.extensions.codebook import _sql_double
+    from forgettable_spark.extensions.text import quality_pass_sql
 
     pr = _sql_double(SRC_MIN_PASS_RATE)
     dr = _sql_double(SRC_MAX_DUP_RATE)
     return f"""WITH b AS (
   SELECT source,
     CAST(text IS NULL AS INT) AS nul,
-    CASE WHEN text IS NOT NULL AND len(string_split(text, ' ')) >= 20
-      AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-          / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.5e-1
-      THEN 1 ELSE 0 END AS pass,
+    {quality_pass_sql('text')} AS pass,
     md5(text) AS h
   FROM documents
 ),

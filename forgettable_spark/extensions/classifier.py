@@ -51,7 +51,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from forgettable_spark.extensions.text import tokens
+from forgettable_spark.extensions.text import (
+    QUALITY_MIN_DISTINCT_RATIO,
+    QUALITY_MIN_TOKENS,
+    quality_pass,
+    tokens,
+)
 from forgettable_spark.functions.cache import scoped_cache
 
 
@@ -59,25 +64,29 @@ def distill_quality_classifier(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_tokens: int = 20,
-    min_distinct_ratio: float = 0.35,
+    min_tokens: int = QUALITY_MIN_TOKENS,
+    min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO,
+    persist: bool = True,
 ) -> DataFrame:
     """Distillation report (module docstring): one row per non-NULL-text
-    document — (doc_id, label, n_tokens, clf_score, pred, agree)."""
+    document — (doc_id, label, n_tokens, clf_score, pred, agree).
+    ``persist`` gates the internal postings cache (two consumers —
+    training rollups and scoring): without a release scope, a library
+    caller can pass False to recompute instead of holding an
+    unreleasable ``.cache()``."""
     w_arr = tokens(F.col(text_col))
-    n = F.size(w_arr).cast("bigint")
-    nd = F.size(F.array_distinct(w_arr)).cast("bigint")
-    label = (
-        (n >= min_tokens)
-        & (nd.cast("double") / n.cast("double") >= F.lit(min_distinct_ratio))
-    ).cast("int")
-    pairs = scoped_cache(
+    # THE rule gate (text.quality_pass) — the label is the same
+    # expression quality_filter/corpus_report/source_curation gate on.
+    label = quality_pass(F.col(text_col), min_tokens, min_distinct_ratio)
+    pairs = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), label.alias("label"),
                 F.explode(w_arr).alias("token"))
         .groupBy("doc_id", "label", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if persist:
+        pairs = scoped_cache(pairs)
     tok_counts = pairs.groupBy("token").agg(
         F.sum(F.when(F.col("label") == 1, F.col("tf")).otherwise(0)).alias("c_pos"),
         F.sum(F.when(F.col("label") == 0, F.col("tf")).otherwise(0)).alias("c_neg"),
@@ -128,21 +137,22 @@ def distill_quality_classifier(
     )
 
 
-def distill_oracle_sql(min_tokens: int = 20, min_distinct_ratio: float = 0.35) -> str:
+def distill_oracle_sql(
+    min_tokens: int = QUALITY_MIN_TOKENS,
+    min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO,
+) -> str:
     """DuckDB twin of :func:`distill_quality_classifier` over the
-    pre-registered ``documents`` view — same labels, counts, smoothing,
-    and sorted-fold scoring."""
-    from forgettable_spark.extensions.codebook import _sql_double
+    pre-registered ``documents`` view — same labels (the shared
+    ``quality_pass_sql`` fragment), counts, smoothing, and sorted-fold
+    scoring."""
+    from forgettable_spark.extensions.text import quality_pass_sql
 
-    mdr = _sql_double(min_distinct_ratio)
     return f"""WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL
 ),
 lab AS (
   SELECT doc_id, w,
-    CAST(len(w) >= {min_tokens}
-         AND CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= {mdr}
-      AS INT) AS label
+    {quality_pass_sql('text', min_tokens, min_distinct_ratio)} AS label
   FROM tok
 ),
 pairs AS (

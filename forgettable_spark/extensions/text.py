@@ -31,6 +31,48 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 #: Flat stopword set used by the quality score.
 ALL_STOPWORDS: tuple[str, ...] = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
 
+#: THE quality-gate thresholds (length + lexical diversity), defined
+#: once: quality_filter, corpus_report, source_curation, and the
+#: distilled classifier's labeling step all gate on the same rule, and
+#: their DuckDB oracles interpolate these same values — a tuning change
+#: lands everywhere or nowhere.
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_DISTINCT_RATIO = 0.35
+
+
+def quality_pass(t: Column, min_tokens: int = QUALITY_MIN_TOKENS,
+                 min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO) -> Column:
+    """NULL-safe quality-gate flag (1/0 INT): non-NULL text with at
+    least ``min_tokens`` whitespace tokens and distinct-token ratio at
+    least ``min_distinct_ratio``. The single Column encoding of the rule
+    every quality-family operator shares; SQL twin:
+    :func:`quality_pass_sql`."""
+    w = tokens(t)
+    n = F.size(w).cast("bigint")
+    nd = F.size(F.array_distinct(w)).cast("bigint")
+    return (
+        F.when(
+            t.isNotNull()
+            & (n >= min_tokens)
+            & (nd.cast("double") / n.cast("double") >= F.lit(min_distinct_ratio)),
+            1,
+        )
+        .otherwise(0)
+    )
+
+
+def quality_pass_sql(text_expr: str = "text",
+                     min_tokens: int = QUALITY_MIN_TOKENS,
+                     min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO) -> str:
+    """DuckDB fragment twin of :func:`quality_pass` (evaluates to 1/0)."""
+    return (
+        f"CASE WHEN {text_expr} IS NOT NULL"
+        f" AND len(string_split({text_expr}, ' ')) >= {min_tokens}"
+        f" AND CAST(len(list_distinct(string_split({text_expr}, ' '))) AS DOUBLE)"
+        f" / CAST(len(string_split({text_expr}, ' ')) AS DOUBLE) >= {min_distinct_ratio!r}"
+        f" THEN 1 ELSE 0 END"
+    )
+
 
 def tokens(text: Column) -> Column:
     """Token array: single-space split (see module determinism contract)."""
@@ -341,8 +383,8 @@ def repetition_stats(
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",
-    min_tokens: int = 20,
-    min_distinct_ratio: float = 0.35,
+    min_tokens: int = QUALITY_MIN_TOKENS,
+    min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO,
     min_stopword_ratio: float = 0.0,
 ) -> DataFrame:
     """Quality keep-list: documents passing the composite thresholds,
@@ -362,8 +404,8 @@ def quality_filter(
 def corpus_report(
     docs: DataFrame,
     text_col: str = "text",
-    min_tokens: int = 20,
-    min_distinct_ratio: float = 0.35,
+    min_tokens: int = QUALITY_MIN_TOKENS,
+    min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO,
 ) -> DataFrame:
     """One-row dataset card: the corpus-level numbers an operator reads
     before and after a pipeline run (ingest sanity, filter impact,
@@ -393,14 +435,7 @@ def corpus_report(
         F.col("lang"),
         F.col("n_chars"),
         F.when(t.isNotNull(), n).alias("_n_tok"),
-        F.when(
-            t.isNotNull()
-            & (n >= min_tokens)
-            & (nd.cast("double") / n.cast("double") >= min_distinct_ratio),
-            1,
-        )
-        .otherwise(0)
-        .alias("_pass"),
+        quality_pass(t, min_tokens, min_distinct_ratio).alias("_pass"),
     ).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0))
@@ -481,11 +516,12 @@ def tfidf_keywords(
 def source_curation(
     docs: DataFrame,
     text_col: str = "text",
-    min_tokens: int = 20,
-    min_distinct_ratio: float = 0.35,
+    min_tokens: int = QUALITY_MIN_TOKENS,
+    min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO,
     min_pass_rate: float = 0.5,
     max_dup_rate: float = 0.2,
     min_docs: int = 10,
+    persist: bool = True,
 ) -> DataFrame:
     """Source-level curation verdicts: the pruning decision real
     pipelines make ABOVE the document level (drop a crawl source whose
@@ -506,32 +542,36 @@ def source_curation(
     count would miss.
 
     Plan shape: one scan computes the per-doc quality predicate and
-    content hash row-locally; the hash-group sizes come from one
-    hash-keyed aggregation joined back (fixed-width keys); the final
-    per-source rollup is a tiny aggregation. Rates divide exact BIGINTs,
-    so rows hash identically across engines and partitionings.
+    content hash row-locally (the projection is scope-cached behind
+    ``persist`` — the group-size aggregation and the join-back both
+    consume it, and an uncached plan would scan the corpus twice);
+    hash-group sizes come from one hash-keyed aggregation joined back
+    (fixed-width keys) — NULL-text rows BYPASS that join entirely (a
+    NULL hash can never be a dup, and routing every NULL row through
+    one NULL join key would funnel an ingest-failure corpus into a
+    single shuffle partition — the skew shape :func:`exact_dedup`'s
+    group key also avoids); the final per-source rollup is a tiny
+    aggregation. Rates divide exact BIGINTs, so rows hash identically
+    across engines and partitionings.
     """
+    from forgettable_spark.functions.cache import scoped_cache
+
     t = F.col(text_col)
-    w = tokens(t)
-    n = F.size(w).cast("bigint")
-    nd = F.size(F.array_distinct(w)).cast("bigint")
     base = docs.select(
         F.col("source"),
         t.isNull().cast("int").alias("_null"),
-        F.when(
-            t.isNotNull()
-            & (n >= min_tokens)
-            & (nd.cast("double") / n.cast("double") >= min_distinct_ratio),
-            1,
-        )
-        .otherwise(0)
-        .alias("_pass"),
+        quality_pass(t, min_tokens, min_distinct_ratio).alias("_pass"),
         F.md5(t).alias("_h"),
     )
-    sizes = base.filter(F.col("_h").isNotNull()).groupBy("_h").agg(
-        F.count(F.lit(1)).alias("_hn")
+    if persist:
+        base = scoped_cache(base)
+    nn = base.filter(F.col("_h").isNotNull())
+    sizes = nn.groupBy("_h").agg(F.count(F.lit(1)).alias("_hn"))
+    joined = nn.join(sizes, "_h").unionByName(
+        base.filter(F.col("_h").isNull()).withColumn(
+            "_hn", F.lit(None).cast("bigint")
+        )
     )
-    joined = base.join(sizes, "_h", "left")
     agg = joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("_null").cast("bigint").alias("n_null_text"),

@@ -360,3 +360,31 @@ def test_source_curation_min_docs_and_null_source(spark):
     assert out["ghost"]["pass_rate"] == 0.0 and out["ghost"]["dup_rate"] == 0.0
     assert not out["ghost"]["keep"] and out["ghost"]["n_null_text"] == 12
     assert out["big"]["keep"]
+
+
+def test_persist_false_paths_match_cached_results(spark):
+    """Every operator with an internal cache must produce identical
+    results with persist=False (the library-caller escape from
+    unreleasable .cache()s) — guards the recompute path against
+    nondeterministic divergence."""
+    from forgettable_spark.extensions.classifier import distill_quality_classifier
+    from forgettable_spark.extensions.text import source_curation
+
+    rows = [(i, " ".join(f"w{j}s{i}" for j in range(25)), f"s{i % 3}") for i in range(30)]
+    rows += [(100, rows[0][1], "s0"), (101, "a b", "s1"), (102, None, "s2")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rowset(source_curation(docs, persist=True)) == rowset(
+        source_curation(docs, persist=False)
+    )
+    assert rowset(distill_quality_classifier(docs, persist=True)) == rowset(
+        distill_quality_classifier(docs, persist=False)
+    )
+    existing = _docs(spark, [(i, " ".join(f"e{j}x{i}" for j in range(12))) for i in range(8)])
+    batch = _docs(spark, [(50, " ".join(f"e{j}x{3}" for j in range(12))), (51, "novel text entirely")])
+    assert rowset(incremental_lsh_admit(existing, batch, threshold=0.5, persist=True)) == rowset(
+        incremental_lsh_admit(existing, batch, threshold=0.5, persist=False)
+    )
