@@ -1447,7 +1447,9 @@ def q_source_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-document pruning decision — per crawl source, exact
     quality-pass and corpus-wide duplication counts, rates as single
     integer divisions, and a keep verdict under explicit thresholds
-    (sources under SRC_MIN_DOCS are unjudgeable, not innocent)."""
+    (sources under SRC_MIN_DOCS are unjudgeable, not innocent).
+    run_released: the base (source, pass, hash) projection is
+    scope-cached for its two consumers (group sizes + join-back)."""
     docs = load_table(spark, sf_dir, "documents")
     return run_released(
         spark,
