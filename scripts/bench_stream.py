@@ -9,10 +9,16 @@ rows/second plus the published table's version/segment shape.
     SPARK_GRAFT_CPUS       local[] parallelism (default 32)
     SPARK_GRAFT_BATCHES    number of micro-batch files (default 8)
 
-Prints ONE JSON line:
+Prints TWO JSON lines:
     {"metric": "stream_publish_throughput", "rows": N, "batches": B,
      "value": rows_per_sec, "unit": "rows/sec", "versions": V,
      "final_segments": S, "read_rows": R, "sf": ...}
+    {"metric": "stream_admission_throughput", "docs": N, "batches": B,
+     "value": docs_per_sec, "unit": "docs/sec", "n_admitted": A,
+     "n_dup": D, "sf": ...}
+(the second drives the documents table through the LSH admission loop
+— streaming/admit.py: within-batch pairs + persistent-sketch-index
+check + fold compaction — with the same B-file micro-batch staging.)
 
 The split into B files models B micro-batches (`maxFilesPerTrigger=1`);
 timing covers ingest through the LAST transactional commit, and the
@@ -108,6 +114,63 @@ def main() -> None:
                     "read_rows": read_rows,
                     "state_keys_expected": distinct_keys,
                     "state_ok": read_rows == distinct_keys,
+                    "sf": sf,
+                }
+            )
+        )
+        # ---- admission loop over the documents table (same staging) ----
+        from pyspark.sql import functions as F
+
+        from forgettable_spark.sources import load_table
+        from forgettable_spark.streaming import admission_stream
+
+        adm = f"{work}/adm"
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        docs.repartition(n_batches).write.mode("overwrite").parquet(f"{adm}/src")
+        dfiles = sorted(
+            f for f in os.listdir(f"{adm}/src") if f.endswith(".parquet")
+        )
+        for i, f in enumerate(dfiles):
+            os.utime(
+                os.path.join(f"{adm}/src", f),
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        doc_stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{adm}/src")
+        )
+        t1 = time.perf_counter()
+        q2 = admission_stream(
+            doc_stream,
+            f"{adm}/index",
+            f"{adm}/corpus",
+            f"{adm}/verdicts",
+            f"{adm}/ckpt",
+            available_now=True,
+            fold_every=4,
+        )
+        q2.awaitTermination()
+        adm_elapsed = time.perf_counter() - t1
+        verd = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{adm}/verdicts")
+        )
+        n_dup = verd.filter(F.col("is_dup")).count()
+        n_admitted = verd.filter(~F.col("is_dup")).count()
+        print(
+            json.dumps(
+                {
+                    "metric": "stream_admission_throughput",
+                    "docs": n_docs,
+                    "batches": len(dfiles),
+                    "value": round(n_docs / adm_elapsed, 1),
+                    "unit": "docs/sec",
+                    "elapsed_sec": round(adm_elapsed, 2),
+                    "n_admitted": n_admitted,
+                    "n_dup": n_dup,
+                    "verdicts_ok": n_admitted + n_dup == n_docs,
                     "sf": sf,
                 }
             )
