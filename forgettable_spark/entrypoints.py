@@ -649,6 +649,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": entrypoints_ext.q_quality_filter,
         "pack_apply": entrypoints_ext.q_pack_apply,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
+        "batch_novelty": entrypoints_ext.q_batch_novelty,
     }
 
 
@@ -759,4 +760,5 @@ def secondary_oracle_sql() -> dict[str, str]:
         "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
         "pack_apply": entrypoints_ext._oracle_pack_apply(),
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
+        "batch_novelty": entrypoints_ext._oracle_batch_novelty(),
     }

@@ -1519,6 +1519,56 @@ def _oracle_quality_distill() -> str:
     return classifier.distill_oracle_sql()
 
 
+def q_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-novelty monitor (``text.vocabulary_novelty``) over the
+    same deterministic batch/corpus split the admission query uses: how
+    much of the incoming ~12.5% slice's vocabulary (types and
+    occurrences) is unseen in the held ~87.5% — the distribution-shift
+    gauge that complements content-level admission dedup. Secondary
+    registry: one-row observability composition over the established
+    split."""
+    from forgettable_spark.extensions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), INCR_SALT)
+    return text.vocabulary_novelty(
+        docs.filter(b >= INCR_NEW_BOUND), docs.filter(b < INCR_NEW_BOUND)
+    )
+
+
+def _oracle_batch_novelty() -> str:
+    from forgettable_spark.extensions.sampling import BUCKETS
+
+    bkt = (
+        f"('0x' || substr(md5('{INCR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {BUCKETS}"
+    )
+    return f"""WITH bt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    WHERE text IS NOT NULL AND {bkt} < {INCR_NEW_BOUND})
+  GROUP BY token
+),
+et AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+  WHERE text IS NOT NULL AND {bkt} >= {INCR_NEW_BOUND}
+),
+new AS (SELECT * FROM bt ANTI JOIN et USING (token)),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_types,
+         CAST(SUM(tf) AS BIGINT) AS n_batch_tokens FROM bt
+),
+news AS (
+  SELECT CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_new_types,
+         CAST(COALESCE(SUM(tf), 0) AS BIGINT) AS n_new_tokens FROM new
+)
+SELECT n_batch_types, n_new_types,
+  CAST(n_new_types AS DOUBLE) / CAST(n_batch_types AS DOUBLE) AS new_type_rate,
+  n_batch_tokens, n_new_tokens,
+  CAST(n_new_tokens AS DOUBLE) / CAST(n_batch_tokens AS DOUBLE) AS new_token_rate
+FROM totals CROSS JOIN news"""
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH dedup recall, measured: the MinHash+LSH pair set against the
     exact PPJoin ground truth (``dedup_ngram_jaccard``) on the same

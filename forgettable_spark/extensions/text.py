@@ -602,3 +602,61 @@ def source_curation(
             & (F.col("n_docs") >= F.lit(min_docs))
         ).alias("keep"),
     )
+
+
+def vocabulary_novelty(
+    existing: DataFrame, batch: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distribution-shift monitor for ingest: how much of an incoming
+    slice's vocabulary is NEW versus the already-held corpus — the
+    observability twin of admission dedup (dedup answers "is this
+    document a repeat?", this answers "is this slice adding language we
+    have never seen, or more of the same?"). One row:
+
+      n_batch_types,  n_new_types,  new_type_rate   — distinct tokens;
+      n_batch_tokens, n_new_tokens, new_token_rate  — occurrences.
+
+    A crawl slice full of novel types is either a new domain (good) or
+    encoding garbage (bad) — either way the number that pages someone;
+    near-zero novelty means the pipeline is paying to re-ingest its own
+    tail. All counts exact integers (rates are single divisions), so
+    the row hash-matches cross-engine.
+
+    Plan shape: one explode + (token, tf) aggregation per side, a
+    left-anti join of batch types against existing types (fixed-width
+    token keys), and two one-row rollups. Nothing retains text; the
+    existing side's type table is the reusable artifact a production
+    loop would maintain incrementally (same pattern as the admission
+    sketch index).
+    """
+    def type_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    bt = type_counts(batch)
+    et = type_counts(existing)
+    new = bt.join(et.select("token"), "token", "left_anti")
+    totals = bt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_types"),
+        F.sum("tf").cast("bigint").alias("n_batch_tokens"),
+    )
+    news = new.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_new_types"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("n_new_tokens"),
+    )
+    return totals.crossJoin(news).select(
+        "n_batch_types",
+        "n_new_types",
+        (F.col("n_new_types").cast("double") / F.col("n_batch_types").cast("double")).alias(
+            "new_type_rate"
+        ),
+        "n_batch_tokens",
+        "n_new_tokens",
+        (
+            F.col("n_new_tokens").cast("double") / F.col("n_batch_tokens").cast("double")
+        ).alias("new_token_rate"),
+    )

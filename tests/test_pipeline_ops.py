@@ -388,3 +388,26 @@ def test_persist_false_paths_match_cached_results(spark):
     assert rowset(incremental_lsh_admit(existing, batch, threshold=0.5, persist=True)) == rowset(
         incremental_lsh_admit(existing, batch, threshold=0.5, persist=False)
     )
+
+
+def test_vocabulary_novelty_counts(spark):
+    """Hand-checkable: batch has 4 types / 6 tokens, of which 2 types /
+    3 tokens are unseen in the existing slice; NULL text ignored."""
+    from forgettable_spark.extensions.text import vocabulary_novelty
+
+    existing = _docs(spark, [(1, "alpha beta gamma"), (2, "beta delta"), (3, None)])
+    batch = _docs(spark, [(10, "alpha nova nova"), (11, "zeta beta"), (12, None)])
+    r = vocabulary_novelty(existing, batch).collect()[0]
+    assert r["n_batch_types"] == 4 and r["n_batch_tokens"] == 5
+    assert r["n_new_types"] == 2 and r["n_new_tokens"] == 3  # nova x2, zeta
+    assert r["new_type_rate"] == 0.5 and r["new_token_rate"] == 3 / 5
+
+
+def test_vocabulary_novelty_zero_when_subset(spark):
+    from forgettable_spark.extensions.text import vocabulary_novelty
+
+    existing = _docs(spark, [(1, "a b c d")])
+    batch = _docs(spark, [(10, "a a b")])
+    r = vocabulary_novelty(existing, batch).collect()[0]
+    assert r["n_new_types"] == 0 and r["n_new_tokens"] == 0
+    assert r["new_type_rate"] == 0.0 and r["new_token_rate"] == 0.0
