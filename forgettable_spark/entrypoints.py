@@ -617,7 +617,14 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       truth, a composition of two already-registered operators;
     - ``pack_apply`` — the materialize step of ``pack_sequences``
       (same primary-layout/secondary-apply split as the chunk-dedup
-      family).
+      family);
+    - ``doc_fingerprint`` — the per-document sketch listing every LSH
+      query recomputes internally (rotated out late r4 so the NEW
+      ``source_curation`` earns a debut-round driver row);
+    - ``batch_novelty`` — one-row vocabulary-novelty monitor over the
+      admission split (observability composition; legitimately reads
+      zero novelty on the shared-vocabulary test corpus, so its
+      interesting branch is unit-tested rather than driver-exercised).
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.

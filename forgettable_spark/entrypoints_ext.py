@@ -1556,16 +1556,20 @@ et AS (
 new AS (SELECT * FROM bt ANTI JOIN et USING (token)),
 totals AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_types,
-         CAST(SUM(tf) AS BIGINT) AS n_batch_tokens FROM bt
+         CAST(COALESCE(SUM(tf), 0) AS BIGINT) AS n_batch_tokens FROM bt
 ),
 news AS (
-  SELECT CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_new_types,
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_new_types,
          CAST(COALESCE(SUM(tf), 0) AS BIGINT) AS n_new_tokens FROM new
 )
 SELECT n_batch_types, n_new_types,
-  CAST(n_new_types AS DOUBLE) / CAST(n_batch_types AS DOUBLE) AS new_type_rate,
+  CASE WHEN n_batch_types > 0
+    THEN CAST(n_new_types AS DOUBLE) / CAST(n_batch_types AS DOUBLE)
+    ELSE 0e0 END AS new_type_rate,
   n_batch_tokens, n_new_tokens,
-  CAST(n_new_tokens AS DOUBLE) / CAST(n_batch_tokens AS DOUBLE) AS new_token_rate
+  CASE WHEN n_batch_tokens > 0
+    THEN CAST(n_new_tokens AS DOUBLE) / CAST(n_batch_tokens AS DOUBLE)
+    ELSE 0e0 END AS new_token_rate
 FROM totals CROSS JOIN news"""
 
 

@@ -629,34 +629,41 @@ def vocabulary_novelty(
     loop would maintain incrementally (same pattern as the admission
     sketch index).
     """
-    def type_counts(df: DataFrame) -> DataFrame:
-        return (
-            df.filter(F.col(text_col).isNotNull())
-            .select(F.explode(tokens(F.col(text_col))).alias("token"))
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-
-    bt = type_counts(batch)
-    et = type_counts(existing)
-    new = bt.join(et.select("token"), "token", "left_anti")
+    bt = (
+        batch.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    et = (
+        existing.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+    new = bt.join(et, "token", "left_anti")
+    # COALESCE the SUMs (NULL over an empty frame), and pin the rates to
+    # 0.0 when the batch slice holds no text at all — an ingest outage
+    # is exactly the input a monitor must report on, not crash on
+    # (under ANSI mode an unguarded 0-denominator division THROWS).
     totals = bt.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batch_types"),
-        F.sum("tf").cast("bigint").alias("n_batch_tokens"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("n_batch_tokens"),
     )
     news = new.agg(
-        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_new_types"),
+        F.count(F.lit(1)).cast("bigint").alias("n_new_types"),
         F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("n_new_tokens"),
     )
+
+    def rate(num: str, den: str):
+        return F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den).cast("double")
+        ).otherwise(F.lit(0.0))
+
     return totals.crossJoin(news).select(
         "n_batch_types",
         "n_new_types",
-        (F.col("n_new_types").cast("double") / F.col("n_batch_types").cast("double")).alias(
-            "new_type_rate"
-        ),
+        rate("n_new_types", "n_batch_types").alias("new_type_rate"),
         "n_batch_tokens",
         "n_new_tokens",
-        (
-            F.col("n_new_tokens").cast("double") / F.col("n_batch_tokens").cast("double")
-        ).alias("new_token_rate"),
+        rate("n_new_tokens", "n_batch_tokens").alias("new_token_rate"),
     )
