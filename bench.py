@@ -69,6 +69,17 @@ def main() -> None:
     all_qs["db_size"](spark, sf_dir).collect()
     for _t in ("documents", "embeddings", "lineitem", "orders", "customer", "part", "supplier"):
         _lt(spark, sf_dir, _t).count()
+    # The scan warmup above does NOT warm the join/window/codegen+JIT
+    # machinery: four rounds of driver BENCH data showed the
+    # alphabetically-first timed query reading ~2.5x its isolated time
+    # (r3 ann_bucketed_topk 4.40 vs 2.30 s; r4 ann_multiprobe_topk 3.31
+    # vs 1.35 s). Execute the first sorted query once, untimed, so its
+    # timed run measures the plan rather than one-time JIT the rest of
+    # the suite amortizes anyway.
+    if qs:
+        _first = sorted(qs)[0]
+        qs[_first](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):

@@ -124,7 +124,7 @@ def test_relational_joins_broadcast_dimensions(spark):
     """Dimension tables must broadcast — a shuffle join on a 100 TB fact
     side for a kB-scale dimension is the classic scale failure."""
     for name in ("rel_top_customers", "rel_part_supplier_volume"):
-        df = ep.queries()[name](spark, SF_SMOKE)
+        df = {**ep.queries(), **ep.secondary_queries()}[name](spark, SF_SMOKE)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, f"{name} did not broadcast:\n{plan[:500]}"
