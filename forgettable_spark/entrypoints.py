@@ -597,6 +597,20 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       every CUBE level) and ``rel_shipping_priority`` /
       ``rel_part_supplier_volume`` (broadcast join + deterministic topk).
 
+    Mid-r5 rotation (VERDICT r4 "What's missing" #1): ``pack_apply`` and
+    ``dedup_chunk_apply`` — the byte-verified materialize twins that had
+    never earned a driver row — were promoted alongside the NEW
+    ``media_near_dup`` operator, demoting here:
+
+    - ``token_counts`` — row-local token/char/byte counting, a
+      projection sibling of the still-registered ``text_stats`` (green
+      driver rows r1–r4);
+    - ``hash_split`` — salted-hash train/val/test assignment, the same
+      row-local hash-bucket machinery as the registered
+      ``sample_per_group_budget`` (green r1–r4);
+    - ``rel_part_supplier_volume`` — broadcast-join + agg shape kept
+      green by ``rel_shipping_priority`` (green r1–r4).
+
     Earlier rotations, all still oracle-checked here every session:
 
     - ``db_size_users`` — same R4 operator as ``db_size`` on the
@@ -661,7 +675,6 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_field_compat_partial_z": q_get_field_compat_partial_z,
         "get_dist_noprune": q_get_dist_noprune,
         "dedup_simhash_capped": entrypoints_ext.q_dedup_simhash_capped,
-        "dedup_chunk_apply": entrypoints_ext.q_dedup_chunk_apply,
         "sample_per_group": entrypoints_ext.q_sample_per_group,
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
         "ann_argmax_multiprobe": entrypoints_ext.q_ann_argmax_multiprobe,
@@ -669,11 +682,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
         "stratified_sample": entrypoints_ext.q_stratified_sample,
         "quality_filter": entrypoints_ext.q_quality_filter,
-        "pack_apply": entrypoints_ext.q_pack_apply,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
         "batch_novelty": entrypoints_ext.q_batch_novelty,
+        "token_counts": entrypoints_ext.q_token_counts,
+        "hash_split": entrypoints_ext.q_hash_split,
         "rel_pricing_summary": entrypoints_rel.q_rel_pricing_summary,
         "rel_top_customers": entrypoints_rel.q_rel_top_customers,
+        "rel_part_supplier_volume": entrypoints_rel.q_rel_part_supplier_volume,
     }
 
 
@@ -774,7 +789,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "get_field_compat_partial_z": _oracle_get_field_compat(),
         "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
         "dedup_simhash_capped": entrypoints_ext.ORACLE_DEDUP_SIMHASH_CAPPED,
-        "dedup_chunk_apply": entrypoints_ext.ORACLE_DEDUP_CHUNK_APPLY,
         "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
         "ann_argmax_multiprobe": entrypoints_ext._oracle_ann_quantized_bucketed(),
@@ -782,9 +796,11 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
         "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
         "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
-        "pack_apply": entrypoints_ext._oracle_pack_apply(),
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
         "batch_novelty": entrypoints_ext._oracle_batch_novelty(),
+        "token_counts": entrypoints_ext.ORACLE_TOKEN_COUNTS,
+        "hash_split": entrypoints_ext.ORACLE_HASH_SPLIT,
         "rel_pricing_summary": entrypoints_rel.ORACLE_REL_PRICING,
         "rel_top_customers": entrypoints_rel.ORACLE_REL_TOP_CUSTOMERS,
+        "rel_part_supplier_volume": entrypoints_rel.ORACLE_REL_PART_SUPPLIER,
     }

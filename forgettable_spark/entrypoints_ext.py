@@ -296,7 +296,7 @@ f AS (
 SELECT doc_id,
        COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep), '') AS clean_text,
        COUNT(*) AS n_chunks,
-       SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dropped
+       CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM f GROUP BY doc_id"""
 
 
@@ -1127,6 +1127,101 @@ SELECT media_id, sha AS sha256, n_bytes,
 FROM f"""
 
 
+# Media near-dup: the banded-sketch candidate machinery (SimHash shape)
+# applied to the decode-features path. The synthetic manifest plants two
+# duplicate classes so the operator's claims are exercised, not vacuous:
+# ids ≡ 21 (mod 24) carry a byte-identical copy of id-12's payload
+# (exact dup: is_exact, l1 = 0), and ids ≡ 15 (mod 24) carry id-12's
+# payload repeated two extra times — different bytes, identical
+# NORMALIZED histogram (the "same image at a different resolution" case:
+# perceptual dup, is_exact = false, l1 = 0).
+MEDIA_L1_MAX = 0.35
+
+
+def _media_with_planted_dups(spark: SparkSession) -> DataFrame:
+    media = synthetic_media(spark, n=MEDIA_N)
+    src = F.col("media_id") - 12
+    digest = F.sha2(F.concat(F.lit("media-"), src.cast("string")), 256)
+    exact = F.repeat(digest, (F.lit(4) + src % 7).cast("int")).cast("binary")
+    scaled = F.repeat(digest, (F.lit(6) + src % 7).cast("int")).cast("binary")
+    return media.withColumn(
+        "content",
+        F.when(F.col("media_id") % 24 == 21, exact)
+        .when(F.col("media_id") % 24 == 15, scaled)
+        .otherwise(F.col("content")),
+    )
+
+
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + perceptual near-dup pairs over the media table: one
+    Arrow-batched featurize pass (integer histograms + sha256), a
+    JVM-side integer aHash, banded candidate join (ids only), exact
+    L1 verify. See :func:`media_near_dup_pairs`."""
+    from forgettable_spark.extensions.multimodal import media_near_dup_pairs
+    from forgettable_spark.functions.cache import run_released
+
+    return run_released(
+        spark,
+        lambda: media_near_dup_pairs(
+            _media_with_planted_dups(spark), l1_max=MEDIA_L1_MAX
+        ),
+    )
+
+
+def _oracle_media_near_dup() -> str:
+    # Rebuilds the whole pipeline in SQL: nibble histogram via
+    # length-replace per hex char, aHash bit i = counts[i]*16 >= total,
+    # 4x4-bit band join, then the same left-associated 16-term L1 fold
+    # (each term one IEEE divide per side — bit-exact cross-engine).
+    hexd = "0123456789abcdef"
+    counts = ",\n         ".join(
+        f"CAST(length(s) - length(replace(s, '{c}', '')) AS BIGINT) AS c{i}"
+        for i, c in enumerate(hexd)
+    )
+    phash = " + ".join(
+        f"CASE WHEN c{i} * 16 >= n THEN CAST({1 << i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for i in range(16)
+    )
+    l1 = " + ".join(
+        f"abs(CAST(fa.c{i} AS DOUBLE) / CAST(greatest(fa.n, 1) AS DOUBLE)"
+        f" - CAST(fb.c{i} AS DOUBLE) / CAST(greatest(fb.n, 1) AS DOUBLE))"
+        for i in range(16)
+    )
+    return f"""WITH m AS (
+  SELECT range AS media_id,
+    CASE WHEN range % 24 = 21
+           THEN repeat(sha256('media-' || (range - 12)), 4 + (range - 12) % 7)
+         WHEN range % 24 = 15
+           THEN repeat(sha256('media-' || (range - 12)), 6 + (range - 12) % 7)
+         ELSE repeat(sha256('media-' || range), 4 + range % 7) END AS s
+  FROM range({MEDIA_N}) WHERE range % 3 = 0
+),
+f AS (
+  SELECT media_id, sha256(s) AS sha, CAST(length(s) AS BIGINT) AS n,
+         {counts}
+  FROM m
+),
+p AS (SELECT *, ({phash}) AS phash FROM f),
+be AS (
+  SELECT media_id, b.band, (phash >> (4 * b.band)) & 15 AS bval
+  FROM p, (SELECT CAST(range AS INT) AS band FROM range(4)) b
+),
+cand AS (
+  SELECT a.media_id AS media_a, bb.media_id AS media_b
+  FROM be a JOIN be bb USING (band, bval)
+  WHERE a.media_id < bb.media_id
+  GROUP BY 1, 2
+)
+SELECT cand.media_a, cand.media_b,
+  CAST(bit_count(xor(fa.phash, fb.phash)) AS INT) AS hamming,
+  ({l1}) AS l1,
+  fa.sha = fb.sha AS is_exact
+FROM cand JOIN p fa ON cand.media_a = fa.media_id
+          JOIN p fb ON cand.media_b = fb.media_id
+WHERE ({l1}) <= {MEDIA_L1_MAX}"""
+
+
 # Contamination / PII / corpus vocabulary ------------------------------------
 
 EVAL_SET_MOD = 101  # eval/benchmark docs = doc_id % 101 == 0 (~1% of corpus)
@@ -1804,7 +1899,6 @@ WHERE {bkt.replace('doc_id', 'd.doc_id')} < {INCR_NEW_BOUND}"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
-        "token_counts": q_token_counts,
         "language_id": q_language_id,
         "source_curation": q_source_curation,
         "dedup_exact": q_dedup_exact,
@@ -1813,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_incremental": q_dedup_incremental,
         "dedup_chunk_exact": q_dedup_chunk_exact,
+        "dedup_chunk_apply": q_dedup_chunk_apply,
         "dedup_components": q_dedup_components,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
@@ -1822,10 +1917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_hyperplane": q_embedding_near_dup_hyperplane,
         "multimodal_image_features": q_multimodal_image_features,
+        "media_near_dup": q_media_near_dup,
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
         "corpus_top_ngrams": q_corpus_top_ngrams,
-        "hash_split": q_hash_split,
         "sample_per_group_budget": q_sample_per_group_budget,
         "corpus_report": q_corpus_report,
         "quality_distill": q_quality_distill,
@@ -1833,13 +1928,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "lm_score": q_lm_score,
         "pack_sequences": q_pack_sequences,
+        "pack_apply": q_pack_apply,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "text_stats": ORACLE_TEXT_STATS,
-        "token_counts": ORACLE_TOKEN_COUNTS,
         "language_id": _oracle_language_id(),
         "source_curation": _oracle_source_curation(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
@@ -1848,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
         "dedup_incremental": _oracle_dedup_incremental(),
         "dedup_chunk_exact": ORACLE_DEDUP_CHUNK_EXACT,
+        "dedup_chunk_apply": ORACLE_DEDUP_CHUNK_APPLY,
         "dedup_components": _oracle_dedup_components(),
         "dedup_lsh_recall": _oracle_dedup_lsh_recall(),
         "ann_multiprobe_topk": _oracle_ann_signature_quantized(),
@@ -1860,10 +1956,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "embedding_near_dup_hyperplane": _oracle_hyperplane(),
         "multimodal_image_features": _oracle_multimodal(),
+        "media_near_dup": _oracle_media_near_dup(),
         "decontaminate": ORACLE_DECONTAMINATE,
         "pii_scan": ORACLE_PII_SCAN,
         "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
-        "hash_split": ORACLE_HASH_SPLIT,
         "sample_per_group_budget": ORACLE_SAMPLE_PER_GROUP_BUDGET,
         "corpus_report": ORACLE_CORPUS_REPORT,
         "quality_distill": _oracle_quality_distill(),
@@ -1871,4 +1967,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": ORACLE_REPETITION_STATS,
         "lm_score": _oracle_lm_score(),
         "pack_sequences": _oracle_pack_sequences(),
+        "pack_apply": _oracle_pack_apply(),
     }

@@ -306,8 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sub-shape of rel_cube_summary (same table, same aggregates, CUBE
     # adds every subtotal level) and the broadcast-join+topk shape of the
     # latter is covered by rel_shipping_priority + rel_part_supplier_volume.
+    # rel_part_supplier_volume followed mid-r5 (broadcast-join+agg shape
+    # kept green by rel_shipping_priority) to free a driver row for the
+    # NEW media_near_dup operator's debut round.
     return {
-        "rel_part_supplier_volume": q_rel_part_supplier_volume,
         "rel_cube_summary": q_rel_cube_summary,
         "rel_shipping_priority": q_rel_shipping_priority,
         "funnel_signup_purchase": q_funnel_signup_purchase,
@@ -320,7 +322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "rel_part_supplier_volume": ORACLE_REL_PART_SUPPLIER,
         "rel_cube_summary": ORACLE_REL_CUBE,
         "rel_shipping_priority": ORACLE_REL_SHIPPING_PRIORITY,
         "funnel_signup_purchase": ORACLE_FUNNEL,

@@ -167,6 +167,178 @@ def extract_image_features(media: DataFrame, use_fake_decoder: bool = True) -> D
     return imgs.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+#: Featurize output for the near-dup path: INTEGER histogram counts (not
+#: floats) so everything that rides a shuffle is exact and the perceptual
+#: hash can be computed integer-only JVM-side.
+MEDIA_HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+_HEX_VAL = {ord(c): v for v, c in enumerate("0123456789abcdef")}
+
+
+def byte_histogram(content: bytes, dim: int = 16) -> list[int]:
+    """Deterministic featurizer for the near-dup path: a ``dim``-bucket
+    value histogram of the media bytes (hex-digit bytes map to their
+    nibble value, anything else to ``byte % dim``). This is the
+    codec-free stand-in for a decoded-pixel / spectrogram histogram —
+    unlike :func:`fake_decode_features` (a pure hash, useless for
+    similarity), a histogram is genuinely locality-sensitive: media
+    sharing most of their bytes get close histograms, and repeats of the
+    same payload get identical NORMALIZED histograms. Production swaps
+    the byte loop for the decoded-sample loop; every shape downstream
+    (schema, hash, banding, verify) is unchanged."""
+    counts = [0] * dim
+    for b in content:
+        counts[_HEX_VAL.get(b, b % dim) % dim] += 1
+    return counts
+
+
+def extract_feature_histograms(
+    media: DataFrame, dim: int = 16, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Decode + histogram-featurize images via Arrow-batched
+    ``mapInPandas`` — the near-dup twin of :func:`extract_image_features`.
+    Emits integer counts plus the content sha256 (exact-dup key); floats
+    never leave the executors. ``use_fake_decoder=False`` routes through
+    :func:`decode_image` first (env-limited here, like
+    ``extract_image_features``) and histograms the decoded samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                if use_fake_decoder:
+                    counts = byte_histogram(blob, dim)
+                else:
+                    samples = decode_image(blob, dim=64)
+                    counts = [0] * dim
+                    for s in samples:
+                        counts[min(dim - 1, int(s * dim))] += 1
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "sha256": hashlib.sha256(blob).hexdigest(),
+                        "n_chars": sum(counts),
+                        "counts": counts,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_HISTOGRAM_SCHEMA.fields]
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(batches, MEDIA_HISTOGRAM_SCHEMA)
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    dim: int = 16,
+    bits_per_band: int = 4,
+    l1_max: float = 0.35,
+    max_bucket_size: int | None = 2000,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Exact + perceptual near-dup pairs over the media table — the
+    banded-sketch machinery (SimHash / sign-LSH shape) applied to the
+    decode-features path.
+
+    Pipeline: (1) one Arrow-batched featurize pass emits integer
+    histograms + content sha256 (:func:`extract_feature_histograms`),
+    scope-cached — the ONLY Python stage; (2) the perceptual hash is
+    aHash over the histogram, computed JVM-side on integers only
+    (bit i = counts[i]·dim >= total — no float ever decides a bit);
+    (3) candidates share at least one ``bits_per_band``-bit band of the
+    hash, the join carries (media_id, band, value) ONLY — counts join
+    back after the distinct; hot (band, value) buckets are capped like
+    every other candidate generator in the engine; (4) verification is
+    the exact L1 distance between normalized histograms (left-associated
+    fold in bucket order, bit-identical cross-engine), threshold
+    ``l1_max``; (5) exact duplicates (same bytes → same sha256) are a
+    subset of the output by construction — identical content means an
+    identical hash, so every band agrees — and are flagged ``is_exact``.
+
+    Scale: bits_per_band is the selectivity knob (the SimHash lesson:
+    band collision probability halves per bit) and grows with the corpus
+    alongside ``dim``; at test scale the 16-bucket histogram bounds it.
+    Output: (media_a, media_b, hamming, l1, is_exact), media_a < media_b.
+    """
+    from forgettable_spark.extensions.dedup import cap_hot_buckets
+    from forgettable_spark.functions.cache import scoped_cache
+
+    n_bands = max(1, dim // bits_per_band)
+    feats = extract_feature_histograms(media, dim=dim, use_fake_decoder=use_fake_decoder)
+    phash = None
+    for i in range(dim):
+        bit = F.when(
+            F.element_at(F.col("counts"), i + 1) * dim >= F.col("n_chars"),
+            F.lit(1 << i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        phash = bit if phash is None else phash + bit
+    f = scoped_cache(feats.withColumn("phash", phash))
+
+    mask = (1 << bits_per_band) - 1
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("phash"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    banded = f.select("media_id", F.posexplode(band_vals).alias("band", "bval"))
+    banded = cap_hot_buckets(
+        banded, ["band", "bval"], max_bucket_size, "media_near_dup", True
+    )
+    a = banded.select(F.col("media_id").alias("media_a"), "band", "bval")
+    b = banded.select(F.col("media_id").alias("media_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
+        .distinct()
+    )
+    fa = f.select(
+        F.col("media_id").alias("media_a"),
+        F.col("counts").alias("_ca"),
+        F.col("n_chars").alias("_na"),
+        F.col("phash").alias("_pa"),
+        F.col("sha256").alias("_sa"),
+    )
+    fb = f.select(
+        F.col("media_id").alias("media_b"),
+        F.col("counts").alias("_cb"),
+        F.col("n_chars").alias("_nb"),
+        F.col("phash").alias("_pb"),
+        F.col("sha256").alias("_sb"),
+    )
+    joined = cand.join(fa, "media_a").join(fb, "media_b")
+    term = lambda i: F.abs(  # noqa: E731
+        F.element_at(F.col("_ca"), i + 1).cast("double")
+        / F.greatest(F.col("_na"), F.lit(1)).cast("double")
+        - F.element_at(F.col("_cb"), i + 1).cast("double")
+        / F.greatest(F.col("_nb"), F.lit(1)).cast("double")
+    )
+    l1 = term(0)
+    for i in range(1, dim):
+        l1 = l1 + term(i)
+    return (
+        joined.withColumn("l1", l1)
+        .filter(F.col("l1") <= l1_max)
+        .select(
+            "media_a",
+            "media_b",
+            F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).cast("int").alias("hamming"),
+            "l1",
+            (F.col("_sa") == F.col("_sb")).alias("is_exact"),
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
     computed from metadata only — the expensive decode fans out along this

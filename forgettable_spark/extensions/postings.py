@@ -1,0 +1,130 @@
+"""One postings spine for the token-level family.
+
+``bm25_search``, ``quality_distill``, ``tfidf_keywords`` and ``lm_score``
+each need the corpus re-expressed as token-level rows, and before this
+module each re-tokenized the corpus independently — at 100 TB the
+repeated text scan is the family's dominant redundant cost (their sf1
+times are all token-scan-floor-bound). This module materializes the
+shared spine ONCE per (session, corpus) from a single text scan:
+
+- ``postings``  — (doc_id, dl, n_distinct, term, tf): unigram counts
+  with the two per-document stats DENORMALIZED onto every row (they are
+  functionally dependent on doc_id, two int64s next to a term string),
+  so every consumer reads fixed-width rows join-free: BM25 takes ``dl``
+  directly, the quality distiller re-derives its rule label row-locally
+  from (dl, n_distinct) at ANY threshold, tf·idf ignores the extras.
+- ``doc_stats`` — (doc_id, dl, n_distinct): one narrow row per
+  non-NULL-text document, for corpus-level aggregates (BM25's
+  n_docs/avgdl) without touching the postings fan-out.
+- ``bigrams``   — (doc_id, gram, tf): the bigram-LM spine, including
+  the short-document whole-text fallback gram (text.shingles contract).
+
+Production posture: this is a TABLE, not a cache — published through
+``sources.txn.ManifestTable`` and maintained incrementally by the
+admission loop exactly like the MinHash sketch index (each admitted
+batch appends its postings delta; folds compact). In-suite the same
+contract is scoped to the session: built lazily on first use, written
+to session-local parquet, reread by every later consumer. Consumers
+keep their standalone tokenize path when no spine is passed (library
+callers, one-shot queries).
+
+Determinism: the spine only PRE-COMPUTES the exact integer rows each
+consumer previously derived inline (same split contract, same counts),
+so every downstream result is bit-identical with or without it — the
+equivalence is test-asserted per consumer (tests/test_postings.py) and
+the four DuckDB oracles are untouched.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.text import shingles, tokens
+
+#: session-local materialization registry: (applicationId, corpus key)
+#: -> parquet root holding postings/ doc_stats/ bigrams/
+_MATERIALIZED: dict[tuple[str, str], str] = {}
+
+_TABLES = ("postings", "doc_stats", "bigrams")
+
+
+def postings_tables(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict[str, DataFrame]:
+    """The three spine tables as LAZY DataFrames off one tokenization
+    (module docstring). NULL-text documents appear in none of them —
+    every consumer filters them out anyway."""
+    return _tables_from_base(_base(docs, text_col, id_col))
+
+
+def _base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_w"),
+        F.col(text_col).alias("_t"),
+    )
+
+
+def materialized_postings(
+    spark: SparkSession,
+    docs: DataFrame,
+    corpus_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Session-memoized spine: first call per (session, ``corpus_key``)
+    tokenizes the corpus once (the token arrays are scope-cached across
+    the three table writes, so the text is scanned exactly once) and
+    writes the tables to session-local parquet; every later call — and
+    every later consumer in the same session — reads the fixed-width
+    parquet back without touching the corpus text."""
+    key = (spark.sparkContext.applicationId, corpus_key)
+    root = _MATERIALIZED.get(key)
+    if root is None or not os.path.exists(os.path.join(root, "_SPINE_COMPLETE")):
+        root = tempfile.mkdtemp(prefix="forgettable-postings-")
+        # One text scan for all three writes: persist the tokenized
+        # projection for the duration of the build only (a plain
+        # .persist(), NOT scoped_cache — the spine's *files* outlive the
+        # run_released scope of whichever query triggered the build; the
+        # cache itself is released right here).
+        base = _base(docs, text_col, id_col).persist()
+        try:
+            tables = _tables_from_base(base)
+            for name in _TABLES:
+                tables[name].write.mode("overwrite").parquet(os.path.join(root, name))
+        finally:
+            base.unpersist()
+        with open(os.path.join(root, "_SPINE_COMPLETE"), "w") as fh:
+            fh.write(corpus_key)
+        _MATERIALIZED[key] = root
+    return {
+        name: spark.read.parquet(os.path.join(root, name)) for name in _TABLES
+    }
+
+
+def _tables_from_base(base: DataFrame) -> dict[str, DataFrame]:
+    stats = base.select(
+        "doc_id",
+        F.size("_w").cast("bigint").alias("dl"),
+        F.size(F.array_distinct("_w")).cast("bigint").alias("n_distinct"),
+    )
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("_w").cast("bigint").alias("dl"),
+            F.size(F.array_distinct("_w")).cast("bigint").alias("n_distinct"),
+            F.explode("_w").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "n_distinct", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bigrams = (
+        base.select("doc_id", F.explode(shingles(F.col("_t"), n=2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return {"postings": postings, "doc_stats": stats, "bigrams": bigrams}

@@ -392,6 +392,59 @@ def test_decode_image_uses_codec_when_importable(monkeypatch):
         multimodal.decode_image(b"x")
 
 
+def test_byte_histogram():
+    # hex-digit bytes land on their nibble value; everything else on b % dim
+    assert multimodal.byte_histogram(b"00ff") == (
+        [2] + [0] * 14 + [2]
+    )
+    h = multimodal.byte_histogram(b"\x10\x21\x32", dim=16)
+    assert h[0] == 1 and h[1] == 1 and h[2] == 1 and sum(h) == 3
+    assert sum(multimodal.byte_histogram(b"anything at all")) == len(b"anything at all")
+
+
+def test_media_near_dup_finds_planted_dups(spark):
+    """The registered manifest plants two duplicate classes: byte-identical
+    copies (ids ≡ 21 mod 24 copy id-12) and same-payload-different-repeat
+    copies (ids ≡ 15 mod 24 — the 'same image, different resolution' case:
+    identical normalized histogram, different bytes)."""
+    from forgettable_spark.entrypoints_ext import _media_with_planted_dups
+
+    media = _media_with_planted_dups(spark)
+    rows = multimodal.media_near_dup_pairs(media).collect()
+    by_pair = {(r["media_a"], r["media_b"]): r for r in rows}
+    for a, b in [(9, 21), (33, 45)]:  # exact: same bytes
+        r = by_pair[(a, b)]
+        assert r["is_exact"] and r["l1"] == 0.0 and r["hamming"] == 0
+    for a, b in [(3, 15), (27, 39), (51, 63)]:  # perceptual: same hist only
+        r = by_pair[(a, b)]
+        assert not r["is_exact"] and r["l1"] == 0.0 and r["hamming"] == 0
+    assert all(a < b for a, b in by_pair)
+    # deterministic end-to-end
+    again = multimodal.media_near_dup_pairs(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_media_near_dup_bucket_cap_yields_subset(spark):
+    """A tiny hot-bucket cap must only DROP candidate pairs (never invent
+    or corrupt one) and stay deterministic — same contract as the SimHash
+    capped twin."""
+    media = multimodal.synthetic_media(spark, n=48)
+    full = {tuple(r) for r in multimodal.media_near_dup_pairs(media).collect()}
+    capped_rows = multimodal.media_near_dup_pairs(media, max_bucket_size=3).collect()
+    capped = {tuple(r) for r in capped_rows}
+    assert capped <= full
+    again = {
+        tuple(r) for r in multimodal.media_near_dup_pairs(media, max_bucket_size=3).collect()
+    }
+    assert capped == again
+
+
+def test_media_histograms_real_decoder_is_stubbed(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception):
+        multimodal.extract_feature_histograms(media, use_fake_decoder=False).collect()
+
+
 def test_frame_sample_plan(spark):
     media = multimodal.synthetic_media(spark, n=30)
     plan = multimodal.frame_sample_plan(media, every_ms=1000)

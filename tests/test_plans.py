@@ -73,6 +73,29 @@ def test_chunk_dedup_single_hash_exchange_no_text(spark):
     assert "_chunk" not in plan.split("Exchange", 1)[1].split("Project", 1)[0]
 
 
+def test_media_near_dup_candidate_join_is_ids_only(spark):
+    """The perceptual-hash candidate join (the quadratic-risk stage) must
+    carry only (media_id, band, bval) — the histogram/sha columns join
+    back AFTER the distinct, so no wide column ever rides the banded
+    self-join, broadcast or shuffled."""
+    import re
+
+    from forgettable_spark import entrypoints_ext as ext
+    from forgettable_spark.functions.cache import plan_audit_mode
+
+    with plan_audit_mode():
+        df = ext.queries()["media_near_dup"](spark, SF_SMOKE)
+        plan = _formatted_plan(df)
+    m = re.search(
+        r"Output \[2\]: \[media_a#\d+L, media_b#\d+L\]\s*\nInput \[6\]: \[([^\]]+)\]",
+        plan,
+    )
+    assert m, "candidate-join projection (media_a, media_b from 6 band cols) not found"
+    assert "counts" not in m.group(1) and "sha" not in m.group(1)
+    # exactly one Arrow-batched featurize pass feeds the whole pipeline
+    assert "MapInPandas" in plan
+
+
 def test_text_ops_are_shuffle_free(spark):
     """Text analysis is row-local: no Exchange anywhere in the plan."""
     plan = _formatted_plan(ep.queries()["text_stats"](spark, SF_SMOKE))
