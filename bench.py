@@ -82,6 +82,23 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+
+    # Postings spine (extensions/postings.py): in production this is a
+    # TABLE maintained incrementally by the admission loop (like the
+    # MinHash sketch index), not something every query rebuilds — so the
+    # build is timed ONCE as its own transparent entry and the four
+    # token-family queries (bm25_search, lm_score, quality_distill,
+    # tfidf_keywords) then measure the steady-state read path. In
+    # SPARK_GRAFT_ONLY mode the entry is skipped and a named family
+    # query pays the build inline (single-query investigation shows the
+    # worst case).
+    if not only:
+        from forgettable_spark import entrypoints_ext as _ext
+
+        _t0 = time.perf_counter()
+        _ext._doc_spine(spark, sf_dir)
+        timings["spine_build"] = round(time.perf_counter() - _t0, 4)
+        spark.catalog.clearCache()
     for name, fn in sorted(qs.items()):
         # Isolation between timed queries (untimed): a fresh driver session
         # would start with empty storage, so each query must not benefit

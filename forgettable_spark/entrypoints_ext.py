@@ -630,21 +630,39 @@ BM25_QUERIES = {
 }
 
 
+def _doc_spine(spark: SparkSession, sf_dir: str):
+    """(docs, postings spine) for the token-level family — the spine is
+    materialized ONCE per (session, corpus) from a single text scan and
+    shared by bm25_search / tfidf_keywords / quality_distill / lm_score
+    (extensions/postings.py; VERDICT r4 #4). Results are bit-identical
+    to each consumer's standalone tokenize path (test-asserted), so the
+    four DuckDB oracles are untouched."""
+    import os
+
+    from forgettable_spark.extensions.postings import materialized_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs, materialized_postings(
+        spark, docs, corpus_key=os.path.abspath(sf_dir)
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword retrieval: rational-idf BM25 top-10 documents per query
     (`extensions/search.py` — the curriculum-slicing / corpus-QA verb).
-    Postings are filtered to the query vocabulary inside the explode
-    stage, so only fixed-width (doc_id, term, tf) rows for query terms
-    ever shuffle; per-(query, doc) scores sum via a sorted sequential
-    fold, so the float total is bit-identical cross-engine (libm-free
-    rational idf — same determinism contract as tfidf_keywords).
-    run_released: the postings cache (two consumers — df counts and
-    scoring) must not outlive the query; output is 10 rows per query."""
+    Reads the shared postings spine: the query-vocabulary filter pushes
+    down into the fixed-width postings parquet scan, so the corpus text
+    is never touched; per-(query, doc) scores sum via a sorted
+    sequential fold, so the float total is bit-identical cross-engine
+    (libm-free rational idf — same determinism contract as
+    tfidf_keywords). run_released: the postings cache (two consumers —
+    df counts and scoring) must not outlive the query; output is 10
+    rows per query."""
     from forgettable_spark.extensions import search
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs, spine = _doc_spine(spark, sf_dir)
     return run_released(
-        spark, lambda: search.bm25_topk(docs, BM25_QUERIES, k=ANN_K)
+        spark, lambda: search.bm25_topk(docs, BM25_QUERIES, k=ANN_K, spine=spine)
     )
 
 
@@ -1514,9 +1532,10 @@ WHERE n_tokens >= 20 AND distinct_ratio >= 0.35 AND stopword_ratio >= 0.0"""
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 tokens by tf·(N/df) —
     integer-ratio scoring so the doubles are bit-identical cross-engine
-    (ln is monotone, so the ranking equals classic tf·idf)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.tfidf_keywords(docs, top_j=3)
+    (ln is monotone, so the ranking equals classic tf·idf). Pairs come
+    from the shared postings spine (no corpus explode)."""
+    docs, spine = _doc_spine(spark, sf_dir)
+    return text.tfidf_keywords(docs, top_j=3, spine=spine)
 
 
 ORACLE_TFIDF = f"""WITH {_TOK_CTE},
@@ -1613,11 +1632,15 @@ def q_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Laplace-smoothed, overflow-free two-division form), score with the
     libm-free linear-odds fold, and report teacher/student agreement
     per document. run_released: the (doc, token, tf, label) postings
-    cache feeds both training rollups and scoring."""
+    cache feeds both training rollups and scoring. Postings come from
+    the shared spine; the rule label re-derives row-locally from the
+    spine's (dl, n_distinct)."""
     from forgettable_spark.extensions import classifier
 
-    docs = load_table(spark, sf_dir, "documents")
-    return run_released(spark, lambda: classifier.distill_quality_classifier(docs))
+    docs, spine = _doc_spine(spark, sf_dir)
+    return run_released(
+        spark, lambda: classifier.distill_quality_classifier(docs, spine=spine)
+    )
 
 
 def _oracle_quality_distill() -> str:
@@ -1782,11 +1805,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     / RefinedWeb-style LM quality filter with a hash-exact rational
     scoring rule (mean conditional probability, sorted-fold sum).
     run_released: the (doc, gram, tf) postings cache feeds both the
-    model rollup and scoring."""
+    model rollup and scoring. Pairs ARE the shared spine's bigram
+    table (one corpus tokenize for the whole family)."""
     from forgettable_spark.extensions import lm
 
-    docs = load_table(spark, sf_dir, "documents")
-    return run_released(spark, lambda: lm.bigram_lm_score(docs))
+    docs, spine = _doc_spine(spark, sf_dir)
+    return run_released(spark, lambda: lm.bigram_lm_score(docs, spine=spine))
 
 
 def _oracle_lm_score() -> str:

@@ -67,24 +67,50 @@ def distill_quality_classifier(
     min_tokens: int = QUALITY_MIN_TOKENS,
     min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO,
     persist: bool = True,
+    spine: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Distillation report (module docstring): one row per non-NULL-text
     document — (doc_id, label, n_tokens, clf_score, pred, agree).
     ``persist`` gates the internal postings cache (two consumers —
     training rollups and scoring): without a release scope, a library
     caller can pass False to recompute instead of holding an
-    unreleasable ``.cache()``."""
-    w_arr = tokens(F.col(text_col))
-    # THE rule gate (text.quality_pass) — the label is the same
-    # expression quality_filter/corpus_report/source_curation gate on.
-    label = quality_pass(F.col(text_col), min_tokens, min_distinct_ratio)
-    pairs = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), label.alias("label"),
-                F.explode(w_arr).alias("token"))
-        .groupBy("doc_id", "label", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    unreleasable ``.cache()``.
+
+    ``spine``: prebuilt postings (extensions/postings.py). The spine
+    carries (dl, n_distinct) per row, so the rule label is re-derived
+    ROW-LOCALLY at this call's thresholds — equivalent to
+    ``text.quality_pass`` because every spine row is a non-NULL-text
+    document (test-asserted equivalence)."""
+    if spine is not None:
+        spine_label = (
+            F.when(
+                (F.col("dl") >= min_tokens)
+                & (
+                    F.col("n_distinct").cast("double") / F.col("dl").cast("double")
+                    >= F.lit(min_distinct_ratio)
+                ),
+                1,
+            )
+            .otherwise(0)
+        )
+        pairs = spine["postings"].select(
+            "doc_id",
+            spine_label.alias("label"),
+            F.col("term").alias("token"),
+            "tf",
+        )
+    else:
+        w_arr = tokens(F.col(text_col))
+        # THE rule gate (text.quality_pass) — the label is the same
+        # expression quality_filter/corpus_report/source_curation gate on.
+        label = quality_pass(F.col(text_col), min_tokens, min_distinct_ratio)
+        pairs = (
+            docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"), label.alias("label"),
+                    F.explode(w_arr).alias("token"))
+            .groupBy("doc_id", "label", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     if persist:
         pairs = scoped_cache(pairs)
     tok_counts = pairs.groupBy("token").agg(

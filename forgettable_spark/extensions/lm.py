@@ -62,19 +62,28 @@ from forgettable_spark.functions.cache import scoped_cache
 
 
 def bigram_lm_score(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spine: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Score every document under the corpus bigram LM (module
-    docstring): (doc_id, n_bigrams, lm_score), lm_score in (0, 1)."""
-    pairs = scoped_cache(
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), n=2)).alias("gram"),
+    docstring): (doc_id, n_bigrams, lm_score), lm_score in (0, 1).
+    With a prebuilt ``spine`` (extensions/postings.py) the corpus
+    explode is skipped: ``pairs`` IS the spine's bigram table (same
+    shingle contract, short-doc fallback included)."""
+    if spine is not None:
+        pairs = scoped_cache(spine["bigrams"])
+    else:
+        pairs = scoped_cache(
+            docs.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(shingles(F.col(text_col), n=2)).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     model = pairs.groupBy("gram").agg(F.sum("tf").alias("c_uv"))
     # Prefix totals from the model, not the corpus: c(u·) = Σ_v c(uv).
     # The whole-text fallback gram of a 1-token document has itself as

@@ -64,41 +64,61 @@ def bm25_topk(
     b: float = BM25_B,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spine: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per named query: (query_id, doc_id, score,
     rank), score = rational-idf BM25 (module docstring), ties on doc_id
     ascending. Documents matching none of a query's terms are absent
-    (score 0 by definition); NULL text never matches."""
+    (score 0 by definition); NULL text never matches.
+
+    ``spine``: prebuilt postings tables from
+    :mod:`forgettable_spark.extensions.postings` — when given, the
+    corpus text is never touched: the term filter pushes down into the
+    fixed-width postings parquet scan (dl rides each row) and the
+    corpus stats aggregate the narrow doc_stats table. Results are
+    bit-identical either way (test-asserted)."""
     from forgettable_spark.functions.cache import scoped_cache
 
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
     if not all_terms:
         raise ValueError("bm25_topk: query_terms is empty")
     spark = docs.sparkSession
-    base = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_w")
-    )
-    # Corpus stats ride a broadcast 1-row aggregate; avgdl stays a
-    # DIVISION OF TWO EXACT INTEGERS evaluated identically in both
-    # engines (a pre-averaged double would depend on aggregation order).
-    # This is its own row-local scan (split + size, no explode): stats
-    # need every document's length, postings only the matching ones.
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("_w")).alias("sum_dl")
-    )
-    # dl rides the postings shuffle as a grouping column (functionally
-    # dependent on doc_id) instead of joining the corpus back a second
-    # time — the exchange carries three ints + term. The aggregated
-    # postings are CACHED because two branches consume them (df counts
-    # and scoring): without the persist the dominant explode stage runs
-    # twice (review r4 finding). Registered queries release via
-    # run_released; the cache holds only query-vocabulary postings.
-    postings = scoped_cache(
-        base.select("doc_id", F.size("_w").alias("dl"), F.explode("_w").alias("term"))
-        .filter(F.col("term").isin(all_terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if spine is not None:
+        # Corpus stats from one narrow row per document; avgdl stays a
+        # DIVISION OF TWO EXACT INTEGERS (same contract as below).
+        stats = spine["doc_stats"].agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        postings = scoped_cache(
+            spine["postings"]
+            .filter(F.col("term").isin(all_terms))
+            .select("doc_id", "dl", "term", "tf")
+        )
+    else:
+        base = docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_w")
+        )
+        # Corpus stats ride a broadcast 1-row aggregate; avgdl stays a
+        # DIVISION OF TWO EXACT INTEGERS evaluated identically in both
+        # engines (a pre-averaged double would depend on aggregation order).
+        # This is its own row-local scan (split + size, no explode): stats
+        # need every document's length, postings only the matching ones.
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("_w")).alias("sum_dl")
+        )
+        # dl rides the postings shuffle as a grouping column (functionally
+        # dependent on doc_id) instead of joining the corpus back a second
+        # time — the exchange carries three ints + term. The aggregated
+        # postings are CACHED because two branches consume them (df counts
+        # and scoring): without the persist the dominant explode stage runs
+        # twice (review r4 finding). Registered queries release via
+        # run_released; the cache holds only query-vocabulary postings.
+        postings = scoped_cache(
+            base.select("doc_id", F.size("_w").alias("dl"), F.explode("_w").alias("term"))
+            .filter(F.col("term").isin(all_terms))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Terms dedupe within a query (the fold's struct sort assumes one
     # score row per (query, doc, term); the oracle dedupes identically).

@@ -475,6 +475,7 @@ def tfidf_keywords(
     docs: DataFrame,
     text_col: str = "text",
     top_j: int = 3,
+    spine: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-``top_j`` keywords per document by tf·idf.
 
@@ -489,17 +490,26 @@ def tfidf_keywords(
     token-level df aggregation of the *distinct* doc-token pairs (reuses
     the first aggregation's output — no second scan), a broadcast-sized
     join on token, and one per-doc window for the top-j. Ties break
-    (score desc, token asc).
+    (score desc, token asc). With a prebuilt ``spine``
+    (:mod:`forgettable_spark.extensions.postings`) the explode is
+    skipped entirely — pairs come from the fixed-width postings table;
+    ``n_docs`` still counts ALL documents (including NULL text), per
+    the scoring contract.
     """
     from pyspark.sql import Window
 
     n_docs = docs.count()  # scalar, folded into the score expression
-    pairs = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if spine is not None:
+        pairs = spine["postings"].select(
+            "doc_id", F.col("term").alias("token"), "tf"
+        )
+    else:
+        pairs = (
+            docs.filter(F.col(text_col).isNotNull())
+            .select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     df_counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = pairs.join(df_counts, "token").withColumn(
         "score",

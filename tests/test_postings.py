@@ -1,0 +1,107 @@
+"""The shared postings spine (extensions/postings.py): one corpus
+tokenize feeding bm25 / tfidf / quality-distill / lm-score.
+
+The load-bearing claim is EQUIVALENCE: every consumer must produce
+bit-identical rows with and without the spine (the DuckDB oracles only
+check the spine path once the registered queries use it — these tests
+pin the standalone path to the same values)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions import classifier, lm, postings, search, text
+from forgettable_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+BM25_Q = {"q_spark": ["spark", "shuffle"], "q_data": ["data", "table"]}
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted([tuple(repr(r[c]) for c in cols) for r in df.collect()])
+
+
+def test_spine_tables_match_direct_computation(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = postings.postings_tables(docs)
+    direct_postings = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert _rows(t["postings"].select("doc_id", "term", "tf")) == _rows(direct_postings)
+    # dl / n_distinct are consistent on every postings row (functionally
+    # dependent on doc_id) and match doc_stats
+    joined = (
+        t["postings"]
+        .select("doc_id", "dl", "n_distinct")
+        .distinct()
+        .join(t["doc_stats"], "doc_id", "full")
+        .filter(
+            t["doc_stats"]["dl"].isNull()
+            | t["postings"]["dl"].isNull()
+            | (t["postings"]["dl"] != t["doc_stats"]["dl"])
+        )
+    )
+    assert joined.count() == 0
+
+
+def test_materialized_spine_builds_once(spark, tmp_path, monkeypatch):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    key = f"test-{tmp_path.name}"
+    t1 = postings.materialized_postings(spark, docs, corpus_key=key)
+    root1 = os.path.dirname(os.path.dirname(t1["postings"].inputFiles()[0]))
+    # second call: same files, no rebuild (poison postings_tables to prove
+    # the build path is not re-entered)
+    monkeypatch.setattr(
+        postings, "_tables_from_base", lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+    )
+    t2 = postings.materialized_postings(spark, docs, corpus_key=key)
+    root2 = os.path.dirname(os.path.dirname(t2["postings"].inputFiles()[0]))
+    assert root1.replace("file:", "") == root2.replace("file:", "")
+    assert t2["doc_stats"].count() == t1["doc_stats"].count()
+
+
+def test_bm25_spine_equivalence(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spine = postings.materialized_postings(spark, docs, corpus_key="eq-bm25")
+    a = search.bm25_topk(docs, BM25_Q, k=5)
+    b = search.bm25_topk(docs, BM25_Q, k=5, spine=spine)
+    assert _rows(a) == _rows(b)
+
+
+def test_tfidf_spine_equivalence(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spine = postings.materialized_postings(spark, docs, corpus_key="eq-tfidf")
+    assert _rows(text.tfidf_keywords(docs, top_j=3)) == _rows(
+        text.tfidf_keywords(docs, top_j=3, spine=spine)
+    )
+
+
+def test_quality_distill_spine_equivalence(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spine = postings.materialized_postings(spark, docs, corpus_key="eq-distill")
+    a = classifier.distill_quality_classifier(docs, persist=False)
+    b = classifier.distill_quality_classifier(docs, persist=False, spine=spine)
+    assert _rows(a) == _rows(b)
+    # ... and at NON-default thresholds the spine label re-derivation
+    # must still track quality_pass exactly
+    a2 = classifier.distill_quality_classifier(
+        docs, min_tokens=10, min_distinct_ratio=0.8, persist=False
+    )
+    b2 = classifier.distill_quality_classifier(
+        docs, min_tokens=10, min_distinct_ratio=0.8, persist=False, spine=spine
+    )
+    assert _rows(a2) == _rows(b2)
+
+
+def test_lm_spine_equivalence(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spine = postings.materialized_postings(spark, docs, corpus_key="eq-lm")
+    assert _rows(lm.bigram_lm_score(docs)) == _rows(
+        lm.bigram_lm_score(docs, spine=spine)
+    )
