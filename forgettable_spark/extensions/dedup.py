@@ -264,7 +264,6 @@ def minhash_lsh_pairs(
     # NULL text must match nothing: its shingle set is [NULL], and
     # array_intersect treats NULL elements as equal — two NULL docs would
     # verify at jaccard 1.0. Excluded before sketching.
-    rows_per_band = k // bands
     sigs = _minhash_sketches(docs, text_col, id_col, k)
     # The sketch table feeds three plan branches (band explode + both
     # verify join-backs); without persistence each branch re-shingles and
@@ -275,6 +274,34 @@ def minhash_lsh_pairs(
     # (the registered-query path — no storage outlives the query).
     if persist:
         sigs = scoped_cache(sigs)
+    return minhash_lsh_pairs_from_sketches(
+        sigs,
+        id_col=id_col,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        log_dropped=log_dropped,
+    )
+
+
+def minhash_lsh_pairs_from_sketches(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` over a PRE-BUILT wide sketch frame
+    (id, shd, mh — :func:`_minhash_sketches`'s shape): the self-join
+    half of the sketch-reuse API that :func:`incremental_admit_from_sketches`
+    already provides for the admission half. Callers own the sketch
+    frame's lifecycle (cache / checkpoint / store) — the streaming
+    admission loop computes ONE sketch per micro-batch and feeds it to
+    both passes plus the index write."""
+    rows_per_band = k // bands
     banded = sigs.select(
         id_col,
         F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias("band", "key"),

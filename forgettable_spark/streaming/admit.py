@@ -16,13 +16,15 @@ question O(batch):
 
 Each micro-batch runs two passes:
 
-1. **within-batch** — ``dedup.minhash_lsh_pairs`` over the batch alone;
-   a document matching a LOWER-id batch document is flagged
+1. **within-batch** — ``dedup.minhash_lsh_pairs_from_sketches`` over
+   the batch's sketch frame (computed ONCE per micro-batch and
+   checkpointed — it also feeds the against-index join and the index
+   write, so the batch text is shingled exactly once); a document
+   matching a LOWER-id batch document is flagged
    (``match_kind='within_batch'``). Greedy, not transitive: the match
    may itself be a duplicate whose own match chains onward — the
    verdict log preserves the chain. The micro-batch is small, so the
-   batch self-join (and its second sketch pass) is O(batch²-bounded-
-   by-LSH), never O(corpus).
+   batch self-join is O(batch²-bounded-by-LSH), never O(corpus).
 2. **against the index** — survivors run
    ``dedup.incremental_admit_from_sketches`` against the stored index:
    the band join is batch×index only, verify re-shingles candidate
@@ -70,11 +72,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from forgettable_spark.extensions import dedup
-from forgettable_spark.functions.cache import (
-    _persistent_rdd_ids,
-    released_scope,
-    scoped_cache,
-)
+from forgettable_spark.functions.cache import _persistent_rdd_ids, released_scope
 
 #: Verdict match_kind values.
 KIND_NONE = "none"
@@ -155,7 +153,13 @@ def _fold(spark: SparkSession, path: str, batch_id: int) -> None:
         parts = _table_parts(path, batch_id)  # everything before batch_id
         if not parts:
             return
-        spark.read.parquet(*parts).write.mode("overwrite").parquet(target)
+        # mergeSchema: schema otherwise infers from ONE file, and a fold
+        # across batches whose stream schema evolved (extra columns after
+        # a restart) would silently drop the columns only some batches
+        # carry — 'every column a batch wrote survives the fold'.
+        spark.read.option("mergeSchema", "true").parquet(*parts).write.mode(
+            "overwrite"
+        ).parquet(target)
     for e in os.listdir(path):
         if (e.startswith("batch-") and int(e[6:]) < batch_id) or (
             e.startswith("fold-") and int(e[5:]) < batch_id
@@ -183,10 +187,6 @@ def admit_batch(
     subdirs (idempotent overwrite). ``batch`` must have at least
     (id_col, text_col); extra columns ride into the admitted corpus
     (the loop reads back only (id, text) via its pruned schema)."""
-    if batch.isEmpty():
-        # An empty trigger must not run the two-pass job or mint three
-        # empty directories that every later batch would list and read.
-        return
     corpus_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -202,24 +202,50 @@ def admit_batch(
     before_ids = _persistent_rdd_ids(spark)
     batch = batch.localCheckpoint(eager=True)
     own_ids = _persistent_rdd_ids(spark) - before_ids
+    # AQE off for the batch's queries: at micro-batch scale every AQE
+    # shuffle-stage materialization is its own scheduled job, and the
+    # loop's latency is job-scheduling-bound (SCALING.md: 10× the data
+    # costs 2× the wall) — runtime re-planning has nothing to optimize
+    # here. Restored in the finally; foreachBatch batches never overlap,
+    # so the toggle can't race a concurrent batch of this query.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        if batch.isEmpty():
+            # An empty trigger must not run the two-pass job or mint
+            # three empty directories that every later batch would list
+            # and read. Checked AFTER the checkpoint so the peek reads
+            # the cached blocks instead of scanning the source a second
+            # time (the checkpoint of an empty batch is trivial).
+            return
         # released_scope, not run_released: verdicts are one row PER
         # DOCUMENT — collecting them would put O(batch) rows on the
         # driver (cache.py's documented anti-pattern). Everything is
         # materialized by the writes inside the scope; at exit every
         # scoped cache and checkpoint block created here is released.
         with released_scope(spark):
-            # Pass 1: within-batch near-dups (earlier id wins).
+            # ONE sketch job per micro-batch: the wide (id, shd, mh)
+            # sketch frame is computed once and checkpointed, then feeds
+            # EVERY sketch consumer — the within-batch band join + its
+            # Jaccard verify (shd), the against-index band join (mh),
+            # and the index write (mh) — where the loop previously
+            # re-shingled the batch once per pass (the r4 verdict's
+            # jobs-per-batch finding).
             from pyspark.sql import Window
 
-            pairs = dedup.minhash_lsh_pairs(
-                batch,
-                text_col=text_col,
+            sigs = dedup._minhash_sketches(batch, text_col, id_col, k).localCheckpoint(
+                eager=True
+            )
+
+            # Pass 1: within-batch near-dups (earlier id wins).
+            pairs = dedup.minhash_lsh_pairs_from_sketches(
+                sigs,
                 id_col=id_col,
                 k=k,
                 bands=bands,
                 threshold=threshold,
-                persist=False,  # micro-batch scale; nothing worth caching
                 max_bucket_size=max_bucket_size,
             )
             w = Window.partitionBy("doc_b").orderBy(F.desc("jaccard"), F.asc("doc_a"))
@@ -238,14 +264,12 @@ def admit_batch(
 
             # Pass 2: survivors vs the stored index; verify text comes
             # from the admitted corpus (existing) and the batch (new).
-            # The survivor sketches are scope-cached because they have
-            # two consumers: the admit pass and the index write (the
-            # admitted rows are a subset — re-sketching them would be a
-            # third shingle pass over the same documents).
+            # Survivor sketches are a projection + anti-join of the
+            # checkpointed frame — no re-shingle.
             old_sigs = _read_or_empty(spark, index_dir, _INDEX_SCHEMA, batch_id)
             existing = _read_or_empty(spark, corpus_dir, corpus_schema, batch_id)
-            new_sigs = scoped_cache(
-                dedup.minhash_sketch_narrow(survivors, text_col, id_col, k)
+            new_sigs = sigs.select(id_col, "mh").join(
+                within.select(id_col), id_col, "left_anti"
             )
             corpus_verdicts = dedup.incremental_admit_from_sketches(
                 old_sigs.withColumnRenamed("doc_id", id_col),
@@ -299,15 +323,22 @@ def admit_batch(
             ).write.mode("overwrite").parquet(f"{index_dir}/batch-{batch_id}")
 
         if fold_every:
-            live = [
-                p
-                for p in _table_parts(index_dir, exclude_batch=-1)
-                if os.path.basename(p).startswith("batch-")
-            ]
-            if len(live) >= fold_every:
-                _fold(spark, index_dir, batch_id)
-                _fold(spark, corpus_dir, batch_id)
+            # Gate each table on its OWN live-batch count: a crash
+            # between the two folds previously left the corpus unfolded
+            # (and unre-foldable) until fold_every MORE batches
+            # accumulated on the index side — per-directory gating makes
+            # a missed fold self-heal on the next batch.
+            for d in (index_dir, corpus_dir):
+                live = [
+                    p
+                    for p in _table_parts(d, exclude_batch=-1)
+                    if os.path.basename(p).startswith("batch-")
+                ]
+                if len(live) >= fold_every:
+                    _fold(spark, d, batch_id)
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for key in jmap.keySet().toArray():
             if int(key) in own_ids:
