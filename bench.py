@@ -73,13 +73,40 @@ def main() -> None:
     # machinery: four rounds of driver BENCH data showed the
     # alphabetically-first timed query reading ~2.5x its isolated time
     # (r3 ann_bucketed_topk 4.40 vs 2.30 s; r4 ann_multiprobe_topk 3.31
-    # vs 1.35 s). Execute the first sorted query once, untimed, so its
-    # timed run measures the plan rather than one-time JIT the rest of
-    # the suite amortizes anyway.
-    if qs:
-        _first = sorted(qs)[0]
-        qs[_first](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
+    # vs 1.35 s). Warm with a DEDICATED non-registry plan exercising the
+    # same machinery classes (shuffle join, broadcast join, window,
+    # explode+agg, md5/array codegen) — pre-running a specific timed
+    # query would also seed Spark's per-plan generated-code cache for
+    # that one query, an advantage no other timed entry gets.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _wb = spark.range(0, 200_000, 1, int(cpus)).select(
+        "id",
+        _F.md5(_F.col("id").cast("string")).alias("h"),
+        (_F.col("id") % 97).alias("k"),
+        _F.array_sort(
+            _F.array(_F.col("id") % 7, _F.col("id") % 11, _F.col("id") % 13)
+        ).alias("arr"),
+    )
+    _agg = _wb.groupBy("k").agg(_F.count(_F.lit(1)).alias("c"))
+    (
+        _wb.join(_agg, "k")
+        .join(_F.broadcast(_agg.limit(10).withColumnRenamed("c", "bc")), "k", "left")
+        .withColumn("e", _F.explode("arr"))
+        .withColumn(
+            "fold",
+            _F.aggregate("arr", _F.lit(0.0), lambda a, x: a + x.cast("double")),
+        )
+        .withColumn(
+            "rn", _F.row_number().over(_W.partitionBy("k").orderBy(_F.desc("h")))
+        )
+        .filter(_F.col("rn") <= 5)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
 

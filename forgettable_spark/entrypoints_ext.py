@@ -1181,7 +1181,16 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_released(
         spark,
         lambda: media_near_dup_pairs(
-            _media_with_planted_dups(spark), l1_max=MEDIA_L1_MAX
+            _media_with_planted_dups(spark),
+            l1_max=MEDIA_L1_MAX,
+            # The oracle has no bucket cap: the library default (2000)
+            # happens to never bite at MEDIA_N=64, but parity must hold
+            # by construction, not by corpus-size accident — raising
+            # MEDIA_N or lowering the default would otherwise silently
+            # break the hash match (dedup_simhash_capped is the twin
+            # that exercises the CAPPED semantics against a capped
+            # oracle).
+            max_bucket_size=None,
         ),
     )
 

@@ -19,14 +19,18 @@ shared spine ONCE per (session, corpus) from a single text scan:
 - ``bigrams``   — (doc_id, gram, tf): the bigram-LM spine, including
   the short-document whole-text fallback gram (text.shingles contract).
 
-Production posture: this is a TABLE, not a cache — published through
-``sources.txn.ManifestTable`` and maintained incrementally by the
-admission loop exactly like the MinHash sketch index (each admitted
-batch appends its postings delta; folds compact). In-suite the same
-contract is scoped to the session: built lazily on first use, written
-to session-local parquet, reread by every later consumer. Consumers
-keep their standalone tokenize path when no spine is passed (library
-callers, one-shot queries).
+Production posture: this is a TABLE, not a cache — maintained
+incrementally by the admission loop exactly like the MinHash sketch
+index: ``streaming/admit.py`` (``admit_batch(spine_dir=...)``) appends
+each admitted batch's postings/doc_stats/bigrams delta off the batch's
+already-checkpointed text, the same fold/vacuum cycle compacts the
+chains, and ``streaming.admit.read_spine`` reassembles tables
+row-identical to a from-scratch rebuild (test-asserted:
+tests/test_streaming_admit.py::test_incremental_spine_matches_rebuild).
+In-suite the same contract is scoped to the session: built lazily on
+first use, written to session-local parquet, reread by every later
+consumer. Consumers keep their standalone tokenize path when no spine
+is passed (library callers, one-shot queries).
 
 Determinism: the spine only PRE-COMPUTES the exact integer rows each
 consumer previously derived inline (same split contract, same counts),
@@ -37,7 +41,9 @@ the four DuckDB oracles are untouched.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,11 +51,46 @@ from pyspark.sql import functions as F
 
 from forgettable_spark.extensions.text import shingles, tokens
 
-#: session-local materialization registry: (applicationId, corpus key)
-#: -> parquet root holding postings/ doc_stats/ bigrams/
-_MATERIALIZED: dict[tuple[str, str], str] = {}
+#: session-local materialization registry: (applicationId, corpus key,
+#: corpus fingerprint) -> parquet root holding postings/ doc_stats/
+#: bigrams/. The fingerprint (input file list + sizes + mtimes) makes a
+#: regenerated corpus under the same path a MISS — the memo must never
+#: serve a stale spine to the four family queries after the files under
+#: ``corpus_key`` change mid-session.
+_MATERIALIZED: dict[tuple[str, str, str], str] = {}
 
 _TABLES = ("postings", "doc_stats", "bigrams")
+
+
+def _corpus_fingerprint(docs: DataFrame) -> str:
+    """Stable digest of the corpus' physical inputs: sorted (path, size,
+    mtime_ns) of every input file. Non-local or non-statable inputs
+    (object stores, in-memory frames) contribute path-only rows — for
+    those the caller's ``corpus_key`` remains the identity and the
+    static-corpus-per-session assumption applies."""
+    import hashlib
+
+    rows = []
+    for uri in sorted(docs.inputFiles()):
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            rows.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            rows.append(uri)
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def _cleanup_materialized() -> None:
+    """Remove every spine root this process created (atexit): the roots
+    are session-scoped scratch, not published tables — leaking one
+    tempdir per (session, corpus) adds up across long-lived drivers."""
+    for root in _MATERIALIZED.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _MATERIALIZED.clear()
+
+
+atexit.register(_cleanup_materialized)
 
 
 def postings_tables(
@@ -82,7 +123,7 @@ def materialized_postings(
     writes the tables to session-local parquet; every later call — and
     every later consumer in the same session — reads the fixed-width
     parquet back without touching the corpus text."""
-    key = (spark.sparkContext.applicationId, corpus_key)
+    key = (spark.sparkContext.applicationId, corpus_key, _corpus_fingerprint(docs))
     root = _MATERIALIZED.get(key)
     if root is None or not os.path.exists(os.path.join(root, "_SPINE_COMPLETE")):
         root = tempfile.mkdtemp(prefix="forgettable-postings-")

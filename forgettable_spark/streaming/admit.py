@@ -181,12 +181,33 @@ def admit_batch(
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
     fold_every: int | None = FOLD_EVERY,
+    spine_dir: str | None = None,
 ) -> None:
     """Process one micro-batch (module docstring): write verdicts, and
     append admitted documents + sketches, all under ``batch-<id>``
     subdirs (idempotent overwrite). ``batch`` must have at least
     (id_col, text_col); extra columns ride into the admitted corpus
-    (the loop reads back only (id, text) via its pruned schema)."""
+    (the loop reads back only (id, text) via its pruned schema).
+
+    ``spine_dir``: when set, the batch's ADMITTED documents also append
+    their postings-spine delta (postings/ doc_stats/ bigrams/ — the
+    token-family spine of ``extensions/postings.py``) under
+    ``spine_dir/<table>/batch-<id>``, and the same fold/vacuum cycle
+    compacts each table directory. This is the production maintenance
+    story the spine module documents: the tokenize reads the batch's
+    already-checkpointed blocks (no second source scan), deltas are
+    O(batch), and :func:`read_spine` reassembles tables row-identical
+    to a from-scratch ``postings_tables`` over the admitted corpus
+    (tests/test_streaming_admit.py::test_incremental_spine_matches_rebuild).
+
+    Conf scoping: the AQE / shuffle-partition pinning below mutates
+    ``spark``'s SQLConf for the duration of the batch. Via
+    :func:`admission_stream` that session is the stream's private clone
+    (see inline comment), so other sessions never observe it; callers
+    invoking ``admit_batch`` DIRECTLY with a shared interactive session
+    are the session's single writer for the call's duration — pass a
+    dedicated ``spark.newSession()``-backed batch if that constraint
+    cannot hold."""
     corpus_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -206,8 +227,14 @@ def admit_batch(
     # shuffle-stage materialization is its own scheduled job, and the
     # loop's latency is job-scheduling-bound (SCALING.md: 10× the data
     # costs 2× the wall) — runtime re-planning has nothing to optimize
-    # here. Restored in the finally; foreachBatch batches never overlap,
-    # so the toggle can't race a concurrent batch of this query.
+    # here. Restored in the finally. Scope: via ``admission_stream``,
+    # ``spark`` here is the STREAM'S session — Structured Streaming runs
+    # foreachBatch on ``sparkSession.cloneSession()`` with its own
+    # SQLConf, so the toggle is invisible to the parent session and any
+    # concurrent interactive query (asserted by
+    # tests/test_streaming_admit.py::test_stream_conf_isolated_from_parent).
+    # DIRECT callers handing in a shared interactive session accept the
+    # single-writer constraint documented in the docstring.
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -322,13 +349,39 @@ def admit_batch(
                 id_col, "doc_id"
             ).write.mode("overwrite").parquet(f"{index_dir}/batch-{batch_id}")
 
+            if spine_dir is not None:
+                # Postings-spine delta for the ADMITTED docs only. The
+                # admitted text comes off the batch's checkpointed
+                # blocks (no second source scan), and the tokenized
+                # base is checkpointed once so the three table writes
+                # share ONE tokenize — the same single-scan discipline
+                # as materialized_postings' build.
+                from forgettable_spark.extensions import postings as _sp
+
+                spine_base = _sp._base(
+                    batch.select(F.col(id_col), F.col(text_col)).join(
+                        admitted_ids, id_col
+                    ),
+                    text_col,
+                    id_col,
+                ).localCheckpoint(eager=True)
+                for name, df in _sp._tables_from_base(spine_base).items():
+                    df.write.mode("overwrite").parquet(
+                        f"{spine_dir}/{name}/batch-{batch_id}"
+                    )
+
         if fold_every:
             # Gate each table on its OWN live-batch count: a crash
             # between the two folds previously left the corpus unfolded
             # (and unre-foldable) until fold_every MORE batches
             # accumulated on the index side — per-directory gating makes
             # a missed fold self-heal on the next batch.
-            for d in (index_dir, corpus_dir):
+            fold_dirs = [index_dir, corpus_dir]
+            if spine_dir is not None:
+                from forgettable_spark.extensions.postings import _TABLES as _SP_TABLES
+
+                fold_dirs += [os.path.join(spine_dir, t) for t in _SP_TABLES]
+            for d in fold_dirs:
                 live = [
                     p
                     for p in _table_parts(d, exclude_batch=-1)
@@ -343,6 +396,50 @@ def admit_batch(
         for key in jmap.keySet().toArray():
             if int(key) in own_ids:
                 jmap.get(key).unpersist(False)
+
+
+#: Schemas for the three spine-table directories ``admit_batch``
+#: maintains under ``spine_dir`` (mirrors postings._tables_from_base).
+_SPINE_SCHEMAS = {
+    "postings": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dl", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.LongType()),
+        ]
+    ),
+    "doc_stats": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dl", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+        ]
+    ),
+    "bigrams": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("gram", T.StringType()),
+            T.StructField("tf", T.LongType()),
+        ]
+    ),
+}
+
+
+def read_spine(spark: SparkSession, spine_dir: str) -> dict[str, DataFrame]:
+    """The incrementally-maintained postings spine as three DataFrames
+    (postings / doc_stats / bigrams) — live fold + batch deltas, same
+    reader rule as the index and corpus. Row-identical to a
+    from-scratch ``postings_tables`` over the admitted corpus: deltas
+    are per-document rows and admission never mutates an admitted
+    document, so append is the whole maintenance story."""
+    return {
+        name: _read_or_empty(
+            spark, os.path.join(spine_dir, name), schema, exclude_batch=-1
+        )
+        for name, schema in _SPINE_SCHEMAS.items()
+    }
 
 
 def admission_stream(
@@ -360,10 +457,13 @@ def admission_stream(
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
     fold_every: int | None = FOLD_EVERY,
+    spine_dir: str | None = None,
 ) -> StreamingQuery:
     """Wire a document stream into the per-batch admission loop. Returns
     the started query; exactly-once anchored by the checkpoint + the
-    idempotent ``batch-<id>`` overwrites."""
+    idempotent ``batch-<id>`` overwrites. ``spine_dir`` additionally
+    maintains the token-family postings spine incrementally (see
+    :func:`admit_batch`)."""
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         admit_batch(
@@ -380,6 +480,7 @@ def admission_stream(
             threshold=threshold,
             max_bucket_size=max_bucket_size,
             fold_every=fold_every,
+            spine_dir=spine_dir,
         )
 
     writer = (

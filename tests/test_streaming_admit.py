@@ -333,3 +333,116 @@ def test_partial_fold_without_success_is_ignored_and_rebuilt(spark, dirs):
     folded = spark.read.parquet(os.path.join(dirs["index"], "fold-2"))
     assert sorted(r["doc_id"] for r in folded.collect()) == [1, 2, 3, 4]
     assert sorted(os.listdir(dirs["index"])) == ["fold-2"]
+
+
+def test_incremental_spine_matches_rebuild(spark, dirs):
+    """The promised production maintenance of the postings spine
+    (extensions/postings.py): admitted batches append postings/doc_stats/
+    bigrams deltas, folds compact them, and the reassembled tables are
+    row-identical to a from-scratch postings_tables rebuild over the
+    admitted corpus. Three batches with a rejected dup, a NULL-text doc,
+    and fold_every=2 so the spine chains fold mid-run."""
+    from forgettable_spark.extensions.postings import postings_tables
+    from forgettable_spark.streaming.admit import read_spine
+
+    spine_dir = os.path.join(dirs["root"], "spine")
+
+    def run(bid, rows):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bid,
+            dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=2, spine_dir=spine_dir,
+        )
+
+    run(0, [(1, DOC_A), (2, DOC_B)])
+    run(1, [(10, DOC_A + " kappa"), (11, DOC_E), (12, None)])  # 10 rejected
+    run(2, [(20, "twenty tokens of fresh text alpha20 beta20 gamma20 delta20")])
+
+    # the fold fired on every spine table directory
+    for t in ("postings", "doc_stats", "bigrams"):
+        entries = sorted(os.listdir(os.path.join(spine_dir, t)))
+        assert entries == ["batch-2", "fold-2"], (t, entries)
+
+    admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+        dirs["corpus"]
+    ).select("doc_id", "text")
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 11, 12, 20]
+    rebuilt = postings_tables(admitted)
+    live = read_spine(spark, spine_dir)
+    for t in ("postings", "doc_stats", "bigrams"):
+        got = sorted(tuple(r) for r in live[t].collect())
+        want = sorted(tuple(r) for r in rebuilt[t].collect())
+        assert got == want, f"spine table {t} diverges from rebuild"
+    # NULL-text doc 12 is admitted but (per the spine contract) absent
+    assert 12 not in {r["doc_id"] for r in live["doc_stats"].collect()}
+
+
+def test_spine_delta_replay_is_idempotent(spark, dirs):
+    """Replaying a batch id must leave the spine byte-identical —
+    the batch-<id> overwrite covers the spine directories too."""
+    from forgettable_spark.streaming.admit import read_spine
+
+    spine_dir = os.path.join(dirs["root"], "spine")
+    batch = spark.createDataFrame([(1, DOC_A), (2, DOC_B)], ["doc_id", "text"])
+
+    def run():
+        admit_batch(
+            spark, batch, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, spine_dir=spine_dir,
+        )
+
+    run()
+    first = sorted(tuple(r) for r in read_spine(spark, spine_dir)["postings"].collect())
+    run()
+    second = sorted(tuple(r) for r in read_spine(spark, spine_dir)["postings"].collect())
+    assert first == second and len(first) > 0
+
+
+def test_stream_conf_isolated_from_parent(spark, dirs, monkeypatch):
+    """admit_batch pins AQE off + 8 shuffle partitions for the batch;
+    via admission_stream that mutation lands on the STREAM'S session —
+    Structured Streaming runs foreachBatch on a cloneSession() with its
+    own SQLConf — so a concurrent query on the parent session observes
+    its conf unchanged MID-BATCH. Sampled from inside admit_batch (after
+    the pin, before the restore) by wrapping the first operator it
+    calls."""
+    from forgettable_spark.extensions import dedup as _dedup
+    from forgettable_spark.streaming import admit as admit_mod
+
+    observed = {}
+    real = _dedup._minhash_sketches
+
+    def probe(batch, *a, **kw):
+        observed["batch_is_parent_session"] = batch.sparkSession is spark
+        observed["parent_aqe_mid_batch"] = spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        )
+        observed["parent_parts_mid_batch"] = spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        observed["stream_aqe_mid_batch"] = batch.sparkSession.conf.get(
+            "spark.sql.adaptive.enabled"
+        )
+        return real(batch, *a, **kw)
+
+    monkeypatch.setattr(admit_mod.dedup, "_minhash_sketches", probe)
+
+    parent_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    parent_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _write_docs(dirs["src"], "b1.parquet", [(1, DOC_A, _ts(0)), (2, DOC_B, _ts(1))])
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .parquet(dirs["src"])
+    )
+    q = admission_stream(
+        stream, dirs["index"], dirs["corpus"], dirs["verdicts"], dirs["ckpt"],
+        available_now=True, threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    assert observed["batch_is_parent_session"] is False
+    assert observed["stream_aqe_mid_batch"] == "false"
+    assert observed["parent_aqe_mid_batch"] == parent_aqe
+    assert observed["parent_parts_mid_batch"] == parent_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == parent_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_parts
