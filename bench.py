@@ -118,8 +118,9 @@ def main() -> None:
     # tfidf_keywords) then measure the steady-state read path. In
     # SPARK_GRAFT_ONLY mode the entry is skipped and a named family
     # query pays the build inline (single-query investigation shows the
-    # worst case).
-    if not only:
+    # worst case) — unless SPARK_GRAFT_SPINE_ENTRY=1 restores the
+    # separate timed build (isolated steady-state scale runs).
+    if not only or os.environ.get("SPARK_GRAFT_SPINE_ENTRY") == "1":
         from forgettable_spark import entrypoints_ext as _ext
 
         _t0 = time.perf_counter()

@@ -652,10 +652,16 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``doc_fingerprint`` — the per-document sketch listing every LSH
       query recomputes internally (rotated out late r4 so the NEW
       ``source_curation`` earns a debut-round driver row);
-    - ``batch_novelty`` — one-row vocabulary-novelty monitor over the
-      admission split (observability composition; legitimately reads
-      zero novelty on the shared-vocabulary test corpus, so its
-      interesting branch is unit-tested rather than driver-exercised).
+    r6 rotation (VERDICT r5 #8): ``batch_novelty``, ``sample_per_group``
+    and ``dedup_simhash_capped`` — green locally since r4 but never
+    driver-seen — promoted to the primary registry for first driver
+    rows, demoting here:
+
+    - ``value_quantiles`` — exact per-event-type value quantiles
+      (window arithmetic; green driver rows r1–r5);
+    - ``profile_events`` — per-event-type profile rollup (green r1–r5);
+    - ``user_event_set_ops`` — INTERSECT/EXCEPT audience composition
+      (green r1–r5).
 
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
@@ -674,8 +680,6 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_wipe_regime": q_get_dist_wipe_regime,
         "get_field_compat_partial_z": q_get_field_compat_partial_z,
         "get_dist_noprune": q_get_dist_noprune,
-        "dedup_simhash_capped": entrypoints_ext.q_dedup_simhash_capped,
-        "sample_per_group": entrypoints_ext.q_sample_per_group,
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
         "ann_argmax_multiprobe": entrypoints_ext.q_ann_argmax_multiprobe,
         "ann_signature_topk": entrypoints_ext.q_ann_signature_topk,
@@ -683,12 +687,14 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": entrypoints_ext.q_stratified_sample,
         "quality_filter": entrypoints_ext.q_quality_filter,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
-        "batch_novelty": entrypoints_ext.q_batch_novelty,
         "token_counts": entrypoints_ext.q_token_counts,
         "hash_split": entrypoints_ext.q_hash_split,
         "rel_pricing_summary": entrypoints_rel.q_rel_pricing_summary,
         "rel_top_customers": entrypoints_rel.q_rel_top_customers,
         "rel_part_supplier_volume": entrypoints_rel.q_rel_part_supplier_volume,
+        "value_quantiles": entrypoints_rel.q_value_quantiles,
+        "profile_events": entrypoints_rel.q_profile_events,
+        "user_event_set_ops": entrypoints_rel.q_user_event_set_ops,
     }
 
 
@@ -788,8 +794,6 @@ def secondary_oracle_sql() -> dict[str, str]:
         "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
         "get_field_compat_partial_z": _oracle_get_field_compat(),
         "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
-        "dedup_simhash_capped": entrypoints_ext.ORACLE_DEDUP_SIMHASH_CAPPED,
-        "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
         "ann_argmax_multiprobe": entrypoints_ext._oracle_ann_quantized_bucketed(),
         "ann_signature_topk": entrypoints_ext._oracle_ann_signature(),
@@ -797,10 +801,12 @@ def secondary_oracle_sql() -> dict[str, str]:
         "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
         "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
-        "batch_novelty": entrypoints_ext._oracle_batch_novelty(),
         "token_counts": entrypoints_ext.ORACLE_TOKEN_COUNTS,
         "hash_split": entrypoints_ext.ORACLE_HASH_SPLIT,
         "rel_pricing_summary": entrypoints_rel.ORACLE_REL_PRICING,
         "rel_top_customers": entrypoints_rel.ORACLE_REL_TOP_CUSTOMERS,
         "rel_part_supplier_volume": entrypoints_rel.ORACLE_REL_PART_SUPPLIER,
+        "value_quantiles": entrypoints_rel.ORACLE_VALUE_QUANTILES,
+        "profile_events": entrypoints_rel.ORACLE_PROFILE_EVENTS,
+        "user_event_set_ops": entrypoints_rel.ORACLE_SET_OPS,
     }

@@ -683,6 +683,14 @@ KMEANS_CAP = 32  # bites at sf0.01 (trained cells run 44-78) so the
 #: identical collect for the identical literals.
 _CODEBOOKS: dict[tuple[str, int], list[list[float]]] = {}
 
+#: The corpus the most recent kmeans training ran against — the oracle
+#: generator's sf_dir signal (oracle_sql() takes no arguments, but the
+#: local parity gate compares query and oracle per-sf, query first).
+#: Falls back to the driver's documented correctness corpus when no
+#: query has run yet in this process.
+_KMEANS_ORACLE_DEFAULT_SF = "/root/testdata/sf0.01"
+_LAST_KMEANS_SF: list[str] = []
+
 
 def _codebook_for(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
     from forgettable_spark.extensions import codebook as cb
@@ -691,6 +699,7 @@ def _codebook_for(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]
     if key not in _CODEBOOKS:
         emb = load_table(spark, sf_dir, "embeddings")
         _CODEBOOKS[key] = cb.train_codebook(emb, k=k)
+    _LAST_KMEANS_SF[:] = [sf_dir]
     return _CODEBOOKS[key]
 
 
@@ -701,11 +710,15 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-to-cap knob becomes a safety net instead of the load-bearing
     recall trade (SCALING.md sf3: fixed cells went quadratic on
     clustered data; trained cells are balanced by construction).
-    Registered without an ``oracle_sql`` entry (promoted r5): k-means is
-    iterative (the documented dynamic-oracle class), so the driver
-    records a rows-only check while the full rows+schema+values parity
-    runs in tests/test_kmeans_ann.py against the generated
-    literal-codebook oracle rather than a static SQL string."""
+
+    Oracle (driver-green since r6): k-means is iterative, but training
+    is a bit-deterministic pure function of the corpus (fixed sample
+    order, fixed init, fixed iteration count, float64 numpy), so
+    ``oracle_sql()`` regenerates the SAME codebook — sessionlessly, via
+    ``codebook.train_codebook_local`` (pyarrow + the shared Lloyd
+    kernel) — and embeds it as literals in the DuckDB twin. Bit-identity
+    of the two training paths and full end-to-end parity are locked by
+    tests/test_kmeans_ann.py."""
     from forgettable_spark.extensions import codebook as cb
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -717,6 +730,34 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         n_probes=KMEANS_PROBES,
         max_bucket_size=KMEANS_CAP,
+    )
+
+
+def _oracle_ann_kmeans() -> str:
+    """Literal-codebook DuckDB twin of :func:`q_ann_kmeans_topk`.
+
+    The codebook is re-derived for the corpus the query last trained on
+    (the local gate runs query-then-oracle per sf), or — when the driver
+    fetches oracles before running anything — trained fresh from the
+    driver's correctness corpus without a session
+    (``train_codebook_local``: same sample order, same Lloyd kernel,
+    bit-identical centroids — test-locked)."""
+    import os
+
+    from forgettable_spark.extensions import codebook as cb
+
+    sf_dir = _LAST_KMEANS_SF[0] if _LAST_KMEANS_SF else _KMEANS_ORACLE_DEFAULT_SF
+    key = (sf_dir, KMEANS_CELLS)
+    if key not in _CODEBOOKS:
+        _CODEBOOKS[key] = cb.train_codebook_local(
+            os.path.join(sf_dir, "embeddings.parquet"), k=KMEANS_CELLS
+        )
+    return cb.codebook_oracle_sql(
+        _CODEBOOKS[key],
+        k=ANN_K,
+        n_probes=KMEANS_PROBES,
+        max_bucket_size=KMEANS_CAP,
+        query_mod=ANN_QUERY_MOD,
     )
 
 
@@ -1156,8 +1197,8 @@ FROM f"""
 MEDIA_L1_MAX = 0.35
 
 
-def _media_with_planted_dups(spark: SparkSession) -> DataFrame:
-    media = synthetic_media(spark, n=MEDIA_N)
+def _media_with_planted_dups(spark: SparkSession, n: int = MEDIA_N) -> DataFrame:
+    media = synthetic_media(spark, n=n)
     src = F.col("media_id") - 12
     digest = F.sha2(F.concat(F.lit("media-"), src.cast("string")), 256)
     exact = F.repeat(digest, (F.lit(4) + src % 7).cast("int")).cast("binary")
@@ -1962,6 +2003,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "pack_sequences": q_pack_sequences,
         "pack_apply": q_pack_apply,
+        # r6 rotation: first driver rows for three operators green
+        # locally since r4 (three rel_* twists moved to secondary).
+        "batch_novelty": q_batch_novelty,
+        "sample_per_group": q_sample_per_group,
+        "dedup_simhash_capped": q_dedup_simhash_capped,
     }
 
 
@@ -1980,10 +2026,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _oracle_dedup_components(),
         "dedup_lsh_recall": _oracle_dedup_lsh_recall(),
         "ann_multiprobe_topk": _oracle_ann_signature_quantized(),
-        # ann_kmeans_topk: intentionally no oracle — k-means is iterative
-        # (the dynamic-oracle class); the driver records rows-only and the
-        # full rows+schema+values parity runs in tests/test_kmeans_ann.py
-        # against a generated literal-codebook oracle.
+        # ann_kmeans_topk: k-means is iterative, so this oracle is
+        # GENERATED per-corpus (literal trained codebook) rather than a
+        # static string — the training is a bit-deterministic pure
+        # function of the corpus, restated sessionlessly when needed.
+        "ann_kmeans_topk": _oracle_ann_kmeans(),
         "bm25_search": _oracle_bm25(),
         "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
@@ -2001,4 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _oracle_lm_score(),
         "pack_sequences": _oracle_pack_sequences(),
         "pack_apply": _oracle_pack_apply(),
+        "batch_novelty": _oracle_batch_novelty(),
+        "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
+        "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
     }

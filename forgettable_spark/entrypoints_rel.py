@@ -309,14 +309,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rel_part_supplier_volume followed mid-r5 (broadcast-join+agg shape
     # kept green by rel_shipping_priority) to free a driver row for the
     # NEW media_near_dup operator's debut round.
+    # r6 rotation: value_quantiles, profile_events and user_event_set_ops
+    # (green driver rows r1-r5) moved to the secondary registry so the
+    # never-driver-seen batch_novelty, sample_per_group and
+    # dedup_simhash_capped earn first rows; their window/pivot/set-op
+    # shapes stay hash-verified locally every session.
     return {
         "rel_cube_summary": q_rel_cube_summary,
         "rel_shipping_priority": q_rel_shipping_priority,
         "funnel_signup_purchase": q_funnel_signup_purchase,
-        "value_quantiles": q_value_quantiles,
-        "profile_events": q_profile_events,
         "orders_without_lineitems": q_orders_without_lineitems,
-        "user_event_set_ops": q_user_event_set_ops,
     }
 
 
@@ -325,8 +327,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_cube_summary": ORACLE_REL_CUBE,
         "rel_shipping_priority": ORACLE_REL_SHIPPING_PRIORITY,
         "funnel_signup_purchase": ORACLE_FUNNEL,
-        "value_quantiles": ORACLE_VALUE_QUANTILES,
-        "profile_events": ORACLE_PROFILE_EVENTS,
         "orders_without_lineitems": ORACLE_ORDERS_ANTI,
-        "user_event_set_ops": ORACLE_SET_OPS,
     }

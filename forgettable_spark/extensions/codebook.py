@@ -94,19 +94,27 @@ def train_codebook(
     rule, keeps k stable). ``iters`` is fixed, not converged, so the
     result is a pure function of the sample.
     """
-    import numpy as np
-
     rows = (
         corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(sample_size)
         .collect()
     )
-    if len(rows) < k:
+    return _lloyd([r["_v"] for r in rows], k, iters)
+
+
+def _lloyd(sample_vecs: list, k: int, iters: int) -> list[list[float]]:
+    """The shared Lloyd kernel: a pure float64-numpy function of the
+    ordered sample, so the Spark-collected and the pyarrow-read training
+    paths produce bit-identical centroids (asserted by
+    tests/test_kmeans_ann.py::test_local_training_matches_spark)."""
+    import numpy as np
+
+    if len(sample_vecs) < k:
         raise ValueError(
-            f"train_codebook: sample has {len(rows)} vectors < k={k}"
+            f"train_codebook: sample has {len(sample_vecs)} vectors < k={k}"
         )
-    sample = np.array([r["_v"] for r in rows], dtype=np.float64)
+    sample = np.array(sample_vecs, dtype=np.float64)
     centroids = sample[:k].copy()
     for _ in range(iters):
         # (n, k) squared distances; argmin ties resolve to lowest index.
@@ -117,6 +125,39 @@ def train_codebook(
             if len(members):
                 centroids[c] = members.mean(axis=0)
     return [[float(x) for x in c] for c in centroids]
+
+
+def train_codebook_local(
+    parquet_path: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = CODEBOOK_SAMPLE,
+    iters: int = CODEBOOK_ITERS,
+) -> list[list[float]]:
+    """:func:`train_codebook` without a SparkSession: reads the corpus
+    parquet with pyarrow and replays the identical sample selection —
+    (md5(CAST(id AS STRING)), id) order, first ``sample_size`` rows —
+    into the shared Lloyd kernel. Exists so ``oracle_sql()`` (which gets
+    no session) can emit the literal-codebook oracle for the driver's
+    correctness corpus; bit-identity with the Spark path is test-locked.
+
+    Determinism notes mirrored from the Spark path: md5 of the DECIMAL
+    string repr of the id (hashlib hexdigest == Spark md5 hex, both
+    lowercase, compared bytewise); float32 parquet values widen to
+    float64 exactly on both paths."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[:sample_size]
+    return _lloyd([vecs[i] for i in order], k, iters)
 
 
 def _half_norms(centroids: list[list[float]]) -> list[float]:

@@ -141,6 +141,19 @@ def main() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{adm}/src")
         )
+        # SPARK_GRAFT_SPINE=1: also maintain the token-family postings
+        # spine incrementally (admit_batch spine_dir) to price the
+        # production maintenance path alongside the loop's own work.
+        spine_dir = (
+            f"{adm}/spine" if os.environ.get("SPARK_GRAFT_SPINE") == "1" else None
+        )
+        # Jobs-per-batch: the loop's latency is job-scheduling-bound at
+        # micro-batch scale (admit.py), so the scheduled-job count per
+        # batch IS the consolidation metric (r4 measured ~15 before the
+        # one-sketch-per-batch rewrite). Count via the app status store
+        # (works with the UI disabled), scoped to the admission phase.
+        _status = spark.sparkContext._jsc.sc().statusStore()
+        jobs_before = _status.jobsList(None).size()
         t1 = time.perf_counter()
         q2 = admission_stream(
             doc_stream,
@@ -150,9 +163,11 @@ def main() -> None:
             f"{adm}/ckpt",
             available_now=True,
             fold_every=4,
+            spine_dir=spine_dir,
         )
         q2.awaitTermination()
         adm_elapsed = time.perf_counter() - t1
+        adm_jobs = _status.jobsList(None).size() - jobs_before
         verd = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(f"{adm}/verdicts")
@@ -171,6 +186,9 @@ def main() -> None:
                     "n_admitted": n_admitted,
                     "n_dup": n_dup,
                     "verdicts_ok": n_admitted + n_dup == n_docs,
+                    "jobs": adm_jobs,
+                    "jobs_per_batch": round(adm_jobs / max(len(dfiles), 1), 1),
+                    "spine_maintained": spine_dir is not None,
                     "sf": sf,
                 }
             )

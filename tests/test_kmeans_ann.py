@@ -146,3 +146,34 @@ def test_balanced_cells_on_real_corpus(spark):
     assert len(sizes) == ext.KMEANS_CELLS  # no empty cells
     mean = emb.count() / ext.KMEANS_CELLS
     assert max(sizes) <= 2 * mean
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE], ids=["sf0.001", "sf0.01"])
+def test_local_training_matches_spark(spark, sf_dir):
+    """The sessionless pyarrow training path (what oracle_sql() uses
+    when the driver fetches oracles before running queries) must be
+    bit-identical to the Spark-collected path: same (md5(id), id)
+    sample order, same float32->float64 widening, same Lloyd kernel."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    via_spark = cb.train_codebook(emb, k=ext.KMEANS_CELLS)
+    via_local = cb.train_codebook_local(
+        os.path.join(sf_dir, "embeddings.parquet"), k=ext.KMEANS_CELLS
+    )
+    assert via_spark == via_local  # exact float equality, not approx
+
+
+def test_registered_oracle_matches_driver_order(spark, duck):
+    """Driver realism: fetch oracle_sql() BEFORE running any query in
+    this process state (cleared memo), then run the registered query —
+    the rows must still hash-match, i.e. the sessionless fallback trains
+    the same codebook the query trains."""
+    ext._CODEBOOKS.clear()
+    ext._LAST_KMEANS_SF.clear()
+    from forgettable_spark import entrypoints as ep
+
+    sql = ep.oracle_sql()["ann_kmeans_topk"]  # trains via pyarrow fallback
+    sdf = ext.q_ann_kmeans_topk(spark, SF_ORACLE)  # trains via Spark
+    register_views(duck, SF_ORACLE)
+    assert_frames_match(sdf, duck.sql(sql))

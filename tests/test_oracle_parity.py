@@ -32,8 +32,11 @@ QUERY_NAMES = sorted(_all_queries().keys())
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE], ids=["sf0.001", "sf0.01"])
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name, sf_dir):
-    oracles = _all_oracles()
+    # Query first, oracles second: generated oracles (ann_kmeans_topk's
+    # literal codebook) key off the corpus the query just trained on;
+    # building the query plan runs any eager training step.
     sdf = _all_queries()[name](spark, sf_dir)
+    oracles = _all_oracles()
     if name not in oracles:
         # Stochastic / non-SQL-expressible: driver records rows-only.
         assert sdf.count() >= 0
