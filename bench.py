@@ -88,16 +88,26 @@ def main() -> None:
         _F.array_sort(
             _F.array(_F.col("id") % 7, _F.col("id") % 11, _F.col("id") % 13)
         ).alias("arr"),
+        # text-family shapes: split → slice/transform (shingle-ish),
+        # conv/substr hashing, bit arithmetic (SimHash/phash-ish)
+        _F.split(_F.repeat(_F.concat(_F.col("id").cast("string"), _F.lit(" t")), 8), " ").alias("toks"),
+        _F.conv(_F.substring(_F.md5(_F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint").alias("hk"),
+        # embedding-family shape: a 64-wide double array for the
+        # sequential dot/cosine fold codegen
+        _F.transform(_F.sequence(_F.lit(1), _F.lit(64)), lambda i: (i * _F.col("id") % 17).cast("double")).alias("vec"),
     )
     _agg = _wb.groupBy("k").agg(_F.count(_F.lit(1)).alias("c"))
     (
         _wb.join(_agg, "k")
         .join(_F.broadcast(_agg.limit(10).withColumnRenamed("c", "bc")), "k", "left")
         .withColumn("e", _F.explode("arr"))
+        .withColumn("gram", _F.concat_ws(" ", _F.slice("toks", 1, 2)))
         .withColumn(
             "fold",
-            _F.aggregate("arr", _F.lit(0.0), lambda a, x: a + x.cast("double")),
+            _F.aggregate("vec", _F.lit(0.0), lambda a, x: a + x),
         )
+        .withColumn("bits", _F.shiftright(_F.col("hk"), 4).bitwiseAND(_F.lit(15)))
         .withColumn(
             "rn", _F.row_number().over(_W.partitionBy("k").orderBy(_F.desc("h")))
         )
@@ -105,6 +115,13 @@ def main() -> None:
         .write.format("noop")
         .mode("overwrite")
         .save()
+    )
+    # a separate explode+agg pass over token arrays (the shingle →
+    # groupBy shape every text/dedup query compiles)
+    (
+        _wb.select("id", _F.explode("toks").alias("t"))
+        .groupBy("t").agg(_F.count(_F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
     )
     spark.catalog.clearCache()
 
