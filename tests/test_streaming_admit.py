@@ -446,3 +446,53 @@ def test_stream_conf_isolated_from_parent(spark, dirs, monkeypatch):
     assert observed["parent_parts_mid_batch"] == parent_parts
     assert spark.conf.get("spark.sql.adaptive.enabled") == parent_aqe
     assert spark.conf.get("spark.sql.shuffle.partitions") == parent_parts
+
+
+def test_consumers_query_live_spine(spark, dirs):
+    """The closed production loop end-to-end: documents stream through
+    admission (spine maintained incrementally), then the token-family
+    consumers query the LIVE corpus through read_spine — results must be
+    row-identical to the same consumers over a from-scratch spine of the
+    admitted corpus. BM25 retrieval and LM scoring never touch corpus
+    text beyond what admission already scanned."""
+    from forgettable_spark.extensions import lm, search
+    from forgettable_spark.extensions.postings import postings_tables
+    from forgettable_spark.streaming.admit import read_spine
+
+    spine_dir = os.path.join(dirs["root"], "spine")
+
+    def run(bid, rows):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bid,
+            dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, spine_dir=spine_dir,
+        )
+
+    run(0, [(1, DOC_A), (2, DOC_B)])
+    run(1, [(10, DOC_A + " kappa"), (11, DOC_E)])  # 10 rejected as dup
+
+    admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+        dirs["corpus"]
+    ).select("doc_id", "text")
+    live = read_spine(spark, spine_dir)
+    rebuilt = postings_tables(admitted)
+
+    queries = {"q1": ["alpha", "gamma"], "q2": ["novel", "ten"]}
+    got_bm = sorted(
+        tuple(r) for r in search.bm25_topk(admitted, queries, k=5, spine=live).collect()
+    )
+    want_bm = sorted(
+        tuple(r)
+        for r in search.bm25_topk(admitted, queries, k=5, spine=rebuilt).collect()
+    )
+    assert got_bm == want_bm and len(got_bm) > 0
+    # the rejected doc 10 is invisible to retrieval
+    assert not any(r[1] == 10 for r in got_bm)
+
+    got_lm = sorted(
+        tuple(r) for r in lm.bigram_lm_score(admitted, spine=live).collect()
+    )
+    want_lm = sorted(
+        tuple(r) for r in lm.bigram_lm_score(admitted, spine=rebuilt).collect()
+    )
+    assert got_lm == want_lm and {r[0] for r in got_lm} == {1, 2, 11}
