@@ -178,7 +178,8 @@ def test_admit_batch_null_text_admitted_unmatched(spark, dirs):
 
 def test_admit_batch_leaves_no_storage(spark, dirs):
     """The loop runs indefinitely: each batch must release every cache
-    and checkpoint block it pinned."""
+    and checkpoint block it pinned — including the spine delta's
+    tokenized-base checkpoint."""
     batch = spark.createDataFrame([(1, DOC_A), (2, DOC_B)], ["doc_id", "text"])
     before = {
         int(x)
@@ -186,7 +187,7 @@ def test_admit_batch_leaves_no_storage(spark, dirs):
     }
     admit_batch(
         spark, batch, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
-        threshold=0.5,
+        threshold=0.5, spine_dir=os.path.join(dirs["root"], "spine"),
     )
     after = {
         int(x)
