@@ -169,16 +169,35 @@ def _half_norms(centroids: list[list[float]]) -> list[float]:
     return [float(0.5 * np.dot(np.array(c, dtype=np.float64), np.array(c, dtype=np.float64))) for c in centroids]
 
 
-def _centroid_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
-    """Score of ``vec`` against each centroid: ``dot(v, c) − ‖c‖²/2``
-    (sequential fold — the engines' shared bit-exact recipe). Argmax of
-    these equals argmin of L2 distance."""
+def _codebook_lit(centroids: list[list[float]]) -> Column:
+    """The codebook as ONE nested literal: array of (c: array<double>,
+    h: ‖c‖²/2, i: index) structs. Keeping the floats as a single
+    constant-folded array keeps the scoring expression a LOOP over data
+    instead of k unrolled 64-literal folds — the unrolled form compiled
+    ~2 s of per-plan generated code at k=8, dim=64 (measured r6), which
+    dwarfed the actual scan."""
     halves = _half_norms(centroids)
-    out = []
-    for c, h in zip(centroids, halves):
-        lit = F.array(*[F.lit(x) for x in c])
-        out.append(dot(vec, lit) - F.lit(h))
-    return out
+    return F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+                F.lit(h).alias("h"),
+                F.lit(i).cast("bigint").alias("i"),
+            )
+            for i, (c, h) in enumerate(zip(centroids, halves))
+        ]
+    )
+
+
+def _scored_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    """(score, index) per centroid via one transform over the literal
+    codebook; score = ``dot(v, c) − ‖c‖²/2`` with the engines' shared
+    sequential-fold dot, bit-identical to the previous per-centroid
+    unrolled columns (same fold order, same subtraction)."""
+    return F.transform(
+        _codebook_lit(centroids),
+        lambda e: F.struct((dot(vec, e["c"]) - e["h"]).alias("s"), e["i"].alias("i")),
+    )
 
 
 def centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -186,11 +205,9 @@ def centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
     ``array_max`` over (score, −index) structs compares score first,
     then −index — so equal scores pick the smallest index, mirroring the
     oracle's ``ORDER BY s DESC, ci ASC`` window."""
-    scored = F.array(
-        *[
-            F.struct(s.alias("s"), F.lit(-i).alias("ni"))
-            for i, s in enumerate(_centroid_scores(vec, centroids))
-        ]
+    scored = F.transform(
+        _scored_structs(vec, centroids),
+        lambda e: F.struct(e["s"].alias("s"), (-e["i"]).alias("ni")),
     )
     return (-F.array_max(scored)["ni"]).cast("bigint")
 
@@ -201,11 +218,9 @@ def top_p_centroid_cells(
     """The query's ``n_probes`` nearest centroid indices, nearest first —
     multi-probe IVF over the trained codebook. Sorted (−score, index)
     structs, same determinism as ``similarity.top_p_buckets``."""
-    scored = F.array(
-        *[
-            F.struct((-s).alias("negs"), F.lit(i).cast("bigint").alias("idx"))
-            for i, s in enumerate(_centroid_scores(vec, centroids))
-        ]
+    scored = F.transform(
+        _scored_structs(vec, centroids),
+        lambda e: F.struct((-e["s"]).alias("negs"), e["i"].alias("idx")),
     )
     return F.slice(F.transform(F.array_sort(scored), lambda s: s["idx"]), 1, n_probes)
 
