@@ -1768,17 +1768,31 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus'. The recall division is zero-guarded (ADVICE r4): a corpus
     with no true pairs reads recall 0.0 instead of throwing under ANSI
     mode, matching the engine's other rate computations.
-    Known inefficiency, accepted for a gauge: both branches shingle the
-    corpus independently (a shared pre-shingled frame would halve the
-    scan work — worth doing if its bench share ever matters)."""
+    Shared scan (closed the r5 'known inefficiency'): the corpus is
+    shingled ONCE into a cached (id, lang, sorted-distinct shingles,
+    nsh) frame feeding BOTH branches — the PPJoin prefix index and the
+    MinHash sketches (the min-fold and intersect counts are
+    order-independent, so results are bit-identical to the
+    independent-shingle form; the oracle is untouched)."""
+    from forgettable_spark.extensions.text import shingles
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        truth = scoped_cache(
-            dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+        base = scoped_cache(
+            docs.filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.col("lang").alias("_block"),
+                F.array_sort(F.array_distinct(shingles(F.col("text")))).alias("shd"),
+            )
+            .withColumn("nsh", F.size("shd").cast("bigint"))
         )
-        found = dedup.minhash_lsh_pairs(
-            docs, k=MINHASH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
+        truth = scoped_cache(
+            dedup.ngram_jaccard_pairs_from_shingled(base, threshold=JACCARD_THRESHOLD)
+        )
+        sigs = scoped_cache(dedup.minhash_sketches_from_shingled(base, k=MINHASH_K))
+        found = dedup.minhash_lsh_pairs_from_sketches(
+            sigs, k=MINHASH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
         )
         hit = truth.join(
             found.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"

@@ -233,6 +233,25 @@ def _minhash_sketches(
     )
 
 
+def minhash_sketches_from_shingled(
+    sh: DataFrame, id_col: str = "doc_id", k: int = 12
+) -> DataFrame:
+    """:func:`_minhash_sketches`'s (id, shd, mh) shape derived from a
+    PRE-BUILT shingled frame (id, shd distinct, ...) instead of raw
+    text — the sketch half of the shared-scan API
+    (:func:`ngram_jaccard_pairs_from_shingled` is the exact-join half).
+    The min-fold is order-independent, so a sorted ``shd`` yields the
+    identical signature."""
+    from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
+
+    return (
+        sh.select(F.col(id_col), "shd")
+        .withColumn("_base", F.transform(F.col("shd"), shingle_hash))
+        .withColumn("mh", minhash_signature_from_base(F.col("_base"), k))
+        .drop("_base")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -362,6 +381,19 @@ def ngram_jaccard_pairs(
     )
     if persist:  # feeds the prefix index and both verify join-backs
         sh = scoped_cache(sh)
+    return ngram_jaccard_pairs_from_shingled(sh, id_col=id_col, threshold=threshold)
+
+
+def ngram_jaccard_pairs_from_shingled(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` over a PRE-BUILT shingled frame
+    (id, _block, shd SORTED-distinct, nsh) — the exact-join half of the
+    shared-scan API: a gauge comparing the exact and LSH pair sets can
+    shingle the corpus ONCE and feed both branches (sorted order is
+    irrelevant to the MinHash min-fold and to intersect counts, so
+    results are bit-identical either way). Callers own the frame's
+    lifecycle (cache/persist)."""
     prefix_len = (
         F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh").cast("double")) + F.lit(1)
     ).cast("int")
