@@ -587,6 +587,10 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       kept as the fixed-cell baseline;
     - ``ann_signature_topk`` — the float-scored twin of the new headline
       (same candidate set by construction);
+    - ``ann_recall_signature`` (NEW r6) — the headline quantizer's own
+      probes-vs-recall+cost gauge (flips 0/1/2 vs exact brute-force
+      truth), closing the coherence gap the r5 re-headline left: the
+      primary ``ann_recall`` gauges the argmax baseline;
     - ``ann_quantized_topk`` — flat (no quantizer) int8 cosine top-k on
       the recall query sample, redundant with the int8-scored headline;
     - ``stratified_sample`` — per-stratum salted-hash sampling, a twist
@@ -684,6 +688,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_argmax_multiprobe": entrypoints_ext.q_ann_argmax_multiprobe,
         "ann_signature_topk": entrypoints_ext.q_ann_signature_topk,
         "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
+        "ann_recall_signature": entrypoints_ext.q_ann_recall_signature,
         "stratified_sample": entrypoints_ext.q_stratified_sample,
         "quality_filter": entrypoints_ext.q_quality_filter,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
@@ -798,6 +803,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_argmax_multiprobe": entrypoints_ext._oracle_ann_quantized_bucketed(),
         "ann_signature_topk": entrypoints_ext._oracle_ann_signature(),
         "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
+        "ann_recall_signature": entrypoints_ext._oracle_ann_recall_signature(),
         "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
         "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,

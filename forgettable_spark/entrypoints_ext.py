@@ -1000,6 +1000,172 @@ SELECT n_probes, n_truth, n_hit,
 FROM m"""
 
 
+#: Flip ladder for the signature-quantizer recall gauge (the headline's
+#: probe knob): exact cell, +1 flip, +2 flips (the registered
+#: SIG_ANN_FLIPS) — the probes-vs-recall+cost curve for the scheme that
+#: actually serves production queries.
+ANN_SIG_RECALL_FLIPS = (0, 1, 2)
+
+
+def q_ann_recall_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gauge for the REGISTERED headline quantizer (sign-LSH
+    signature cells + sample-to-cap + int8 scoring): one row per
+    ``n_flips`` with hit counts against the exact brute-force truth and
+    the candidate cost that bought them. ``ann_recall`` (primary) keeps
+    gauging the argmax baseline; this twin measures the scheme the
+    headline actually runs — the coherence gap VERDICT r5's re-headline
+    left open. Same fixed-count query sample, so the truth stage stays
+    O(ANN_RECALL_N · |corpus|) at any scale."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qset = _recall_queries(emb)
+        bf = scoped_cache(
+            similarity.brute_force_topk(emb, qset, k=ANN_K).select(
+                "query_id", "neighbor_id"
+            )
+        )
+        v = similarity.as_double(F.col("embedding"))
+        # capped corpus cells (ids only) for the cost count — the SAME
+        # md5-window sample the headline's join sees.
+        cells = scoped_cache(
+            similarity._sample_cells_to_cap(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    similarity.signature_cell(v, SIG_ANN_BITS).alias("cell"),
+                ),
+                SIG_ANN_CAP,
+            )
+        )
+        out = None
+        for flips in ANN_SIG_RECALL_FLIPS:
+            ap = similarity.quantized_signature_topk(
+                emb,
+                qset,
+                k=ANN_K,
+                n_bits=SIG_ANN_BITS,
+                n_flip=flips,
+                max_bucket_size=SIG_ANN_CAP,
+            ).select("query_id", "neighbor_id")
+            hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
+            qcells = qset.select(
+                F.col("vec_id").alias("query_id"),
+                similarity.signature_cell(v, SIG_ANN_BITS).alias("cell"),
+            )
+            if flips > 0:
+                qcells = qcells.withColumn(
+                    "cell",
+                    F.explode(
+                        F.array(
+                            F.col("cell"),
+                            *[
+                                F.col("cell").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                                for i in range(flips)
+                            ],
+                        )
+                    ),
+                )
+            scored = qcells.join(cells, "cell").filter(
+                F.col("query_id") != F.col("neighbor_id")
+            )
+            row = (
+                bf.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+                .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+                .crossJoin(
+                    scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_scored"))
+                )
+                .select(
+                    F.lit(flips).cast("int").alias("n_flips"),
+                    "n_truth",
+                    "n_hit",
+                    (
+                        F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+                    ).alias("recall"),
+                    "n_scored",
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    return run_released(spark, build)
+
+
+def _oracle_ann_recall_signature() -> str:
+    from forgettable_spark.extensions.similarity import QUANT_MAX
+
+    cell = " + ".join(
+        f"({_hyperplane_bit_sql(i)}) * {1 << i}" for i in range(SIG_ANN_BITS)
+    )
+    topk = (
+        "SELECT query_id, neighbor_id FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        "    ORDER BY cosine_q DESC, neighbor_id ASC) AS rank FROM {scored}"
+        f") WHERE rank <= {ANN_K}"
+    )
+    idot = "CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * sc.q[i])) AS DOUBLE)"
+    q_filter = f"vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_MOD * ANN_RECALL_N}"
+    per_f_ctes = []
+    per_f_rows = []
+    for f in ANN_SIG_RECALL_FLIPS:
+        probes = ", ".join(
+            ["CAST(cell AS BIGINT)"]
+            + [f"CAST(xor(cell, {1 << i}) AS BIGINT)" for i in range(f)]
+        )
+        per_f_ctes.append(
+            f"""p{f} AS (
+  SELECT vec_id AS query_id, qscale, n, q, unnest([{probes}]) AS cell
+  FROM qq WHERE {q_filter}
+),
+ap{f}_scored AS (
+  SELECT a.query_id, sc.vec_id AS neighbor_id,
+         ((a.qscale * sc.qscale) * {idot}) / (a.n * sc.n) AS cosine_q
+  FROM p{f} a JOIN sc USING (cell) WHERE a.query_id != sc.vec_id
+),
+ap{f} AS ({topk.format(scored=f'ap{f}_scored')})"""
+        )
+        per_f_rows.append(
+            f"""  SELECT CAST({f} AS INT) AS n_flips,
+         (SELECT COUNT(*) FROM bf) AS n_truth,
+         (SELECT COUNT(*) FROM (SELECT * FROM bf INTERSECT SELECT * FROM ap{f})) AS n_hit,
+         (SELECT COUNT(*) FROM p{f} a JOIN sc USING (cell) WHERE a.query_id != sc.vec_id) AS n_scored"""
+        )
+    return f"""WITH {_V_CTE},
+qc AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / {QUANT_MAX}.0 AS qscale,
+         sqrt({_DOT.format(a='e', b='e')}) AS n,
+         CAST({cell} AS BIGINT) AS cell
+  FROM v
+),
+qq AS (
+  SELECT vec_id, qscale, n, cell,
+         CASE WHEN qscale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(round(x / qscale) AS BIGINT)) END AS q
+  FROM qc
+),
+sc AS (
+  SELECT vec_id, qscale, n, cell, q FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+    FROM qq
+  ) WHERE srn <= {SIG_ANN_CAP}
+),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE {q_filter}),
+bf_scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id, {_cosine_sql('qv', 'e')} AS cosine_q
+  FROM q, v WHERE query_id != v.vec_id
+),
+bf AS ({topk.format(scored='bf_scored')}),
+{",".join(per_f_ctes)},
+m AS (
+{" UNION ALL ".join(per_f_rows)}
+)
+SELECT n_flips, n_truth, n_hit,
+       CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+       n_scored
+FROM m"""
+
+
 EMBEDDING_CELL_CAP = 150  # ≫ any sf0.01 cell: correctness-scale runs
 # uncapped (the oracle needs no cap model); at corpus scale the cap bounds
 # dominant-component skew cells, dropped cells logged.
