@@ -57,8 +57,8 @@ from pyspark.sql import functions as F
 from forgettable_spark.extensions.similarity import (
     _sample_cells_to_cap,
     as_double,
-    cosine,
     dot,
+    norm,
 )
 
 #: Default bounded training-sample size: ~32-64 vectors per centroid at
@@ -256,10 +256,17 @@ def kmeans_ann_topk(
         q = q.withColumn(
             "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
         )
+    # per-vector norms before the join (similarity.brute_force_topk's
+    # rationale): one dot + divide per pair instead of three folds
+    c = c.withColumn("_cn", norm(F.col("_cv")))
+    q = q.withColumn("_qn", norm(F.col("_qv")))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

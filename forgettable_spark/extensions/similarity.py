@@ -61,14 +61,23 @@ def brute_force_topk(
     Ties break on neighbor_id ascending — with bit-identical cosines on
     both engines this makes even the ranking hash-stable.
     """
+    # Norms are per-VECTOR, not per-pair: computing them once on each
+    # side before the join cuts the per-pair work from three 64-wide
+    # folds (dot + two norms) to one dot + a divide — bit-identical
+    # values (same expression, same order, evaluated earlier).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv"))
+    ).withColumn("_cn", norm(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -133,10 +142,12 @@ def bucketed_ann_topk(
         as_double(F.col(vec_col)).alias("_cv"),
     ).withColumn("bucket", argmax_bucket(F.col("_cv")))
     c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "bucketed_ann_topk", log_dropped)
+    # per-vector norms before the join (brute_force_topk's rationale)
+    c = c.withColumn("_cn", norm(F.col("_cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     if n_probes <= 1:
         q = q.withColumn("bucket", argmax_bucket(F.col("_qv")))
     else:
@@ -146,7 +157,10 @@ def bucketed_ann_topk(
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -552,10 +566,15 @@ def signature_ann_topk(
                 )
             ),
         )
+    c = c.withColumn("_cn", norm(F.col("_cv")))
+    q = q.withColumn("_qn", norm(F.col("_qv")))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     # a query probing several cells can meet the same neighbor once per
     # cell only at n_flip>0 with duplicate cells — impossible here (the
