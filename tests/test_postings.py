@@ -105,3 +105,57 @@ def test_lm_spine_equivalence(spark):
     assert _rows(lm.bigram_lm_score(docs)) == _rows(
         lm.bigram_lm_score(docs, spine=spine)
     )
+
+
+def _tiny_corpus_dir(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_materialized_spine_invalidates_on_corpus_change(spark, tmp_path):
+    """The memo key folds a corpus fingerprint (file list + sizes +
+    mtimes): regenerating the files under the same path must MISS the
+    memo and serve the new corpus, never a stale spine (ADVICE r5)."""
+    import time
+
+    d = _tiny_corpus_dir(tmp_path, [(1, "alpha beta"), (2, "gamma")])
+    docs1 = spark.read.parquet(d)
+    t1 = postings.materialized_postings(spark, docs1, corpus_key=d)
+    terms1 = {r["term"] for r in t1["postings"].collect()}
+    assert terms1 == {"alpha", "beta", "gamma"}
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse clocks
+    _tiny_corpus_dir(tmp_path, [(1, "delta epsilon"), (2, "zeta")])
+    docs2 = spark.read.parquet(d)
+    t2 = postings.materialized_postings(spark, docs2, corpus_key=d)
+    terms2 = {r["term"] for r in t2["postings"].collect()}
+    assert terms2 == {"delta", "epsilon", "zeta"}, (
+        "stale spine served after the corpus regenerated in place"
+    )
+
+
+def test_materialized_spine_cleanup_removes_roots(spark, tmp_path):
+    """The atexit hook removes every session-scoped spine root (the
+    tempdir-leak fix, ADVICE r5). Invoked directly here — atexit itself
+    cannot run inside the test process's lifetime."""
+    d = _tiny_corpus_dir(tmp_path, [(7, "eta theta")])
+    docs = spark.read.parquet(d)
+    postings.materialized_postings(spark, docs, corpus_key=d)
+    roots = [r for k, r in postings._MATERIALIZED.items() if k[1] == d]
+    assert roots and all(os.path.isdir(r) for r in roots)
+    postings._cleanup_materialized()
+    assert not postings._MATERIALIZED
+    assert all(not os.path.isdir(r) for r in roots)
