@@ -144,6 +144,13 @@ def main() -> None:
         _ext._doc_spine(spark, sf_dir)
         timings["spine_build"] = round(time.perf_counter() - _t0, 4)
         spark.catalog.clearCache()
+        # Sketch spine (extensions/sketches.py): the dedup family's
+        # analog — per-document shingle/MinHash/SimHash sketches built
+        # once per corpus; same accounting policy as spine_build.
+        _t0 = time.perf_counter()
+        _ext._sketch_spine(spark, sf_dir)
+        timings["sketch_spine_build"] = round(time.perf_counter() - _t0, 4)
+        spark.catalog.clearCache()
         # Same accounting for the trained ANN codebook: a MODEL built
         # once per corpus (bounded-sample Lloyd — extensions/codebook.py),
         # memoized for the session exactly like the spine files, so

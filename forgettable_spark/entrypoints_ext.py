@@ -164,6 +164,26 @@ FROM based"""
 # Dedup ----------------------------------------------------------------------
 
 
+def _sketch_spine(spark: SparkSession, sf_dir: str):
+    """(docs, sketch spine) for the dedup family — the per-document
+    shingle/MinHash/SimHash sketches are materialized ONCE per (session,
+    corpus) and shared by dedup_minhash_lsh / dedup_ngram_jaccard /
+    dedup_simhash_pairs(+capped) / dedup_components / dedup_lsh_recall /
+    dedup_incremental (extensions/sketches.py — the dedup-family analog
+    of the token family's postings spine). Results are bit-identical to
+    each consumer's standalone sketch path (test-asserted in
+    tests/test_sketches.py), so the family's DuckDB oracles are
+    untouched."""
+    import os
+
+    from forgettable_spark.extensions.sketches import materialized_sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs, materialized_sketches(
+        spark, docs, corpus_key=os.path.abspath(sf_dir), k=MINHASH_K
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -176,17 +196,17 @@ FROM h"""
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # run_released: the LSH sketch cache is released the moment the (small)
-    # verified-pair result is materialized — nothing outlives the query in
-    # executor storage (same for every caching query below).
-    return run_released(
-        spark,
-        lambda: dedup.minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents"),
-            k=MINHASH_K,
-            bands=LSH_BANDS,
-            threshold=JACCARD_THRESHOLD,
-        ),
+    # Reads the sketch spine: the banding and both verify join-backs
+    # scan the small parquet sketch table instead of re-shingling the
+    # corpus per branch — no cache needed (the standalone path's
+    # scoped_cache existed to avoid exactly that recompute), so nothing
+    # can outlive the query in executor storage either.
+    _, sp = _sketch_spine(spark, sf_dir)
+    return dedup.minhash_lsh_pairs_from_sketches(
+        sp["shingled"],
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD,
     )
 
 
@@ -223,11 +243,13 @@ WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD:e}"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_released(
-        spark,
-        lambda: dedup.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
-        ),
+    # Spine read: the PPJoin prefix index and both verify join-backs
+    # scan the parquet sketch table (shd is stored SORTED — exactly the
+    # order the prefix filter needs); no cache, nothing persists.
+    _, sp = _sketch_spine(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs_from_shingled(
+        sp["shingled"].select("doc_id", F.col("lang").alias("_block"), "shd", "nsh"),
+        threshold=JACCARD_THRESHOLD,
     )
 
 
@@ -325,10 +347,12 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM h"""
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No run_released wrapper: the pair set scales with the corpus (83k
     # rows at sf0.1) so it must stay a lazy distributed plan, and the
-    # uncached sketch needs none — the self-join reuses its aggregation
-    # exchange (ReusedExchange), leaving nothing persisted.
-    return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    # spine-backed sketch needs none — both sides of the block self-join
+    # scan the fixed-width parquet sketch table (corpus text and the
+    # per-token md5 hashing are out of the plan entirely).
+    _, sp = _sketch_spine(spark, sf_dir)
+    return dedup.simhash_pairs_from_sketch(
+        sp["simhash"], max_hamming=SIMHASH_MAX_HAMMING
     )
 
 
@@ -381,13 +405,14 @@ def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     squaring). The cap bites at sf0.01 — the oracle mirrors it with the
     same window-count filter, so the hash match verifies the guard's
     semantics, not just its plumbing."""
-    # Lazy like q_dedup_simhash_pairs (corpus-sized output, exchange-reused
+    # Lazy like q_dedup_simhash_pairs (corpus-sized output, spine-backed
     # sketch). log_dropped=False: this registered variant exists to
     # oracle-verify the cap's SEMANTICS (the mirrored QUALIFY filter);
     # the drop-report path itself is covered by tests/test_bucket_caps.py,
     # and with no run_released wrapper here nothing would flush the queue.
-    return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"),
+    _, sp = _sketch_spine(spark, sf_dir)
+    return dedup.simhash_pairs_from_sketch(
+        sp["simhash"],
         max_hamming=SIMHASH_MAX_HAMMING,
         max_bucket_size=SIMHASH_BUCKET_CAP,
         log_dropped=False,
@@ -1282,9 +1307,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from forgettable_spark.extensions.components import connected_components
 
+    _, sp = _sketch_spine(spark, sf_dir)
+
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+        pairs = dedup.simhash_pairs_from_sketch(
+            sp["simhash"], max_hamming=SIMHASH_MAX_HAMMING
+        )
         comp = connected_components(pairs)
         return comp.select(
             F.col("node").alias("doc_id"),
@@ -1934,31 +1962,25 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus'. The recall division is zero-guarded (ADVICE r4): a corpus
     with no true pairs reads recall 0.0 instead of throwing under ANSI
     mode, matching the engine's other rate computations.
-    Shared scan (closed the r5 'known inefficiency'): the corpus is
-    shingled ONCE into a cached (id, lang, sorted-distinct shingles,
-    nsh) frame feeding BOTH branches — the PPJoin prefix index and the
-    MinHash sketches (the min-fold and intersect counts are
+    Shared scan (closed the r5 'known inefficiency', since r6 via the
+    sketch spine): BOTH branches — the PPJoin prefix index and the
+    MinHash banding — read the spine's (id, lang, sorted-distinct
+    shingles, nsh, mh) parquet table; nothing is shingled or hashed
+    here at all (the min-fold and intersect counts are
     order-independent, so results are bit-identical to the
     independent-shingle form; the oracle is untouched)."""
-    from forgettable_spark.extensions.text import shingles
+
+    _, sp = _sketch_spine(spark, sf_dir)
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        base = scoped_cache(
-            docs.filter(F.col("text").isNotNull())
-            .select(
-                "doc_id",
-                F.col("lang").alias("_block"),
-                F.array_sort(F.array_distinct(shingles(F.col("text")))).alias("shd"),
-            )
-            .withColumn("nsh", F.size("shd").cast("bigint"))
+        base = sp["shingled"].select(
+            "doc_id", F.col("lang").alias("_block"), "shd", "nsh"
         )
         truth = scoped_cache(
             dedup.ngram_jaccard_pairs_from_shingled(base, threshold=JACCARD_THRESHOLD)
         )
-        sigs = scoped_cache(dedup.minhash_sketches_from_shingled(base, k=MINHASH_K))
         found = dedup.minhash_lsh_pairs_from_sketches(
-            sigs, k=MINHASH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
+            sp["shingled"], k=MINHASH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
         )
         hit = truth.join(
             found.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
@@ -2062,21 +2084,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining ~87.5% "already admitted" corpus — new×old band join only,
     no old×old pairs, one verdict row per batch document. The ingest
     twin of ``dedup_minhash_lsh``'s batch self-join. Both slices come
-    from ONE corpus here, so the sketch table is built once, scope-cached,
-    and split by the hash bucket (two sketch passes over the same frame
-    would double the dominant shingling cost — the from-sketches entry
-    point is also the production path, where existing-side sketches are
-    a stored table)."""
+    from the sketch spine's narrow (doc_id, mh) projection — exactly
+    the production shape, where existing-side sketches ARE a stored
+    table (the admission loop's persistent index); the exact-Jaccard
+    verify re-shingles candidate documents only, from text."""
     from forgettable_spark.extensions.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"), INCR_SALT)
+    _, sp = _sketch_spine(spark, sf_dir)
 
     def build() -> DataFrame:
-        sigs = scoped_cache(
-            dedup.minhash_sketch_narrow(docs, k=MINHASH_K).withColumn(
-                "_bkt", hash_bucket(F.col("doc_id"), INCR_SALT)
-            )
+        sigs = sp["shingled"].select("doc_id", "mh").withColumn(
+            "_bkt", hash_bucket(F.col("doc_id"), INCR_SALT)
         )
         return dedup.incremental_admit_from_sketches(
             sigs.filter(F.col("_bkt") >= INCR_NEW_BOUND),

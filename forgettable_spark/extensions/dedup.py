@@ -730,6 +730,31 @@ def simhash_pairs(
     sk = simhash_sketch(docs, text_col, id_col, token_hash=token_hash)
     if persist:
         sk = scoped_cache(sk)
+    return simhash_pairs_from_sketch(
+        sk,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        log_dropped=log_dropped,
+    )
+
+
+def simhash_pairs_from_sketch(
+    sk: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """:func:`simhash_pairs` over a PRE-BUILT sketch frame
+    (id, simhash — :func:`simhash_sketch`'s shape): the candidate-join
+    half of the sketch-reuse API, same split as
+    :func:`minhash_lsh_pairs_from_sketches`. Verification is sketch-only
+    (``bit_count(xor)``), so a caller feeding a STORED sketch table
+    (extensions/sketches.py) runs the whole near-dup pass without
+    touching corpus text at all. Callers own the frame's lifecycle and
+    its NULL contract (NULL-text documents must not be present — they
+    sketch to 0 and would all match each other at hamming 0)."""
     blocked = sk.select(
         id_col,
         "simhash",

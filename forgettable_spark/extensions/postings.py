@@ -52,12 +52,14 @@ from pyspark.sql import functions as F
 from forgettable_spark.extensions.text import shingles, tokens
 
 #: session-local materialization registry: (applicationId, corpus key,
-#: corpus fingerprint) -> parquet root holding postings/ doc_stats/
-#: bigrams/. The fingerprint (input file list + sizes + mtimes) makes a
+#: spine kind, corpus fingerprint) -> parquet root holding that kind's
+#: tables. The fingerprint (input file list + sizes + mtimes) makes a
 #: regenerated corpus under the same path a MISS — the memo must never
-#: serve a stale spine to the four family queries after the files under
-#: ``corpus_key`` change mid-session.
-_MATERIALIZED: dict[tuple[str, str, str], str] = {}
+#: serve a stale spine to its family queries after the files under
+#: ``corpus_key`` change mid-session. ``kind`` keeps independent spines
+#: over the same corpus (postings for the token family, sketches for the
+#: dedup family — extensions/sketches.py) from colliding.
+_MATERIALIZED: dict[tuple[str, str, str, str], str] = {}
 
 _TABLES = ("postings", "doc_stats", "bigrams")
 
@@ -110,6 +112,39 @@ def _base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def materialize_table_set(
+    spark: SparkSession,
+    docs: DataFrame,
+    corpus_key: str,
+    kind: str,
+    table_names: tuple[str, ...],
+    write_tables,
+) -> dict[str, DataFrame]:
+    """Session-memoized spine materialization, shared by every spine
+    kind: first call per (session, ``corpus_key``, ``kind``) invokes
+    ``write_tables(root)`` — which must write one parquet directory per
+    name in ``table_names`` under ``root`` — and every later call (and
+    every later consumer in the same session) reads the parquet back
+    without recomputing. Stale-corpus protection and atexit cleanup as
+    documented on ``_MATERIALIZED``."""
+    key = (
+        spark.sparkContext.applicationId,
+        corpus_key,
+        kind,
+        _corpus_fingerprint(docs),
+    )
+    root = _MATERIALIZED.get(key)
+    if root is None or not os.path.exists(os.path.join(root, "_SPINE_COMPLETE")):
+        root = tempfile.mkdtemp(prefix=f"forgettable-{kind}-")
+        write_tables(root)
+        with open(os.path.join(root, "_SPINE_COMPLETE"), "w") as fh:
+            fh.write(corpus_key)
+        _MATERIALIZED[key] = root
+    return {
+        name: spark.read.parquet(os.path.join(root, name)) for name in table_names
+    }
+
+
 def materialized_postings(
     spark: SparkSession,
     docs: DataFrame,
@@ -123,10 +158,8 @@ def materialized_postings(
     writes the tables to session-local parquet; every later call — and
     every later consumer in the same session — reads the fixed-width
     parquet back without touching the corpus text."""
-    key = (spark.sparkContext.applicationId, corpus_key, _corpus_fingerprint(docs))
-    root = _MATERIALIZED.get(key)
-    if root is None or not os.path.exists(os.path.join(root, "_SPINE_COMPLETE")):
-        root = tempfile.mkdtemp(prefix="forgettable-postings-")
+
+    def write_tables(root: str) -> None:
         # One text scan for all three writes: persist the tokenized
         # projection for the duration of the build only (a plain
         # .persist(), NOT scoped_cache — the spine's *files* outlive the
@@ -139,12 +172,10 @@ def materialized_postings(
                 tables[name].write.mode("overwrite").parquet(os.path.join(root, name))
         finally:
             base.unpersist()
-        with open(os.path.join(root, "_SPINE_COMPLETE"), "w") as fh:
-            fh.write(corpus_key)
-        _MATERIALIZED[key] = root
-    return {
-        name: spark.read.parquet(os.path.join(root, name)) for name in _TABLES
-    }
+
+    return materialize_table_set(
+        spark, docs, corpus_key, "postings", _TABLES, write_tables
+    )
 
 
 def _tables_from_base(base: DataFrame) -> dict[str, DataFrame]:

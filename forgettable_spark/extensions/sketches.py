@@ -1,0 +1,117 @@
+"""One sketch spine for the document-dedup family.
+
+``dedup_minhash_lsh``, ``dedup_ngram_jaccard``, ``dedup_simhash_pairs``
+(+ its capped twin), ``dedup_components``, ``dedup_lsh_recall`` and
+``dedup_incremental`` each need the corpus re-expressed as per-document
+sketches, and before this module each re-shingled and re-hashed the
+corpus independently — the md5-per-token / md5-per-shingle hashing is
+the family's dominant redundant cost (it is ~half the SimHash sketch
+stage at sf1 — dedup.simhash_sketch docstring). This module
+materializes the shared sketches ONCE per (session, corpus):
+
+- ``shingled`` — (doc_id, lang, shd, nsh, mh): the sorted-distinct
+  word-3-gram shingle set, its size, and the k-element MinHash
+  signature. One row per non-NULL-text document. Serves the LSH
+  banding (mh), the PPJoin prefix index (shd sorted + nsh), the exact
+  Jaccard verify (shd), and the admission split (mh narrow).
+- ``simhash``  — (doc_id, simhash): the 60-bit SimHash sketch. SimHash
+  consumers verify with ``bit_count(xor)`` only, so they run entirely
+  off this fixed-width table — corpus text is never touched.
+
+Production posture: the narrow columns (mh, simhash — k+1 BIGINTs per
+document) are exactly the admission loop's persistent sketch-index
+shape (``streaming/admit.py`` already maintains the mh index
+incrementally; simhash is the same append+fold pattern). ``shd`` is the
+spine's one corpus-sized column — the analog of the postings spine's
+term fan-out: storing it buys every exact-verify consumer a
+text-free plan; a deployment that prefers not to store shingles drops
+the column and re-shingles candidate documents only, exactly as
+``dedup.incremental_admit_from_sketches`` already does.
+
+Determinism: the spine PRE-COMPUTES the same values each consumer
+previously derived inline — ``shd`` is sorted here, but the MinHash
+min-fold and intersect-based Jaccard counts are order-independent
+(dedup.ngram_jaccard_pairs_from_shingled contract), so every
+downstream result is bit-identical with or without the spine
+(test-asserted per consumer in tests/test_sketches.py) and the family's
+DuckDB oracles are untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.dedup import simhash_sketch
+from forgettable_spark.extensions.postings import materialize_table_set
+from forgettable_spark.extensions.text import (
+    minhash_signature_from_base,
+    shingle_hash,
+    shingles,
+)
+
+_TABLES = ("shingled", "simhash")
+
+
+def sketch_tables(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    k: int = 12,
+) -> dict[str, DataFrame]:
+    """The two spine tables as LAZY DataFrames (module docstring).
+    NULL-text documents appear in neither — the family-wide contract
+    (NULL shingle sets would Jaccard-match each other, NULL simhashes
+    would collide at hamming 0). ``block_col`` rides along for PPJoin
+    blocking; pass None for corpora without one."""
+    ne = docs.filter(F.col(text_col).isNotNull())
+    block = (
+        [F.col(block_col).alias("lang")]
+        if block_col is not None
+        else [F.lit(None).cast("string").alias("lang")]
+    )
+    shingled = (
+        ne.select(F.col(id_col).alias("doc_id"), *block, shingles(F.col(text_col)).alias("_sh"))
+        .withColumn("shd", F.array_sort(F.array_distinct(F.col("_sh"))))
+        .withColumn("nsh", F.size("shd").cast("bigint"))
+        .withColumn("mh", minhash_signature_from_base(F.transform(F.col("shd"), shingle_hash), k))
+        .select("doc_id", "lang", "shd", "nsh", "mh")
+    )
+    sim = simhash_sketch(ne, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "simhash"
+    )
+    return {"shingled": shingled, "simhash": sim}
+
+
+def materialized_sketches(
+    spark: SparkSession,
+    docs: DataFrame,
+    corpus_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    k: int = 12,
+) -> dict[str, DataFrame]:
+    """Session-memoized sketch spine: first call per (session,
+    ``corpus_key``) computes both sketch tables and writes them to
+    session-local parquet; every later consumer reads the parquet back
+    without re-hashing the corpus. Memoization, stale-corpus
+    fingerprinting, and atexit cleanup are the postings spine's
+    (``postings.materialize_table_set``); the two spines share the memo
+    under distinct kinds, so both can coexist over one corpus."""
+
+    def write_tables(root: str) -> None:
+        # No shared persisted base: the two tables derive from different
+        # per-document expressions (row-local shingle chain vs token
+        # explode + aggregation), so each pays one cheap corpus scan and
+        # its own hashing — the build cost IS the hashing, paid once.
+        tables = sketch_tables(docs, text_col, id_col, block_col, k)
+        for name in _TABLES:
+            tables[name].write.mode("overwrite").parquet(os.path.join(root, name))
+
+    return materialize_table_set(
+        spark, docs, corpus_key, "sketches", _TABLES, write_tables
+    )

@@ -114,20 +114,36 @@ def test_simhash_sketch_shuffles_one_counter_row_per_doc(spark):
 
 
 def test_simhash_pairs_self_join_reuses_sketch_exchange(spark):
-    """The uncached block self-join must compute the sketch ONCE: both
-    sides read the same aggregation exchange (ReusedExchange), which is
-    why simhash_pairs needs no cache at all. Asserted with AQE off —
-    the static ReuseExchange rule is deterministic, while AQE's runtime
-    stage-reuse can race when both identical stages are submitted
-    concurrently (reuse still happens in the common case, but the plan
-    string isn't stable enough to assert on)."""
+    """The standalone library path's uncached block self-join must
+    compute the sketch ONCE: both sides read the same aggregation
+    exchange (ReusedExchange), which is why simhash_pairs needs no
+    cache at all. Asserted with AQE off — the static ReuseExchange rule
+    is deterministic, while AQE's runtime stage-reuse can race when
+    both identical stages are submitted concurrently (reuse still
+    happens in the common case, but the plan string isn't stable enough
+    to assert on)."""
+    from forgettable_spark.extensions import dedup
+    from forgettable_spark.sources import load_table
+
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = ep.queries()["dedup_simhash_pairs"](spark, SF_SMOKE)
+        df = dedup.simhash_pairs(
+            load_table(spark, SF_SMOKE, "documents"), max_hamming=3
+        )
         executed = df._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in executed
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_simhash_pairs_registered_query_is_spine_backed(spark):
+    """The REGISTERED query reads the materialized sketch spine: its
+    plan scans the spine's parquet (tempdir prefix 'forgettable-
+    sketches') and contains no token explode / sketch aggregation — the
+    corpus text is out of the plan entirely."""
+    plan = _formatted_plan(ep.queries()["dedup_simhash_pairs"](spark, SF_SMOKE))
+    assert "forgettable-sketches" in plan
+    assert "documents.parquet" not in plan
 
 
 def test_whole_stage_codegen_covers_decay(spark):
