@@ -18,15 +18,20 @@ materializes the shared sketches ONCE per (session, corpus):
   consumers verify with ``bit_count(xor)`` only, so they run entirely
   off this fixed-width table — corpus text is never touched.
 
-Production posture: the narrow columns (mh, simhash — k+1 BIGINTs per
-document) are exactly the admission loop's persistent sketch-index
-shape (``streaming/admit.py`` already maintains the mh index
-incrementally; simhash is the same append+fold pattern). ``shd`` is the
-spine's one corpus-sized column — the analog of the postings spine's
-term fan-out: storing it buys every exact-verify consumer a
-text-free plan; a deployment that prefers not to store shingles drops
-the column and re-shingles candidate documents only, exactly as
-``dedup.incremental_admit_from_sketches`` already does.
+Production posture: this is a TABLE maintained incrementally by the
+admission loop, not a per-session cache —
+``streaming/admit.py::admit_batch(sketch_dir=...)`` appends each
+admitted batch's shingled/simhash delta (the shingled delta is a
+projection of the batch's one-sketch-per-batch frame, so only SimHash
+re-hashes text, O(batch)), the same fold/vacuum cycle compacts the
+chains, and ``streaming.admit.read_sketches`` reassembles tables
+row-identical to a from-scratch rebuild (test-asserted:
+tests/test_streaming_admit.py::test_incremental_sketches_match_rebuild).
+``shd`` is the spine's one corpus-sized column — the analog of the
+postings spine's term fan-out: storing it buys every exact-verify
+consumer a text-free plan; a deployment that prefers not to store
+shingles drops the column and re-shingles candidate documents only,
+exactly as ``dedup.incremental_admit_from_sketches`` already does.
 
 Determinism: the spine PRE-COMPUTES the same values each consumer
 previously derived inline — ``shd`` is sorted here, but the MinHash

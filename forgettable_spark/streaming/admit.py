@@ -182,6 +182,7 @@ def admit_batch(
     max_bucket_size: int | None = None,
     fold_every: int | None = FOLD_EVERY,
     spine_dir: str | None = None,
+    sketch_dir: str | None = None,
 ) -> None:
     """Process one micro-batch (module docstring): write verdicts, and
     append admitted documents + sketches, all under ``batch-<id>``
@@ -199,6 +200,16 @@ def admit_batch(
     O(batch), and :func:`read_spine` reassembles tables row-identical
     to a from-scratch ``postings_tables`` over the admitted corpus
     (tests/test_streaming_admit.py::test_incremental_spine_matches_rebuild).
+
+    ``sketch_dir``: same maintenance for the DEDUP family's sketch
+    spine (shingled/ simhash/ — ``extensions/sketches.py``). The
+    shingled delta is a projection of the batch's ALREADY-CHECKPOINTED
+    one-sketch-per-batch frame (shd re-sorted; the min-fold is
+    order-independent so mh carries over unchanged); only the SimHash
+    delta hashes the admitted text again, O(batch).
+    :func:`read_sketches` reassembles tables row-identical to a
+    from-scratch ``sketch_tables`` over the admitted corpus
+    (tests/test_streaming_admit.py::test_incremental_sketches_match_rebuild).
 
     Conf scoping: the AQE / shuffle-partition pinning below mutates
     ``spark``'s SQLConf for the duration of the batch. Via
@@ -370,6 +381,43 @@ def admit_batch(
                         f"{spine_dir}/{name}/batch-{batch_id}"
                     )
 
+            if sketch_dir is not None:
+                # Sketch-spine delta for the ADMITTED docs only. The
+                # shingled table is a projection of the checkpointed
+                # `sigs` frame (no re-shingle, no re-hash): shd sorted
+                # to the spine's storage order, nsh derived, mh carried
+                # over (the min-fold saw the same shingle set). lang
+                # rides from the batch when present (sketch_tables'
+                # block_col contract), NULL otherwise.
+                adm = batch.join(admitted_ids, id_col)
+                lang_col = (
+                    F.col("lang")
+                    if "lang" in batch.columns
+                    else F.lit(None).cast("string")
+                )
+                shingled_delta = (
+                    sigs.join(adm.select(F.col(id_col), lang_col.alias("lang")), id_col)
+                    .select(
+                        F.col(id_col).alias("doc_id"),
+                        "lang",
+                        F.array_sort("shd").alias("shd"),
+                        F.size("shd").cast("bigint").alias("nsh"),
+                        "mh",
+                    )
+                )
+                shingled_delta.write.mode("overwrite").parquet(
+                    f"{sketch_dir}/shingled/batch-{batch_id}"
+                )
+                # SimHash is the one sketch the batch job did not need:
+                # its delta hashes the admitted text once (explode +
+                # keyed aggregation, reading the checkpointed blocks).
+                simhash_delta = dedup.simhash_sketch(
+                    adm.filter(F.col(text_col).isNotNull()), text_col, id_col
+                ).select(F.col(id_col).alias("doc_id"), "simhash")
+                simhash_delta.write.mode("overwrite").parquet(
+                    f"{sketch_dir}/simhash/batch-{batch_id}"
+                )
+
         if fold_every:
             # Gate each table on its OWN live-batch count: a crash
             # between the two folds previously left the corpus unfolded
@@ -381,6 +429,10 @@ def admit_batch(
                 from forgettable_spark.extensions.postings import _TABLES as _SP_TABLES
 
                 fold_dirs += [os.path.join(spine_dir, t) for t in _SP_TABLES]
+            if sketch_dir is not None:
+                fold_dirs += [
+                    os.path.join(sketch_dir, t) for t in ("shingled", "simhash")
+                ]
             for d in fold_dirs:
                 live = [
                     p
@@ -427,6 +479,41 @@ _SPINE_SCHEMAS = {
 }
 
 
+#: Schemas for the two sketch-spine directories ``admit_batch``
+#: maintains under ``sketch_dir`` (mirrors sketches.sketch_tables).
+_SKETCH_SCHEMAS = {
+    "shingled": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("shd", T.ArrayType(T.StringType())),
+            T.StructField("nsh", T.LongType()),
+            T.StructField("mh", T.ArrayType(T.LongType())),
+        ]
+    ),
+    "simhash": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    ),
+}
+
+
+def read_sketches(spark: SparkSession, sketch_dir: str) -> dict[str, DataFrame]:
+    """The incrementally-maintained dedup-family sketch spine as two
+    DataFrames (shingled / simhash) — live fold + batch deltas, same
+    reader rule as the index and corpus. Row-identical to a
+    from-scratch ``sketches.sketch_tables`` over the admitted corpus
+    (same append-only argument as :func:`read_spine`)."""
+    return {
+        name: _read_or_empty(
+            spark, os.path.join(sketch_dir, name), schema, exclude_batch=-1
+        )
+        for name, schema in _SKETCH_SCHEMAS.items()
+    }
+
+
 def read_spine(spark: SparkSession, spine_dir: str) -> dict[str, DataFrame]:
     """The incrementally-maintained postings spine as three DataFrames
     (postings / doc_stats / bigrams) — live fold + batch deltas, same
@@ -458,11 +545,13 @@ def admission_stream(
     max_bucket_size: int | None = None,
     fold_every: int | None = FOLD_EVERY,
     spine_dir: str | None = None,
+    sketch_dir: str | None = None,
 ) -> StreamingQuery:
     """Wire a document stream into the per-batch admission loop. Returns
     the started query; exactly-once anchored by the checkpoint + the
     idempotent ``batch-<id>`` overwrites. ``spine_dir`` additionally
-    maintains the token-family postings spine incrementally (see
+    maintains the token-family postings spine incrementally, and
+    ``sketch_dir`` the dedup-family sketch spine (see
     :func:`admit_batch`)."""
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
@@ -481,6 +570,7 @@ def admission_stream(
             max_bucket_size=max_bucket_size,
             fold_every=fold_every,
             spine_dir=spine_dir,
+            sketch_dir=sketch_dir,
         )
 
     writer = (

@@ -497,3 +497,73 @@ def test_consumers_query_live_spine(spark, dirs):
         tuple(r) for r in lm.bigram_lm_score(admitted, spine=rebuilt).collect()
     )
     assert got_lm == want_lm and {r[0] for r in got_lm} == {1, 2, 11}
+
+
+def test_incremental_sketches_match_rebuild(spark, dirs):
+    """The sketch-spine maintenance (extensions/sketches.py): admitted
+    batches append shingled/simhash deltas off the one-sketch-per-batch
+    frame, folds compact them, and the reassembled tables are
+    row-identical to a from-scratch sketch_tables over the admitted
+    corpus. Same scenario shape as the postings-spine twin: a rejected
+    dup, a NULL-text doc, fold_every=2 so the chains fold mid-run."""
+    from forgettable_spark.extensions.sketches import sketch_tables
+    from forgettable_spark.streaming.admit import read_sketches
+
+    sketch_dir = os.path.join(dirs["root"], "sketches")
+
+    def run(bid, rows):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bid,
+            dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=2, sketch_dir=sketch_dir,
+        )
+
+    run(0, [(1, DOC_A), (2, DOC_B)])
+    run(1, [(10, DOC_A + " kappa"), (11, DOC_E), (12, None)])  # 10 rejected
+    run(2, [(20, "twenty tokens of fresh text alpha20 beta20 gamma20 delta20")])
+
+    for t in ("shingled", "simhash"):
+        entries = sorted(os.listdir(os.path.join(sketch_dir, t)))
+        assert entries == ["batch-2", "fold-2"], (t, entries)
+
+    admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+        dirs["corpus"]
+    ).select("doc_id", "text")
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 11, 12, 20]
+    # the admitted corpus has no lang column -> block_col=None; the
+    # delta side wrote NULL lang for the same reason (batch had none)
+    rebuilt = sketch_tables(admitted, block_col=None)
+    live = read_sketches(spark, sketch_dir)
+    for t in ("shingled", "simhash"):
+        got = sorted(tuple(repr(v) for v in r) for r in live[t].collect())
+        want = sorted(tuple(repr(v) for v in r) for r in rebuilt[t].collect())
+        assert got == want, f"sketch table {t} diverges from rebuild"
+    # NULL-text doc 12 is admitted but (per the family contract) sketchless
+    assert 12 not in {r["doc_id"] for r in live["simhash"].collect()}
+
+
+def test_sketch_delta_replay_is_idempotent(spark, dirs):
+    """Replaying a batch id must leave the sketch spine byte-identical —
+    the batch-<id> overwrite covers the sketch directories too."""
+    from forgettable_spark.streaming.admit import read_sketches
+
+    sketch_dir = os.path.join(dirs["root"], "sketches")
+    batch = spark.createDataFrame([(1, DOC_A), (2, DOC_B)], ["doc_id", "text"])
+
+    def run():
+        admit_batch(
+            spark, batch, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, sketch_dir=sketch_dir,
+        )
+
+    run()
+    first = sorted(
+        tuple(repr(v) for v in r)
+        for r in read_sketches(spark, sketch_dir)["shingled"].collect()
+    )
+    run()
+    second = sorted(
+        tuple(repr(v) for v in r)
+        for r in read_sketches(spark, sketch_dir)["shingled"].collect()
+    )
+    assert first == second and len(first) > 0
