@@ -144,8 +144,15 @@ def main() -> None:
         # SPARK_GRAFT_SPINE=1: also maintain the token-family postings
         # spine incrementally (admit_batch spine_dir) to price the
         # production maintenance path alongside the loop's own work.
+        # SPARK_GRAFT_SKETCHES=1: same for the dedup-family sketch
+        # spine (admit_batch sketch_dir — extensions/sketches.py).
         spine_dir = (
             f"{adm}/spine" if os.environ.get("SPARK_GRAFT_SPINE") == "1" else None
+        )
+        sketch_dir = (
+            f"{adm}/sketches"
+            if os.environ.get("SPARK_GRAFT_SKETCHES") == "1"
+            else None
         )
         # Jobs-per-batch: the loop's latency is job-scheduling-bound at
         # micro-batch scale (admit.py), so the scheduled-job count per
@@ -164,6 +171,7 @@ def main() -> None:
             available_now=True,
             fold_every=4,
             spine_dir=spine_dir,
+            sketch_dir=sketch_dir,
         )
         q2.awaitTermination()
         adm_elapsed = time.perf_counter() - t1
@@ -189,6 +197,7 @@ def main() -> None:
                     "jobs": adm_jobs,
                     "jobs_per_batch": round(adm_jobs / max(len(dfiles), 1), 1),
                     "spine_maintained": spine_dir is not None,
+                    "sketches_maintained": sketch_dir is not None,
                     "sf": sf,
                 }
             )
