@@ -667,6 +667,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``user_event_set_ops`` — INTERSECT/EXCEPT audience composition
       (green r1–r5).
 
+    Late-r6 rotation: the NEW ``decontaminate_fuzzy`` operator (banded
+    MinHash contamination vs the broadcast eval side) debuts in the
+    primary registry, demoting here:
+
+    - ``rel_cube_summary`` — CUBE rollup over lineitem (green r1–r5);
+      its scan-agg sub-shape ``rel_pricing_summary`` was already here.
+
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
     """
@@ -694,6 +701,7 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
         "token_counts": entrypoints_ext.q_token_counts,
         "hash_split": entrypoints_ext.q_hash_split,
+        "rel_cube_summary": entrypoints_rel.q_rel_cube_summary,
         "rel_pricing_summary": entrypoints_rel.q_rel_pricing_summary,
         "rel_top_customers": entrypoints_rel.q_rel_top_customers,
         "rel_part_supplier_volume": entrypoints_rel.q_rel_part_supplier_volume,
@@ -809,6 +817,7 @@ def secondary_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
         "token_counts": entrypoints_ext.ORACLE_TOKEN_COUNTS,
         "hash_split": entrypoints_ext.ORACLE_HASH_SPLIT,
+        "rel_cube_summary": entrypoints_rel.ORACLE_REL_CUBE,
         "rel_pricing_summary": entrypoints_rel.ORACLE_REL_PRICING,
         "rel_top_customers": entrypoints_rel.ORACLE_REL_TOP_CUSTOMERS,
         "rel_part_supplier_volume": entrypoints_rel.ORACLE_REL_PART_SUPPLIER,

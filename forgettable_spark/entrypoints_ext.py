@@ -1504,6 +1504,70 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fuzzy decontamination verifies whole-document set Jaccard; near-dup
+# contamination (an eval doc leaked with light edits) sits well below
+# the 0.8 dedup bar but far above random overlap — 0.5 is the
+# conventional fuzzy-decontam operating point.
+FUZZY_DECONTAM_THRESHOLD = 0.5
+# The registered query's synthetic "eval suite" is doc_id % 7 == 0
+# (~14% of the corpus): deliberately wider than decontaminate's 1%
+# subset so the flagged set is non-degenerate at the driver's sf0.01
+# (9 rows; the 1% subset intersects zero planted near-dup groups
+# there). Production eval suites are tiny — which only makes the
+# broadcast posture stronger.
+FUZZY_EVAL_MOD = 7
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate eval contamination: corpus docs whose whole-doc
+    shingle-set Jaccard with an eval doc reaches 0.5, candidates from
+    banded MinHash collision against the BROADCAST eval side — the
+    fuzzy complement of ``decontaminate``'s exact containment. Reads
+    the sketch spine on the corpus side (text-free); the only shuffle
+    is the candidate-pair distinct."""
+    _, sp = _sketch_spine(spark, sf_dir)
+    sigs = sp["shingled"]
+    return contamination.fuzzy_decontaminate_from_sketches(
+        sigs,
+        sigs.filter(F.col("doc_id") % FUZZY_EVAL_MOD == 0),
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        threshold=FUZZY_DECONTAM_THRESHOLD,
+    )
+
+
+def _oracle_decontaminate_fuzzy() -> str:
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band))
+        + "))"
+        for b in range(LSH_BANDS)
+    )
+    return f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+based AS (SELECT doc_id, shingles, {_MINHASH_BASE_SQL.format(src='shingles')} AS mhb FROM sh),
+sigs AS (
+  SELECT doc_id, shingles,
+         [{', '.join(_minhash_sql(i) for i in range(MINHASH_K))}] AS mh
+  FROM based
+),
+banded AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS key,
+         unnest(range(0, {LSH_BANDS})) AS band
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT c.doc_id, e.doc_id AS eval_doc_id
+  FROM banded c JOIN banded e ON c.band = e.band AND c.key = e.key
+  WHERE e.doc_id % {FUZZY_EVAL_MOD} = 0 AND c.doc_id <> e.doc_id
+)
+SELECT cand.doc_id, cand.eval_doc_id, {_JACCARD_SQL} AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = cand.doc_id
+JOIN sh b ON b.doc_id = cand.eval_doc_id
+WHERE {_JACCARD_SQL} >= {FUZZY_DECONTAM_THRESHOLD:e}"""
+
+
 _GRAM_HASH_LIST_SQL = (
     "list_distinct(list_transform(shingles, s -> "
     f"('0x' || substr(md5(s), 1, 15))::BIGINT % {text.MINHASH_P}))"
@@ -2193,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "media_near_dup": q_media_near_dup,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scan": q_pii_scan,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "sample_per_group_budget": q_sample_per_group_budget,
@@ -2238,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": _oracle_multimodal(),
         "media_near_dup": _oracle_media_near_dup(),
         "decontaminate": ORACLE_DECONTAMINATE,
+        "decontaminate_fuzzy": _oracle_decontaminate_fuzzy(),
         "pii_scan": ORACLE_PII_SCAN,
         "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
         "sample_per_group_budget": ORACLE_SAMPLE_PER_GROUP_BUDGET,

@@ -313,9 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (green driver rows r1-r5) moved to the secondary registry so the
     # never-driver-seen batch_novelty, sample_per_group and
     # dedup_simhash_capped earn first rows; their window/pivot/set-op
-    # shapes stay hash-verified locally every session.
+    # shapes stay hash-verified locally every session. Late r6:
+    # rel_cube_summary (green r1-r5; its scan-agg sub-shape
+    # rel_pricing_summary is already secondary) followed, freeing the
+    # driver row for the NEW decontaminate_fuzzy operator's debut.
     return {
-        "rel_cube_summary": q_rel_cube_summary,
         "rel_shipping_priority": q_rel_shipping_priority,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "orders_without_lineitems": q_orders_without_lineitems,
@@ -324,7 +326,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "rel_cube_summary": ORACLE_REL_CUBE,
         "rel_shipping_priority": ORACLE_REL_SHIPPING_PRIORITY,
         "funnel_signup_purchase": ORACLE_FUNNEL,
         "orders_without_lineitems": ORACLE_ORDERS_ANTI,

@@ -89,6 +89,75 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate_from_sketches(
+    corpus_sigs: DataFrame,
+    eval_sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate eval contamination: (doc_id, eval_doc_id, jaccard)
+    for corpus documents whose whole-document shingle-set Jaccard with an
+    eval/benchmark document reaches ``threshold``, with candidates from
+    banded MinHash collision — the fuzzy complement of
+    :func:`decontaminate`'s exact n-gram containment (an eval document
+    that leaked into the corpus with light edits shares few exact
+    3-grams per edit but keeps high set Jaccard).
+
+    Both inputs are sketch-spine-shaped frames (id, shd, mh —
+    :func:`forgettable_spark.extensions.dedup._minhash_sketches`): the
+    corpus side reads the materialized sketch spine (text-free), the
+    eval side is tiny by construction (benchmark suites vs a 100 TB
+    corpus) so its banded keys AND its shingle sets are **broadcast** —
+    the corpus streams through two scan-stage hash probes and the only
+    shuffle is the candidate-pair distinct, O(collisions). Same banding
+    (:func:`~forgettable_spark.extensions.dedup._band_keys`) and exact
+    verify as ``dedup_minhash_lsh``, reproduced by the DuckDB oracle, so
+    recall-by-banding is part of the checked contract, not a caveat.
+
+    Self-pairs (eval drawn from the corpus) are excluded by id, as in
+    :func:`decontaminate`.
+    """
+    from forgettable_spark.extensions.dedup import _band_keys, _jaccard_distinct
+
+    rows_per_band = k // bands
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(_band_keys(F.col("mh"), bands, rows_per_band)).alias(
+                "band", "key"
+            ),
+        )
+
+    cand = (
+        banded(corpus_sigs, "doc_id")
+        .join(F.broadcast(banded(eval_sigs, "eval_doc_id")), ["band", "key"])
+        .filter(F.col("doc_id") != F.col("eval_doc_id"))
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+    )
+    corpus_sh = corpus_sigs.select(
+        id_col, F.col("shd").alias("sh_c"), F.size("shd").cast("bigint").alias("nc")
+    )
+    eval_sh = eval_sigs.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.col("shd").alias("sh_e"),
+        F.size("shd").cast("bigint").alias("ne"),
+    )
+    return (
+        cand.join(corpus_sh, id_col)
+        .join(F.broadcast(eval_sh), "eval_doc_id")
+        .withColumn(
+            "jaccard",
+            _jaccard_distinct(F.col("sh_c"), F.col("sh_e"), F.col("nc"), F.col("ne")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_doc_id", "jaccard")
+    )
+
+
 def keep_list_after_decontamination(
     docs: DataFrame,
     eval_docs: DataFrame,
