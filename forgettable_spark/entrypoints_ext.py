@@ -774,9 +774,14 @@ def _oracle_ann_kmeans() -> str:
     sf_dir = _LAST_KMEANS_SF[0] if _LAST_KMEANS_SF else _KMEANS_ORACLE_DEFAULT_SF
     key = (sf_dir, KMEANS_CELLS)
     if key not in _CODEBOOKS:
-        _CODEBOOKS[key] = cb.train_codebook_local(
-            os.path.join(sf_dir, "embeddings.parquet"), k=KMEANS_CELLS
-        )
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            # Cold fetch in an environment without the fallback corpus:
+            # raise a TYPED error the caller (oracle_sql) degrades to a
+            # rows-only check instead of breaking retrieval of ALL
+            # oracles (ADVICE r6).
+            raise FileNotFoundError(emb_path)
+        _CODEBOOKS[key] = cb.train_codebook_local(emb_path, k=KMEANS_CELLS)
     return cb.codebook_oracle_sql(
         _CODEBOOKS[key],
         k=ANN_K,
@@ -2277,7 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "text_stats": ORACLE_TEXT_STATS,
         "language_id": _oracle_language_id(),
         "source_curation": _oracle_source_curation(),
@@ -2291,11 +2296,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _oracle_dedup_components(),
         "dedup_lsh_recall": _oracle_dedup_lsh_recall(),
         "ann_multiprobe_topk": _oracle_ann_signature_quantized(),
-        # ann_kmeans_topk: k-means is iterative, so this oracle is
-        # GENERATED per-corpus (literal trained codebook) rather than a
-        # static string — the training is a bit-deterministic pure
-        # function of the corpus, restated sessionlessly when needed.
-        "ann_kmeans_topk": _oracle_ann_kmeans(),
         "bm25_search": _oracle_bm25(),
         "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
@@ -2318,3 +2318,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
         "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
     }
+    # ann_kmeans_topk: k-means is iterative, so this oracle is GENERATED
+    # per-corpus (literal trained codebook) rather than a static string —
+    # the training is a bit-deterministic pure function of the corpus,
+    # restated sessionlessly when needed. Generation touches the corpus
+    # parquet, so a cold fetch in an environment without the fallback
+    # corpus must DEGRADE to omitting this one entry (the driver then
+    # records a rows-only check) instead of raising out of oracle_sql()
+    # and breaking retrieval of every other oracle (ADVICE r6).
+    try:
+        out["ann_kmeans_topk"] = _oracle_ann_kmeans()
+    except (OSError, ImportError):
+        pass
+    return out

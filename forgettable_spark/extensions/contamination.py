@@ -138,8 +138,14 @@ def fuzzy_decontaminate_from_sketches(
         .select("doc_id", "eval_doc_id")
         .distinct()
     )
+    # Join on the FIXED aliases ("doc_id"/"eval_doc_id") that banded()
+    # minted, not on the caller's id_col — cand no longer carries the
+    # original name, so joining on id_col raised for any id_col other
+    # than "doc_id" (ADVICE r6).
     corpus_sh = corpus_sigs.select(
-        id_col, F.col("shd").alias("sh_c"), F.size("shd").cast("bigint").alias("nc")
+        F.col(id_col).alias("doc_id"),
+        F.col("shd").alias("sh_c"),
+        F.size("shd").cast("bigint").alias("nc"),
     )
     eval_sh = eval_sigs.select(
         F.col(id_col).alias("eval_doc_id"),
@@ -147,7 +153,7 @@ def fuzzy_decontaminate_from_sketches(
         F.size("shd").cast("bigint").alias("ne"),
     )
     return (
-        cand.join(corpus_sh, id_col)
+        cand.join(corpus_sh, "doc_id")
         .join(F.broadcast(eval_sh), "eval_doc_id")
         .withColumn(
             "jaccard",

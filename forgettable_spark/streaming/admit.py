@@ -106,16 +106,19 @@ def _table_parts(path: str, exclude_batch: int) -> list[str]:
     if not os.path.isdir(path):
         return []
     entries = sorted(os.listdir(path))
-    # A fold is live only once its _SUCCESS marker exists: a crash
-    # mid-fold leaves a partial directory that readers (and the replay's
-    # rebuild check) must treat as absent, falling back to the unvacuumed
-    # originals it was being built from.
-    folds = [
-        int(e[5:])
-        for e in entries
-        if e.startswith("fold-")
-        and os.path.isfile(os.path.join(path, e, "_SUCCESS"))
-    ]
+    # A directory is live only once its _SUCCESS marker exists. For
+    # folds: a crash mid-fold leaves a partial directory that readers
+    # (and the replay's rebuild check) must treat as absent, falling
+    # back to the unvacuumed originals it was being built from. For
+    # batch dirs the same gate protects EXTERNAL readers
+    # (read_spine/read_sketches racing an in-flight batch write — ADVICE
+    # r6) from torn parquet; the loop itself never needed it (foreachBatch
+    # serializes batches, and a crashed batch is replayed before any
+    # later batch reads), but the rule is one invariant either way.
+    def _live(e: str) -> bool:
+        return os.path.isfile(os.path.join(path, e, "_SUCCESS"))
+
+    folds = [int(e[5:]) for e in entries if e.startswith("fold-") and _live(e)]
     m = max(folds) if folds else None
     parts: list[str] = []
     if m is not None:
@@ -123,7 +126,7 @@ def _table_parts(path: str, exclude_batch: int) -> list[str]:
     for e in entries:
         if e.startswith("batch-"):
             i = int(e[6:])
-            if (m is None or i >= m) and i != exclude_batch:
+            if (m is None or i >= m) and i != exclude_batch and _live(e):
                 parts.append(os.path.join(path, e))
     return parts
 

@@ -85,3 +85,52 @@ def test_stratified_sample_threshold_rounds_like_oracle(spark):
     assert b[10048] == 5608  # fixture guard: the id still hashes there
     kept = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5609}).collect()}
     assert 10048 in kept
+
+
+def test_fuzzy_decontaminate_accepts_custom_id_col(spark):
+    """ADVICE r6: banded() hard-aliases ids to doc_id/eval_doc_id, so the
+    verify join must use those fixed names — joining on the caller's
+    id_col raised AnalysisException for any id_col != 'doc_id'."""
+    from forgettable_spark.extensions.contamination import (
+        fuzzy_decontaminate_from_sketches,
+    )
+    from forgettable_spark.extensions.dedup import _minhash_sketches
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame([(101, text), (102, "totally different words here")],
+                                   ["rid", "body"])
+    evals = spark.createDataFrame([(900, text)], ["rid", "body"])
+    c_sigs = _minhash_sketches(corpus, "body", "rid", k=12)
+    e_sigs = _minhash_sketches(evals, "body", "rid", k=12)
+    rows = fuzzy_decontaminate_from_sketches(c_sigs, e_sigs, id_col="rid").collect()
+    assert [(r["doc_id"], r["eval_doc_id"]) for r in rows] == [(101, 900)]
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_kmeans_oracle_degrades_to_omission_without_corpus(monkeypatch):
+    """ADVICE r6: a cold oracle_sql() fetch in an environment lacking the
+    fallback corpus must omit ann_kmeans_topk (rows-only check) instead
+    of raising out of oracle_sql() and breaking EVERY oracle."""
+    from forgettable_spark import entrypoints_ext as ext
+
+    monkeypatch.setattr(ext, "_LAST_KMEANS_SF", ["/nonexistent/sf999"])
+    oracles = ext.oracle_sql()
+    assert "ann_kmeans_topk" not in oracles
+    assert "dedup_exact" in oracles  # the rest of the dict survives
+
+
+def test_table_parts_skip_batch_dir_without_success(tmp_path):
+    """ADVICE r6: an external reader (read_spine/read_sketches) racing an
+    in-flight batch write must not read a torn batch-<id> directory —
+    batch dirs are gated on _SUCCESS exactly like folds."""
+    from forgettable_spark.streaming.admit import _table_parts
+
+    root = tmp_path / "tbl"
+    for name, done in (("batch-0", True), ("batch-1", False), ("batch-2", True)):
+        d = root / name
+        d.mkdir(parents=True)
+        (d / "part-00000.parquet").write_bytes(b"torn")
+        if done:
+            (d / "_SUCCESS").write_text("")
+    parts = _table_parts(str(root), exclude_batch=-1)
+    assert [p.rsplit("/", 1)[1] for p in parts] == ["batch-0", "batch-2"]
