@@ -127,29 +127,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # Postings spine (extensions/postings.py): in production this is a
-    # TABLE maintained incrementally by the admission loop (like the
-    # MinHash sketch index), not something every query rebuilds — so the
-    # build is timed ONCE as its own transparent entry and the four
-    # token-family queries (bm25_search, lm_score, quality_distill,
-    # tfidf_keywords) then measure the steady-state read path. In
-    # SPARK_GRAFT_ONLY mode the entry is skipped and a named family
-    # query pays the build inline (single-query investigation shows the
-    # worst case) — unless SPARK_GRAFT_SPINE_ENTRY=1 restores the
-    # separate timed build (isolated steady-state scale runs).
+    # Combined corpus spine (extensions/postings.py
+    # materialized_corpus_spine): ALL FIVE spine tables — the token
+    # family's postings/doc_stats/bigrams plus the dedup family's
+    # shingled/simhash — built from ONE corpus-text scan (r7; was two
+    # separate builds costing three text scans). In production this is a
+    # TABLE maintained incrementally by the admission loop, not
+    # something every query rebuilds — so the build is timed ONCE as its
+    # own transparent entry and the nine spine-fed queries then measure
+    # the steady-state read path. In SPARK_GRAFT_ONLY mode the entry is
+    # skipped and a named family query pays the build inline
+    # (single-query investigation shows the worst case) — unless
+    # SPARK_GRAFT_SPINE_ENTRY=1 restores the separate timed build
+    # (isolated steady-state scale runs).
     if not only or os.environ.get("SPARK_GRAFT_SPINE_ENTRY") == "1":
         from forgettable_spark import entrypoints_ext as _ext
 
         _t0 = time.perf_counter()
         _ext._doc_spine(spark, sf_dir)
         timings["spine_build"] = round(time.perf_counter() - _t0, 4)
-        spark.catalog.clearCache()
-        # Sketch spine (extensions/sketches.py): the dedup family's
-        # analog — per-document shingle/MinHash/SimHash sketches built
-        # once per corpus; same accounting policy as spine_build.
-        _t0 = time.perf_counter()
-        _ext._sketch_spine(spark, sf_dir)
-        timings["sketch_spine_build"] = round(time.perf_counter() - _t0, 4)
         spark.catalog.clearCache()
         # Same accounting for the trained ANN codebook: a MODEL built
         # once per corpus (bounded-sample Lloyd — extensions/codebook.py),

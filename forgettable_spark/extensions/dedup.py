@@ -633,6 +633,7 @@ def simhash_sketch(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_hash=None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash of the token multiset.
 
@@ -661,10 +662,15 @@ def simhash_sketch(
     carries ONE 60-counter row per document — the same order of shuffle
     the downstream candidate join (4 block rows per doc) already
     pays, bought for ~1.6× less CPU on the corpus-sized stage.
+
+    ``tokens_col``: name of an ALREADY-TOKENIZED array column to explode
+    instead of re-splitting ``text_col`` — the shared-scan entry for
+    callers holding a materialized token projection (the combined spine
+    build, the admission loop's checkpointed sketch frame). Same rows by
+    construction (``tokens`` is a pure per-row split).
     """
-    ex = docs.select(
-        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
-    )
+    arr = F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    ex = docs.select(F.col(id_col), F.explode_outer(arr).alias("_tok"))
     # Set-bit counts, not ±1 votes: sum((th>>j)&1) is half the per-token
     # arithmetic of sum(((th>>j)%2)*2-1), and the majority test
     # 2·ones_j > n_tokens is bit-identical to votes_j > 0 (a tie yields

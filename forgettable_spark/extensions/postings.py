@@ -49,7 +49,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from forgettable_spark.extensions.text import shingles, tokens
+from forgettable_spark.extensions.text import shingles_from_tokens, tokens
 
 #: session-local materialization registry: (applicationId, corpus key,
 #: spine kind, corpus fingerprint) -> parquet root holding that kind's
@@ -105,8 +105,25 @@ def postings_tables(
 
 
 def _base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return _full_base(docs, text_col, id_col, block_col=None)
+
+
+def _full_base(
+    docs: DataFrame, text_col: str, id_col: str, block_col: str | None
+) -> DataFrame:
+    """The ONE corpus-text projection every spine table derives from:
+    (doc_id, _lang, _w = tokens(text), _t = text). ``block_col`` rides
+    along for the sketch tables' PPJoin blocking (NULL when absent from
+    the corpus or not requested); the postings tables ignore it and
+    column pruning drops it from their plans."""
+    lang = (
+        F.col(block_col)
+        if block_col is not None and block_col in docs.columns
+        else F.lit(None).cast("string")
+    ).alias("_lang")
     return docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
+        lang,
         tokens(F.col(text_col)).alias("_w"),
         F.col(text_col).alias("_t"),
     )
@@ -125,8 +142,11 @@ def materialize_table_set(
     ``write_tables(root)`` — which must write one parquet directory per
     name in ``table_names`` under ``root`` — and every later call (and
     every later consumer in the same session) reads the parquet back
-    without recomputing. Stale-corpus protection and atexit cleanup as
-    documented on ``_MATERIALIZED``."""
+    without recomputing. ``kind`` must encode every build parameter
+    that changes table VALUES (the combined spine folds text/id/block
+    cols and k into it) — the memo otherwise serves one caller's build
+    to a differently-parameterized one. Stale-corpus protection and
+    atexit cleanup as documented on ``_MATERIALIZED``."""
     key = (
         spark.sparkContext.applicationId,
         corpus_key,
@@ -135,7 +155,9 @@ def materialize_table_set(
     )
     root = _MATERIALIZED.get(key)
     if root is None or not os.path.exists(os.path.join(root, "_SPINE_COMPLETE")):
-        root = tempfile.mkdtemp(prefix=f"forgettable-{kind}-")
+        # kind may carry a |-separated param suffix; only its family name
+        # belongs in the path (plan tests grep the scan location)
+        root = tempfile.mkdtemp(prefix=f"forgettable-{kind.split('|')[0]}-")
         write_tables(root)
         with open(os.path.join(root, "_SPINE_COMPLETE"), "w") as fh:
             fh.write(corpus_key)
@@ -145,6 +167,91 @@ def materialize_table_set(
     }
 
 
+#: Every table the combined corpus-spine build materializes: the token
+#: family's three plus the dedup family's two (extensions/sketches.py).
+ALL_SPINE_TABLES = _TABLES + ("shingled", "simhash")
+
+
+def materialized_corpus_spine(
+    spark: SparkSession,
+    docs: DataFrame,
+    corpus_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    k: int = 12,
+) -> dict[str, DataFrame]:
+    """ALL FIVE spine tables (postings / doc_stats / bigrams / shingled /
+    simhash) materialized from ONE corpus-text scan, session-memoized
+    per (session, ``corpus_key``).
+
+    Before r7 the two spines were independent builds: postings shared
+    one tokenize across its three tables, but the sketch build paid two
+    MORE full text scans (shingled + simhash each re-read and re-split
+    the corpus). At 100 TB the scan IS the cost, not the hashing — so
+    all five tables now derive from the single persisted
+    ``_full_base`` projection (doc_id, _lang, tokens(text), text): the
+    sketch tables take shingles as a token-window transform
+    (``shingles_from_tokens``) and SimHash explodes the same token
+    arrays (``simhash_sketch(tokens_col=...)``). Every table's
+    expression tree is value-identical to its standalone form, so all
+    downstream results — and every DuckDB oracle — are unchanged
+    (test-asserted in tests/test_postings.py and tests/test_sketches.py).
+
+    Whichever family touches the corpus first pays the one build; the
+    other family's first call is a memo hit reading parquet back. The
+    incremental-maintenance story is unchanged: the admission loop
+    appends per-table deltas under ``spine_dir``/``sketch_dir``
+    (streaming/admit.py) and never calls this builder.
+
+    The five table writes run CONCURRENTLY over the eagerly-populated
+    cache: each write's post-cache pipeline (explode, shingle windows,
+    md5 folds, bit votes) is a narrow per-table job whose map tails and
+    shuffle barriers leave most cores idle when run back-to-back —
+    overlapping them is where the consolidation's wall-clock win
+    actually lives. Measured at sf1 (isolated, min-of-2): 26.4 s for
+    all five tables vs 24.6 s for the r6 postings-only build and 42.2 s
+    for r6's two sequential builds (SCALING.md r7)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from forgettable_spark.extensions.sketches import _sketch_tables_from_base
+
+    def write_tables(root: str) -> None:
+        # One text scan for all five writes: persist the tokenized
+        # projection for the duration of the build only (a plain
+        # .persist(), NOT scoped_cache — the spine's *files* outlive the
+        # run_released scope of whichever query triggered the build; the
+        # cache itself is released right here). The count() populates
+        # the cache BEFORE the concurrent writes so no two jobs race to
+        # compute the same partition.
+        base = _full_base(docs, text_col, id_col, block_col).persist()
+        base.count()
+        try:
+            tables = {
+                **_tables_from_base(base),
+                **_sketch_tables_from_base(base, k),
+            }
+
+            def _write(name: str) -> None:
+                tables[name].write.mode("overwrite").parquet(
+                    os.path.join(root, name)
+                )
+
+            with ThreadPoolExecutor(len(ALL_SPINE_TABLES)) as pool:
+                # list() drains the iterator so any write error raises
+                # here, aborting the build before _SPINE_COMPLETE lands
+                list(pool.map(_write, ALL_SPINE_TABLES))
+        finally:
+            base.unpersist()
+
+    # Build params are part of the memo identity: a default-k build must
+    # never be served to a k=16 caller over the same corpus_key.
+    kind = f"spine|{text_col}|{id_col}|{block_col}|{k}"
+    return materialize_table_set(
+        spark, docs, corpus_key, kind, ALL_SPINE_TABLES, write_tables
+    )
+
+
 def materialized_postings(
     spark: SparkSession,
     docs: DataFrame,
@@ -152,30 +259,14 @@ def materialized_postings(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict[str, DataFrame]:
-    """Session-memoized spine: first call per (session, ``corpus_key``)
-    tokenizes the corpus once (the token arrays are scope-cached across
-    the three table writes, so the text is scanned exactly once) and
-    writes the tables to session-local parquet; every later call — and
-    every later consumer in the same session — reads the fixed-width
-    parquet back without touching the corpus text."""
-
-    def write_tables(root: str) -> None:
-        # One text scan for all three writes: persist the tokenized
-        # projection for the duration of the build only (a plain
-        # .persist(), NOT scoped_cache — the spine's *files* outlive the
-        # run_released scope of whichever query triggered the build; the
-        # cache itself is released right here).
-        base = _base(docs, text_col, id_col).persist()
-        try:
-            tables = _tables_from_base(base)
-            for name in _TABLES:
-                tables[name].write.mode("overwrite").parquet(os.path.join(root, name))
-        finally:
-            base.unpersist()
-
-    return materialize_table_set(
-        spark, docs, corpus_key, "postings", _TABLES, write_tables
-    )
+    """Session-memoized postings spine — the token family's view of the
+    COMBINED corpus spine (:func:`materialized_corpus_spine`): first
+    call per (session, ``corpus_key``) scans the corpus text exactly
+    once and writes all five spine tables; every later call — from this
+    family or the dedup family — reads the fixed-width parquet back
+    without touching the corpus text."""
+    t = materialized_corpus_spine(spark, docs, corpus_key, text_col, id_col)
+    return {name: t[name] for name in _TABLES}
 
 
 def _tables_from_base(base: DataFrame) -> dict[str, DataFrame]:
@@ -195,7 +286,12 @@ def _tables_from_base(base: DataFrame) -> dict[str, DataFrame]:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     bigrams = (
-        base.select("doc_id", F.explode(shingles(F.col("_t"), n=2)).alias("gram"))
+        base.select(
+            "doc_id",
+            F.explode(
+                shingles_from_tokens(F.col("_w"), F.col("_t"), n=2)
+            ).alias("gram"),
+        )
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -182,7 +182,18 @@ def shingles(text: Column, n: int = 3) -> Column:
     the old form (asserted over the full corpus and the short-doc
     edges), so every shingle-consuming oracle is unaffected.
     """
-    w = tokens(text)
+    return shingles_from_tokens(tokens(text), text, n)
+
+
+def shingles_from_tokens(w: Column, text: Column, n: int = 3) -> Column:
+    """:func:`shingles` from an ALREADY-TOKENIZED array ``w`` (which must
+    be ``tokens(text)`` of the same row — the raw ``text`` is still
+    needed for the short-document whole-text fallback). This is the
+    shared-scan entry: a caller holding a materialized token projection
+    (the combined spine build, the admission loop's checkpointed base)
+    derives shingles without re-splitting the text, and the expression
+    tree below is the exact one :func:`shingles` builds, so the output
+    is bit-identical by construction."""
     size = F.size(w)
     g = w
     for i in range(1, n):

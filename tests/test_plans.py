@@ -138,11 +138,11 @@ def test_simhash_pairs_self_join_reuses_sketch_exchange(spark):
 
 def test_simhash_pairs_registered_query_is_spine_backed(spark):
     """The REGISTERED query reads the materialized sketch spine: its
-    plan scans the spine's parquet (tempdir prefix 'forgettable-
-    sketches') and contains no token explode / sketch aggregation — the
-    corpus text is out of the plan entirely."""
+    plan scans the combined spine's parquet (tempdir prefix
+    'forgettable-spine') and contains no token explode / sketch
+    aggregation — the corpus text is out of the plan entirely."""
     plan = _formatted_plan(ep.queries()["dedup_simhash_pairs"](spark, SF_SMOKE))
-    assert "forgettable-sketches" in plan
+    assert "forgettable-spine" in plan
     assert "documents.parquet" not in plan
 
 

@@ -72,18 +72,29 @@ def test_incremental_narrow_sigs_spine_equivalence(spark):
     assert _rows(a) == _rows(b)
 
 
-def test_sketch_spine_shares_memo_without_collision(spark):
-    """Both spine kinds coexist over one corpus: same corpus_key, two
-    distinct roots, each holding its own tables."""
+def test_both_families_share_one_combined_build(spark, monkeypatch):
+    """The r7 contract: postings and sketches are two VIEWS of one
+    combined five-table spine — same corpus_key resolves to the SAME
+    root, and whichever family touches the corpus first pays the only
+    build (the second family's call must not re-enter any build path)."""
     docs = load_table(spark, SF_SMOKE, "documents")
     key = "eq-coexist"
     t_post = postings.materialized_postings(spark, docs, corpus_key=key)
+    # poison BOTH table constructors: the sketch call below must be a
+    # pure memo hit off the postings-triggered build
+    monkeypatch.setattr(
+        postings, "_tables_from_base", lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+    )
+    monkeypatch.setattr(
+        sketches,
+        "_sketch_tables_from_base",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError),
+    )
     t_sk = sketches.materialized_sketches(spark, docs, corpus_key=key)
     root_post = os.path.dirname(os.path.dirname(t_post["postings"].inputFiles()[0]))
     root_sk = os.path.dirname(os.path.dirname(t_sk["simhash"].inputFiles()[0]))
-    assert root_post != root_sk
-    kinds = {k[2] for k in postings._MATERIALIZED if k[1] == key}
-    assert {"postings", "sketches"} <= kinds
+    assert root_post == root_sk
+    assert t_sk["shingled"].count() > 0
 
 
 def test_materialized_sketches_build_once(spark, monkeypatch):
@@ -93,7 +104,9 @@ def test_materialized_sketches_build_once(spark, monkeypatch):
     n1 = t1["shingled"].count()
     # poison the build path to prove the second call reads the memo
     monkeypatch.setattr(
-        sketches, "sketch_tables", lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+        sketches,
+        "_sketch_tables_from_base",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError),
     )
     t2 = sketches.materialized_sketches(spark, docs, corpus_key=key)
     assert t2["shingled"].count() == n1
