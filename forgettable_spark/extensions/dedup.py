@@ -214,23 +214,39 @@ def _jaccard_distinct(a: Column, b: Column, na: Column, nb: Column) -> Column:
 
 
 def _minhash_sketches(
-    docs: DataFrame, text_col: str, id_col: str, k: int
+    docs: DataFrame, text_col: str, id_col: str, k: int, keep_tokens: bool = False
 ) -> DataFrame:
     """Per-document MinHash sketch frame (id, shd, mh): distinct shingle
     set + k-element signature, row-local. NULL text is excluded here
     (its shingle set would be [NULL], and array_intersect treats NULL
     elements as equal — two NULL docs would verify at jaccard 1.0).
-    Shared by the batch self-join and the incremental admit paths."""
-    from forgettable_spark.extensions.text import minhash_signature_from_base, shingle_hash
+    Shared by the batch self-join and the incremental admit paths.
 
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    ``keep_tokens`` keeps the token array (``_w``) AND the raw text
+    (``_t``) as columns: the admission loop's spine maintenance derives
+    its postings and SimHash deltas from the SAME checkpointed frame
+    instead of re-reading and re-splitting the admitted text
+    (VERDICT r6 #2). shd/mh are bit-identical either way — the shingle
+    chain below consumes the identical token expression."""
+    from forgettable_spark.extensions.text import (
+        minhash_signature_from_base,
+        shingle_hash,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    ne = docs.filter(F.col(text_col).isNotNull())
+    extra = [tokens(F.col(text_col)).alias("_w")] if keep_tokens else []
+    sketch_src = F.col("_w") if keep_tokens else tokens(F.col("_t"))
+    out = (
+        ne.select(F.col(id_col), *extra, F.col(text_col).alias("_t"))
+        .withColumn("sh", shingles_from_tokens(sketch_src, F.col("_t")))
         .withColumn("shd", F.array_distinct(F.col("sh")))
         .withColumn("_base", F.transform(F.col("shd"), shingle_hash))
         .withColumn("mh", minhash_signature_from_base(F.col("_base"), k))
         .drop("sh", "_base")
     )
+    return out if keep_tokens else out.drop("_t")
 
 
 def minhash_sketches_from_shingled(

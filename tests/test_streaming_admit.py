@@ -567,3 +567,54 @@ def test_sketch_delta_replay_is_idempotent(spark, dirs):
         for r in read_sketches(spark, sketch_dir)["shingled"].collect()
     )
     assert first == second and len(first) > 0
+
+
+def test_spines_enabled_mid_stream_backfill_previous_batches(spark, dirs):
+    """ADVICE r6: restarting a stream with spine_dir/sketch_dir NEWLY set
+    must not yield spines missing every previously admitted batch — the
+    first maintained batch backfills a fold-<id> from the admitted
+    corpus, and the reassembled tables are row-identical to a
+    from-scratch rebuild over the WHOLE admitted corpus."""
+    from forgettable_spark.extensions.postings import postings_tables
+    from forgettable_spark.extensions.sketches import sketch_tables
+    from forgettable_spark.streaming.admit import read_sketches, read_spine
+
+    spine_dir = os.path.join(dirs["root"], "spine")
+    sketch_dir = os.path.join(dirs["root"], "sketches")
+
+    def run(bid, rows, maintain):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bid,
+            dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=None,
+            spine_dir=spine_dir if maintain else None,
+            sketch_dir=sketch_dir if maintain else None,
+        )
+
+    # two batches BEFORE maintenance exists, one after enabling it
+    run(0, [(1, DOC_A), (2, DOC_B)], maintain=False)
+    run(1, [(11, DOC_E), (12, None)], maintain=False)
+    run(2, [(20, "twenty tokens of fresh text alpha20 beta20 gamma20")],
+        maintain=True)
+
+    # the backfill landed as fold-2 next to batch-2's own delta
+    for base, t in ((spine_dir, "postings"), (sketch_dir, "shingled")):
+        entries = sorted(os.listdir(os.path.join(base, t)))
+        assert entries == ["batch-2", "fold-2"], (t, entries)
+
+    admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+        dirs["corpus"]
+    ).select("doc_id", "text")
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 11, 12, 20]
+
+    def _rows(df):
+        return sorted(tuple(repr(v) for v in r) for r in df.collect())
+
+    live_sp = read_spine(spark, spine_dir)
+    want_sp = postings_tables(admitted)
+    for t in ("postings", "doc_stats", "bigrams"):
+        assert _rows(live_sp[t]) == _rows(want_sp[t]), f"{t} missing backfill"
+    live_sk = read_sketches(spark, sketch_dir)
+    want_sk = sketch_tables(admitted, block_col=None)
+    for t in ("shingled", "simhash"):
+        assert _rows(live_sk[t]) == _rows(want_sk[t]), f"{t} missing backfill"
