@@ -692,23 +692,28 @@ def simhash_sketch(
     # 2·ones_j > n_tokens is bit-identical to votes_j > 0 (a tie yields
     # bit 0 under both). n_tokens = count(_th) skips the NULL row
     # explode_outer emits for empty/NULL text, so those sketch to 0.
+    # The 60 per-bit expressions are SQL strings, not stacked Column
+    # calls: building shiftright/&/sum/alias through the Column API costs
+    # ~5 py4j roundtrips per bit — ~1.7 s of PLAN CONSTRUCTION per call,
+    # which the streaming admission loop pays EVERY micro-batch (it was
+    # the single largest spine-maintenance cost at sf0.1 — SCALING.md
+    # r7). expr() parses each string in one roundtrip to the identical
+    # logical expression, so results and codegen are unchanged.
     votes = ex.select(
         F.col(id_col), (token_hash or token_hash60)(F.col("_tok")).alias("_th")
     ).groupBy(
         id_col
     ).agg(
-        F.count("_th").alias("_n"),
+        F.expr("count(_th) AS _n"),
         *[
-            F.sum(F.shiftright(F.col("_th"), j).bitwiseAND(F.lit(1))).alias(f"_v{j}")
+            F.expr(f"sum(shiftright(_th, {j}) & 1) AS _v{j}")
             for j in range(SIMHASH_BITS)
         ],
     )
-    sim = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
-        sim = sim + F.when(
-            F.col(f"_v{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    sim_sql = " + ".join(
+        f"if(_v{j} * 2 > _n, {1 << j}L, 0L)" for j in range(SIMHASH_BITS)
+    )
+    return votes.select(F.col(id_col), F.expr(sim_sql).alias("simhash"))
 
 
 def simhash_pairs(

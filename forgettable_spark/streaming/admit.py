@@ -277,8 +277,23 @@ def admit_batch(
     # DataFrame.unpersist on the derived frame would not free them, and
     # a blanket sweep would evict a co-resident session user's caches
     # (same discipline as publish_batch).
+    # SPARK_GRAFT_ADMIT_TIMING=1: print per-phase wall times, one line
+    # per batch — the knob the loop's own bench (scripts/bench_stream.py)
+    # uses to attribute jobs-per-batch cost to phases. No-op otherwise.
+    import time as _time
+
+    _marks: list[tuple[str, float]] = []
+    _t_prev = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t_prev
+        now = _time.perf_counter()
+        _marks.append((name, now - _t_prev))
+        _t_prev = now
+
     before_ids = _persistent_rdd_ids(spark)
     batch = batch.localCheckpoint(eager=True)
+    _mark("batch_ckpt")
     own_ids = _persistent_rdd_ids(spark) - before_ids
     # AQE off for the batch's queries: at micro-batch scale every AQE
     # shuffle-stage materialization is its own scheduled job, and the
@@ -330,6 +345,7 @@ def admit_batch(
                 k,
                 keep_tokens=sketch_dir is not None or spine_dir is not None,
             ).localCheckpoint(eager=True)
+            _mark("sigs_ckpt")
 
             # Pass 1: within-batch near-dups (earlier id wins).
             pairs = dedup.minhash_lsh_pairs_from_sketches(
@@ -352,6 +368,7 @@ def admit_batch(
                 # two consumers (verdict union + survivor anti-join)
                 .localCheckpoint(eager=True)
             )
+            _mark("within_ckpt")
             survivors = batch.join(within.select(id_col), id_col, "left_anti")
 
             # Pass 2: survivors vs the stored index; verify text comes
@@ -399,6 +416,7 @@ def admit_batch(
                 # projections below
                 .localCheckpoint(eager=True)
             )
+            _mark("verdicts_ckpt")
 
             # admitted_ids is O(batch) off the checkpointed verdicts —
             # broadcast every filter-join against it so no delta write
@@ -408,13 +426,6 @@ def admit_batch(
                     F.col("doc_id").alias(id_col)
                 )
             )
-            # Every per-table output is an independent overwrite of its
-            # own batch-<id> directory, and at micro-batch scale the
-            # loop is JOB-SCHEDULING-bound (SCALING.md) — so the writes
-            # are gathered here and executed CONCURRENTLY below instead
-            # of as 3-8 sequential jobs. Inputs are checkpointed
-            # (batch, sigs, verdicts), so concurrent plans recompute
-            # only narrow projections.
             # With spine/sketch maintenance on, EVERY sketch-derived
             # delta (index, postings×3, shingled, simhash) is a pure
             # projection of ONE checkpointed admitted-sketch frame —
@@ -428,6 +439,7 @@ def admit_batch(
                 adm_sigs = sigs.join(admitted_ids, id_col).localCheckpoint(
                     eager=True
                 )
+                _mark("adm_sigs_ckpt")
             index_delta = (
                 adm_sigs.select(F.col(id_col).alias("doc_id"), "mh")
                 if adm_sigs is not None
@@ -435,12 +447,35 @@ def admit_batch(
                     id_col, "doc_id"
                 )
             )
-            pending: list[tuple[DataFrame, str]] = [
-                (verdicts, f"{verdict_dir}/batch-{batch_id}"),
-                # Full batch schema rides into the corpus (ts, source, ...).
-                (batch.join(admitted_ids, id_col), f"{corpus_dir}/batch-{batch_id}"),
-                (index_delta, f"{index_dir}/batch-{batch_id}"),
-            ]
+            # Every per-table output is an independent overwrite of its
+            # own batch-<id> directory, and at micro-batch scale the
+            # loop is JOB-SCHEDULING-bound (SCALING.md) — so each write
+            # is SUBMITTED to the pool the moment its plan exists and
+            # runs concurrently with both the other writes and the
+            # construction of the remaining delta plans (building the
+            # five spine/sketch plans costs ~0.4 s of driver-side py4j
+            # per batch — overlapped with the base writes it is free).
+            # Inputs are checkpointed (batch, sigs, verdicts), so
+            # concurrent plans recompute only narrow projections.
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(8)
+            futures = []
+
+            def _submit(df: DataFrame, path: str) -> None:
+                futures.append(
+                    pool.submit(
+                        lambda: df.write.mode("overwrite").parquet(path)
+                    )
+                )
+
+            _submit(verdicts, f"{verdict_dir}/batch-{batch_id}")
+            # Full batch schema rides into the corpus (ts, source, ...).
+            _submit(
+                batch.join(admitted_ids, id_col), f"{corpus_dir}/batch-{batch_id}"
+            )
+            _submit(index_delta, f"{index_dir}/batch-{batch_id}")
+            _mark("plan_base")
 
             if spine_dir is not None:
                 # Postings-spine delta for the ADMITTED docs only,
@@ -469,10 +504,13 @@ def admit_batch(
                     F.col("_w"),
                     F.col("_t"),
                 )
-                pending += [
-                    (df, f"{spine_dir}/{name}/batch-{batch_id}")
-                    for name, df in _sp._tables_from_base(spine_base).items()
-                ]
+                # coalesce(1): a micro-batch delta is a few hundred
+                # rows — one output file per table keeps the write's
+                # reduce side to one task and every later reader/fold
+                # from listing 8 shards per batch.
+                for name, df in _sp._tables_from_base(spine_base).items():
+                    _submit(df.coalesce(1), f"{spine_dir}/{name}/batch-{batch_id}")
+                _mark("plan_spine")
 
             if sketch_dir is not None:
                 # Sketch-spine delta for the ADMITTED docs only. The
@@ -515,37 +553,37 @@ def admit_batch(
                 )
                 # SimHash delta off the SAME checkpointed frame: sigs
                 # carries the token arrays (keep_tokens above), so the
-                # delta is one explode + keyed aggregation over stored
-                # arrays — the admitted text is never re-read or
-                # re-split (it was before r7: −31% docs/s at toy batch
-                # sizes, SCALING.md r6). sigs already excludes NULL-text
-                # documents, matching the rebuild's sketch_tables
-                # contract.
-                simhash_delta = dedup.simhash_sketch(
-                    adm_sigs.select(F.col(id_col), "_w"),
-                    id_col=id_col,
-                    tokens_col="_w",
-                ).select(F.col(id_col).alias("doc_id"), "simhash")
-                pending += [
-                    (shingled_delta, f"{sketch_dir}/shingled/batch-{batch_id}"),
-                    (simhash_delta, f"{sketch_dir}/simhash/batch-{batch_id}"),
-                ]
+                # delta hashes the stored arrays — the admitted text is
+                # never re-read or re-split (it was before r7: −31%
+                # docs/s at toy batch sizes, SCALING.md r6). sigs
+                # already excludes NULL-text documents, matching the
+                # rebuild's sketch_tables contract.
+                simhash_delta = (
+                    dedup.simhash_sketch(
+                        adm_sigs.select(F.col(id_col), "_w"),
+                        id_col=id_col,
+                        tokens_col="_w",
+                    )
+                    .coalesce(1)
+                    .select(F.col(id_col).alias("doc_id"), "simhash")
+                )
+                _submit(
+                    shingled_delta.coalesce(1),
+                    f"{sketch_dir}/shingled/batch-{batch_id}",
+                )
+                _submit(simhash_delta, f"{sketch_dir}/simhash/batch-{batch_id}")
+                _mark("plan_sketch")
 
-            def _write(item: tuple[DataFrame, str]) -> None:
-                df, path = item
-                df.write.mode("overwrite").parquet(path)
-
-            if len(pending) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(len(pending)) as pool:
-                    # list() drains the iterator so the first write error
-                    # raises here, failing the batch before the
-                    # checkpoint commits (exactly-once: the replay
-                    # overwrites every per-table directory)
-                    list(pool.map(_write, pending))
-            else:
-                _write(pending[0])
+            # Drain every future so the FIRST write error raises here,
+            # failing the batch before the streaming checkpoint commits
+            # (exactly-once: the replay overwrites every per-table
+            # directory).
+            try:
+                for f in futures:
+                    f.result()
+            finally:
+                pool.shutdown(wait=True)
+            _mark(f"writes[{len(futures)}]")
 
         if fold_every:
             # Gate each table on its OWN live-batch count: a crash
@@ -562,14 +600,35 @@ def admit_batch(
                 fold_dirs += [
                     os.path.join(sketch_dir, t) for t in ("shingled", "simhash")
                 ]
-            for d in fold_dirs:
-                live = [
-                    p
+            due = [
+                d
+                for d in fold_dirs
+                if sum(
+                    os.path.basename(p).startswith("batch-")
                     for p in _table_parts(d, exclude_batch=-1)
-                    if os.path.basename(p).startswith("batch-")
-                ]
-                if len(live) >= fold_every:
-                    _fold(spark, d, batch_id)
+                )
+                >= fold_every
+            ]
+            if len(due) > 1:
+                # Folds are per-directory independent (each reads and
+                # vacuums only its own parts), and with spine/sketch
+                # maintenance on a fold batch touches up to 10 tables —
+                # run them concurrently, same rationale as the delta
+                # writes above. list() drains so the first error raises.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(len(due)) as pool:
+                    list(pool.map(lambda d: _fold(spark, d, batch_id), due))
+            elif due:
+                _fold(spark, due[0], batch_id)
+            _mark("fold_check")
+        if os.environ.get("SPARK_GRAFT_ADMIT_TIMING") == "1":
+            total = sum(d for _, d in _marks)
+            print(
+                f"[admit-timing] batch={batch_id} total={total:.2f}s "
+                + " ".join(f"{n}={d:.2f}" for n, d in _marks),
+                flush=True,
+            )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
