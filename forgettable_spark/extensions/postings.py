@@ -64,23 +64,69 @@ _MATERIALIZED: dict[tuple[str, str, str, str], str] = {}
 _TABLES = ("postings", "doc_stats", "bigrams")
 
 
-def _corpus_fingerprint(docs: DataFrame) -> str:
+#: (applicationId, corpus_key) -> (parent-dir signature, fingerprint).
+#: The full fingerprint stats EVERY corpus input file — at 100 TB that
+#: is a per-query driver-side metadata sweep over millions of object
+#: paths, so it is computed once per (session, corpus) and revalidated
+#: with one stat per parent DIRECTORY: any writer that adds, removes,
+#: or renames files (every Spark/Hive-style overwrite does) bumps a
+#: directory mtime and forces a fresh sweep. The one change this misses
+#: is an in-place same-filename rewrite — writers doing that call
+#: :func:`invalidate_corpus` (the test fixture's contract in
+#: tests/test_postings.py).
+_FP_CACHE: dict[tuple[str, str], tuple[tuple, str]] = {}
+
+
+def invalidate_corpus(corpus_key: str | None = None) -> None:
+    """Drop cached corpus fingerprints — all of them, or one
+    ``corpus_key`` across sessions — so the next spine access re-stats
+    the corpus files. Needed only by writers that rewrite corpus files
+    IN PLACE under the same names (a directory-mtime check catches
+    added/removed/renamed files automatically)."""
+    if corpus_key is None:
+        _FP_CACHE.clear()
+    else:
+        for k in [k for k in _FP_CACHE if k[1] == corpus_key]:
+            del _FP_CACHE[k]
+
+
+def _dir_sig(dirs) -> tuple:
+    sig = []
+    for d in sorted(dirs):
+        try:
+            sig.append((d, os.stat(d).st_mtime_ns))
+        except OSError:
+            sig.append((d, -1))
+    return tuple(sig)
+
+
+def _corpus_fingerprint(spark: SparkSession, docs: DataFrame, corpus_key: str) -> str:
     """Stable digest of the corpus' physical inputs: sorted (path, size,
     mtime_ns) of every input file. Non-local or non-statable inputs
     (object stores, in-memory frames) contribute path-only rows — for
     those the caller's ``corpus_key`` remains the identity and the
-    static-corpus-per-session assumption applies."""
+    static-corpus-per-session assumption applies. Memoized per
+    (session, ``corpus_key``) with directory-mtime revalidation
+    (``_FP_CACHE`` note above)."""
     import hashlib
 
+    cache_key = (spark.sparkContext.applicationId, corpus_key)
+    hit = _FP_CACHE.get(cache_key)
+    if hit is not None and _dir_sig(d for d, _ in hit[0]) == hit[0]:
+        return hit[1]
     rows = []
+    parents = set()
     for uri in sorted(docs.inputFiles()):
         path = uri[len("file:"):] if uri.startswith("file:") else uri
+        parents.add(os.path.dirname(path))
         try:
             st = os.stat(path)
             rows.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
         except OSError:
             rows.append(uri)
-    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+    fp = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    _FP_CACHE[cache_key] = (_dir_sig(parents), fp)
+    return fp
 
 
 def _cleanup_materialized() -> None:
@@ -147,14 +193,24 @@ def materialize_table_set(
     cols and k into it) — the memo otherwise serves one caller's build
     to a differently-parameterized one. Stale-corpus protection and
     atexit cleanup as documented on ``_MATERIALIZED``."""
+    app = spark.sparkContext.applicationId
     key = (
-        spark.sparkContext.applicationId,
+        app,
         corpus_key,
         kind,
-        _corpus_fingerprint(docs),
+        _corpus_fingerprint(spark, docs, corpus_key),
     )
     root = _MATERIALIZED.get(key)
     if root is None or not os.path.exists(os.path.join(root, "_SPINE_COMPLETE")):
+        # Evict every superseded entry for the same (corpus, kind) —
+        # stale-fingerprint rebuilds and incomplete roots — and remove
+        # their tempdirs NOW, not at exit: replacing the memo entry
+        # without the rmtree orphans one directory per regeneration for
+        # the session's lifetime (ADVICE r6).
+        for stale in [
+            k for k in _MATERIALIZED if k[0] == app and k[1] == corpus_key and k[2] == kind
+        ]:
+            shutil.rmtree(_MATERIALIZED.pop(stale), ignore_errors=True)
         # kind may carry a |-separated param suffix; only its family name
         # belongs in the path (plan tests grep the scan location)
         root = tempfile.mkdtemp(prefix=f"forgettable-{kind.split('|')[0]}-")

@@ -128,7 +128,13 @@ def _tiny_corpus_dir(tmp_path, rows):
 def test_materialized_spine_invalidates_on_corpus_change(spark, tmp_path):
     """The memo key folds a corpus fingerprint (file list + sizes +
     mtimes): regenerating the files under the same path must MISS the
-    memo and serve the new corpus, never a stale spine (ADVICE r5)."""
+    memo and serve the new corpus, never a stale spine (ADVICE r5).
+    Since r7 the fingerprint is cached per (session, corpus_key) — an
+    IN-PLACE same-filename rewrite (this fixture) is invisible to the
+    directory-mtime revalidation, so the writer calls
+    ``invalidate_corpus`` (the documented contract); the rebuild must
+    also rmtree the superseded root instead of orphaning it until exit
+    (ADVICE r6)."""
     import time
 
     d = _tiny_corpus_dir(tmp_path, [(1, "alpha beta"), (2, "gamma")])
@@ -136,15 +142,73 @@ def test_materialized_spine_invalidates_on_corpus_change(spark, tmp_path):
     t1 = postings.materialized_postings(spark, docs1, corpus_key=d)
     terms1 = {r["term"] for r in t1["postings"].collect()}
     assert terms1 == {"alpha", "beta", "gamma"}
+    root1 = [r for k, r in postings._MATERIALIZED.items() if k[1] == d][0]
 
     time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse clocks
     _tiny_corpus_dir(tmp_path, [(1, "delta epsilon"), (2, "zeta")])
+    postings.invalidate_corpus(d)
     docs2 = spark.read.parquet(d)
     t2 = postings.materialized_postings(spark, docs2, corpus_key=d)
     terms2 = {r["term"] for r in t2["postings"].collect()}
     assert terms2 == {"delta", "epsilon", "zeta"}, (
         "stale spine served after the corpus regenerated in place"
     )
+    assert not os.path.isdir(root1), (
+        "superseded spine root orphaned instead of removed at rebuild"
+    )
+
+
+def test_fingerprint_autodetects_added_file(spark, tmp_path):
+    """Adding/removing/renaming corpus files (every Spark-style
+    overwrite) bumps the parent directory's mtime — the cached
+    fingerprint must revalidate and rebuild WITHOUT an explicit
+    invalidate call."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _tiny_corpus_dir(tmp_path, [(1, "alpha beta")])
+    t1 = postings.materialized_postings(
+        spark, spark.read.parquet(d), corpus_key=d
+    )
+    assert {r["term"] for r in t1["postings"].collect()} == {"alpha", "beta"}
+
+    time.sleep(0.05)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "text": pa.array(["omega"], pa.string()),
+            }
+        ),
+        os.path.join(d, "more.parquet"),
+    )
+    t2 = postings.materialized_postings(
+        spark, spark.read.parquet(d), corpus_key=d
+    )
+    assert {r["term"] for r in t2["postings"].collect()} == {
+        "alpha",
+        "beta",
+        "omega",
+    }, "new corpus file not detected by directory-mtime revalidation"
+
+
+def test_fingerprint_cached_per_session_corpus(spark, tmp_path):
+    """VERDICT r6 #5: ONE stat sweep per (session, corpus_key) — after
+    the first spine access, later accesses must not re-enumerate the
+    corpus' input files (at 100 TB that sweep is a per-query driver-side
+    metadata pass over millions of object paths)."""
+    d = _tiny_corpus_dir(tmp_path, [(3, "iota kappa")])
+    docs = spark.read.parquet(d)
+    postings.materialized_postings(spark, docs, corpus_key=d)
+
+    poisoned = spark.read.parquet(d)
+    poisoned.inputFiles = lambda: (_ for _ in ()).throw(
+        AssertionError("inputFiles re-enumerated on a cached fingerprint")
+    )
+    t = postings.materialized_postings(spark, poisoned, corpus_key=d)
+    assert {r["term"] for r in t["postings"].collect()} == {"iota", "kappa"}
 
 
 def test_materialized_spine_cleanup_removes_roots(spark, tmp_path):
