@@ -560,6 +560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_poisson": q_get_dist_poisson,
         "incr_snapshot": q_incr_snapshot,
         "asof_attribution": q_asof_attribution,
+        # r7 rotation (VERDICT r6 #4): first driver rows for two compat/
+        # law variants green locally since r1 but never driver-seen —
+        # the reference's partial-Z /get quirk and the pyforget
+        # floor-at-1 no-prune decay law.
+        "get_field_compat_partial_z": q_get_field_compat_partial_z,
+        "get_dist_noprune": q_get_dist_noprune,
     }
     from forgettable_spark import entrypoints_ext, entrypoints_rel
 
@@ -689,15 +695,11 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed_float": entrypoints_ext.q_ann_bucketed_float,
         "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
         "get_dist_wipe_regime": q_get_dist_wipe_regime,
-        "get_field_compat_partial_z": q_get_field_compat_partial_z,
-        "get_dist_noprune": q_get_dist_noprune,
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
         "ann_argmax_multiprobe": entrypoints_ext.q_ann_argmax_multiprobe,
         "ann_signature_topk": entrypoints_ext.q_ann_signature_topk,
         "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
-        "ann_recall_signature": entrypoints_ext.q_ann_recall_signature,
         "stratified_sample": entrypoints_ext.q_stratified_sample,
-        "quality_filter": entrypoints_ext.q_quality_filter,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
         "token_counts": entrypoints_ext.q_token_counts,
         "hash_split": entrypoints_ext.q_hash_split,
@@ -708,6 +710,10 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": entrypoints_rel.q_value_quantiles,
         "profile_events": entrypoints_rel.q_profile_events,
         "user_event_set_ops": entrypoints_rel.q_user_event_set_ops,
+        "text_stats": entrypoints_ext.q_text_stats,
+        "pack_apply": entrypoints_ext.q_pack_apply,
+        "dedup_chunk_apply": entrypoints_ext.q_dedup_chunk_apply,
+        "rel_shipping_priority": entrypoints_rel.q_rel_shipping_priority,
     }
 
 
@@ -759,6 +765,8 @@ WHERE distribution = 'colors'"""
         "get_dist_poisson": _oracle_get_dist_poisson(_EV_EVENT_TYPE, RATE_SLOW, POISSON_SEED),
         "incr_snapshot": incr_sql,
         "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
+        "get_field_compat_partial_z": _oracle_get_field_compat(),
+        "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
     }
     out.update(entrypoints_ext.oracle_sql())
     out.update(entrypoints_rel.oracle_sql())
@@ -805,15 +813,11 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_bucketed_float": entrypoints_ext.ORACLE_ANN_BUCKETED,
         "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
         "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
-        "get_field_compat_partial_z": _oracle_get_field_compat(),
-        "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
         "ann_argmax_multiprobe": entrypoints_ext._oracle_ann_quantized_bucketed(),
         "ann_signature_topk": entrypoints_ext._oracle_ann_signature(),
         "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
-        "ann_recall_signature": entrypoints_ext._oracle_ann_recall_signature(),
         "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
-        "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
         "token_counts": entrypoints_ext.ORACLE_TOKEN_COUNTS,
         "hash_split": entrypoints_ext.ORACLE_HASH_SPLIT,
@@ -824,4 +828,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "value_quantiles": entrypoints_rel.ORACLE_VALUE_QUANTILES,
         "profile_events": entrypoints_rel.ORACLE_PROFILE_EVENTS,
         "user_event_set_ops": entrypoints_rel.ORACLE_SET_OPS,
+        "text_stats": entrypoints_ext.ORACLE_TEXT_STATS,
+        "pack_apply": entrypoints_ext._oracle_pack_apply(),
+        "dedup_chunk_apply": entrypoints_ext.ORACLE_DEDUP_CHUNK_APPLY,
+        "rel_shipping_priority": entrypoints_rel.ORACLE_REL_SHIPPING_PRIORITY,
     }

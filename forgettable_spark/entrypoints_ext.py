@@ -2241,7 +2241,6 @@ WHERE {bkt.replace('doc_id', 'd.doc_id')} < {INCR_NEW_BOUND}"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "text_stats": q_text_stats,
         "language_id": q_language_id,
         "source_curation": q_source_curation,
         "dedup_exact": q_dedup_exact,
@@ -2250,7 +2249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_incremental": q_dedup_incremental,
         "dedup_chunk_exact": q_dedup_chunk_exact,
-        "dedup_chunk_apply": q_dedup_chunk_apply,
         "dedup_components": q_dedup_components,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
@@ -2272,18 +2270,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "lm_score": q_lm_score,
         "pack_sequences": q_pack_sequences,
-        "pack_apply": q_pack_apply,
         # r6 rotation: first driver rows for three operators green
         # locally since r4 (three rel_* twists moved to secondary).
         "batch_novelty": q_batch_novelty,
         "sample_per_group": q_sample_per_group,
         "dedup_simhash_capped": q_dedup_simhash_capped,
+        # r7 rotation (VERDICT r6 #4): first driver rows for the rule
+        # gate quality_distill embeds (quality_filter) and the headline
+        # quantizer's recall+cost gauge (ann_recall_signature, new r6);
+        # their demoted twins — text_stats (projection sibling of the
+        # registered token/quality family), pack_apply and
+        # dedup_chunk_apply (materialize twins of the still-registered
+        # layout queries) — keep identical oracle rigor in
+        # entrypoints.secondary_queries().
+        "quality_filter": q_quality_filter,
+        "ann_recall_signature": q_ann_recall_signature,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = {
-        "text_stats": ORACLE_TEXT_STATS,
         "language_id": _oracle_language_id(),
         "source_curation": _oracle_source_curation(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
@@ -2292,7 +2298,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
         "dedup_incremental": _oracle_dedup_incremental(),
         "dedup_chunk_exact": ORACLE_DEDUP_CHUNK_EXACT,
-        "dedup_chunk_apply": ORACLE_DEDUP_CHUNK_APPLY,
         "dedup_components": _oracle_dedup_components(),
         "dedup_lsh_recall": _oracle_dedup_lsh_recall(),
         "ann_multiprobe_topk": _oracle_ann_signature_quantized(),
@@ -2313,10 +2318,11 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": ORACLE_REPETITION_STATS,
         "lm_score": _oracle_lm_score(),
         "pack_sequences": _oracle_pack_sequences(),
-        "pack_apply": _oracle_pack_apply(),
         "batch_novelty": _oracle_batch_novelty(),
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
         "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
+        "quality_filter": ORACLE_QUALITY_FILTER,
+        "ann_recall_signature": _oracle_ann_recall_signature(),
     }
     # ann_kmeans_topk: k-means is iterative, so this oracle is GENERATED
     # per-corpus (literal trained codebook) rather than a static string —

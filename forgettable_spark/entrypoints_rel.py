@@ -317,8 +317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rel_cube_summary (green r1-r5; its scan-agg sub-shape
     # rel_pricing_summary is already secondary) followed, freeing the
     # driver row for the NEW decontaminate_fuzzy operator's debut.
+    # r7 rotation: rel_shipping_priority (green driver rows r1-r6; its
+    # broadcast-join+topk shape stays hash-verified in the secondary
+    # registry) freed a driver row for a never-driver-seen promotion.
     return {
-        "rel_shipping_priority": q_rel_shipping_priority,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "orders_without_lineitems": q_orders_without_lineitems,
     }
@@ -326,7 +328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "rel_shipping_priority": ORACLE_REL_SHIPPING_PRIORITY,
         "funnel_signup_purchase": ORACLE_FUNNEL,
         "orders_without_lineitems": ORACLE_ORDERS_ANTI,
     }
