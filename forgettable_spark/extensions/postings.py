@@ -265,9 +265,10 @@ def materialized_corpus_spine(
     md5 folds, bit votes) is a narrow per-table job whose map tails and
     shuffle barriers leave most cores idle when run back-to-back —
     overlapping them is where the consolidation's wall-clock win
-    actually lives. Measured at sf1 (isolated, min-of-2): 26.4 s for
+    actually lives. Measured at sf1 (isolated, min-of-2): 17.5 s for
     all five tables vs 24.6 s for the r6 postings-only build and 42.2 s
-    for r6's two sequential builds (SCALING.md r7)."""
+    for r6's two sequential builds (SCALING.md r7); sf0.1 in-suite
+    4.1-4.2 s replaces r6's 4.84 + 5.29 s pair of build lines."""
     from concurrent.futures import ThreadPoolExecutor
 
     from forgettable_spark.extensions.sketches import _sketch_tables_from_base

@@ -119,7 +119,14 @@ def publish_batch(
     try:
         # Touched state groups: O(batch) rows, collected once (the claim
         # list rides the manifest, the reference's per-key write-back
-        # granularity made durable).
+        # granularity made durable). Driver-size bound: the collect is
+        # one row per (distribution, shard) touched this batch, capped
+        # by n_shards × live distributions — a few KB at any realistic
+        # shard count. If a deployment's batches touch >~10^5 groups,
+        # raise the shard modulus or rewrite the claim check as an
+        # aggregate-only anti-join of (group -> version) tables; the
+        # manifest format already stores groups per version, so only
+        # this collect and commit_delta's claim comparison would change.
         if n_shards:
             groups = [
                 (r["distribution"], r["_shard"])
