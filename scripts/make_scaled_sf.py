@@ -135,7 +135,18 @@ def main() -> None:
             out = pa.concat_tables(
                 [scale_table(name, src, i, key_max) for i in range(args.factor)]
             )
-        pq.write_table(out, os.path.join(args.dst, fn))
+        # Bounded row groups: pyarrow's default (up to ~1M rows per
+        # group) wrote the whole scaled documents table as ONE row
+        # group — and a parquet row group is indivisible, so Spark's
+        # byte-range file splitting handed ALL rows to one task and
+        # every corpus-text pipeline ran single-threaded (caught in r7:
+        # the sf10 spine build sat at (14+1)/15 tasks for minutes).
+        # Production corpora are many splittable files; ~32 groups per
+        # table (floored so tiny dims stay one group, capped so huge
+        # fact tables keep scan-efficient group sizes) make the scaled
+        # single file behave the same way.
+        rg = max(8192, min(65536, len(out) // 32))
+        pq.write_table(out, os.path.join(args.dst, fn), row_group_size=rg)
         print(f"{name}: {len(src)} -> {len(out)} rows")
 
 
