@@ -101,6 +101,65 @@ def cap_hot_buckets(
     return capped
 
 
+def cap_hot_buckets_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+    label: str = "candidate join",
+    log_dropped: bool = True,
+) -> DataFrame:
+    """:func:`cap_hot_buckets` as an aggregation + broadcast anti-join:
+    identical output rows, but ZERO full-table shuffle of ``df``. The
+    window form repartitions the whole input by the bucket key — the
+    right trade when a following self-join needs that exact exchange
+    anyway (Catalyst reuses it: every batch dedup path). This form keeps
+    ``df`` entirely map-side: bucket counts flow through a partial
+    (map-side) aggregation whose exchange carries ONE row per bucket,
+    the over-cap bucket list broadcasts (a few keys by construction —
+    buckets above the cap are the pathology, not the norm), and the
+    filter is a broadcast anti-join in the scan stage. Use it when the
+    capped table would otherwise never shuffle — the admission loop's
+    corpus-scale sketch index under a broadcast band join
+    (:func:`incremental_admit_from_sketches`), where the window form
+    would add the ONLY corpus-wide exchange of the whole ingest path.
+
+    Caveat vs the window form: an anti-join drops no NULL-keyed rows
+    (NULL matches nothing), while a window groups them; every caller's
+    bucket keys (band md5s, SimHash blocks) are non-NULL, so the outputs
+    are identical where the function is used. Dropped-bucket reporting
+    is the same queue-and-flush contract.
+    """
+    if max_bucket_size is None:
+        return df
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .filter(F.col("_bucket_n") > max_bucket_size)
+    )
+    # name-based anti join puts the join keys first — restore the
+    # input's column order so the variant is a drop-in for the window form
+    capped = df.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti").select(
+        *df.columns
+    )
+    if log_dropped:
+        report = hot.agg(
+            F.coalesce(F.sum("_bucket_n"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        _PENDING_REPORTS.append((label, max_bucket_size, report))
+        if len(_PENDING_REPORTS) > _MAX_PENDING_REPORTS:
+            evicted = _PENDING_REPORTS[: len(_PENDING_REPORTS) - _MAX_PENDING_REPORTS]
+            del _PENDING_REPORTS[: len(_PENDING_REPORTS) - _MAX_PENDING_REPORTS]
+            for ev_label, ev_cap, _ in evicted:
+                logger.warning(
+                    "%s: dropped-bucket report (cap %d) evicted unflushed — "
+                    "call flush_bucket_reports() sooner to keep row counts",
+                    ev_label,
+                    ev_cap,
+                )
+    return capped
+
+
 def flush_bucket_reports() -> int:
     """Run every queued dropped-bucket report and log a warning for each
     cap that actually dropped rows; returns the number of warnings.
@@ -939,7 +998,17 @@ def incremental_admit_from_sketches(
             ),
         )
 
-    old_b = cap_hot_buckets(
+    # The INDEX side never shuffles: the cap is the aggregation variant
+    # (partial-count exchange of one row per bucket + broadcast
+    # anti-join — cap_hot_buckets_agg docstring) and the band join
+    # BROADCASTS the banded batch side, so candidate generation is
+    # entirely map-side over the index scan. The window-cap + shuffle
+    # join form would repartition the whole corpus-scale index per
+    # micro-batch — the only corpus-wide exchange of the ingest path,
+    # and for nothing (the batch side is micro by this operator's
+    # contract; a corpus-sized "new" frame belongs in the batch dedup
+    # family, not here).
+    old_b = cap_hot_buckets_agg(
         banded(old_sigs),
         ["band", "key"],
         max_bucket_size,
@@ -947,7 +1016,7 @@ def incremental_admit_from_sketches(
         log_dropped,
     )
     cand = (
-        banded(new_sigs)
+        F.broadcast(banded(new_sigs))
         .alias("n")
         .join(
             old_b.alias("o"),
@@ -971,13 +1040,16 @@ def incremental_admit_from_sketches(
     # space.) The candidate shingle table itself is scope-cached: it
     # feeds both sides of the pair join and is bounded by the candidate
     # count, not the corpus.
+    # cand_ids BROADCASTS: it is bounded by the candidate count (itself
+    # cap-bounded per band), so the corpus text side of the semi-join
+    # stays a map-side scan — no text-table exchange either.
     cand_ids = cand.select(F.col("new_id").alias("_cid")).union(
         cand.select(F.col("old_id").alias("_cid"))
     )
     sh_cand = (
         existing.select(F.col(id_col), F.col(text_col))
         .union(batch.select(F.col(id_col), F.col(text_col)))
-        .join(cand_ids, F.col(id_col) == F.col("_cid"), "left_semi")
+        .join(F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi")
         .select(F.col(id_col).alias("_vid"), shingles(F.col(text_col)).alias("sh"))
         .withColumn("shd", F.array_distinct(F.col("sh")))
         .select("_vid", "shd", F.size("shd").cast("bigint").alias("n"))

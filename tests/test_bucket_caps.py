@@ -91,3 +91,61 @@ def test_ivf_cap_drops_degenerate_bucket(spark, caplog):
         assert out.count() == 0  # the only cell is hot -> nothing searchable
         dedup.flush_bucket_reports()
     assert any("bucketed_ann_topk" in rec.message for rec in caplog.records)
+
+
+def test_cap_agg_variant_matches_window_variant(spark, caplog):
+    """cap_hot_buckets_agg (aggregation + broadcast anti-join — the
+    zero-input-shuffle form the admission path uses) must produce the
+    SAME capped rows and the SAME dropped-bucket report numbers as the
+    window form, on a corpus with hot, warm, and at-cap buckets."""
+    rows = (
+        [(i, "hot") for i in range(20)]
+        + [(100 + i, "warm") for i in range(5)]
+        + [(200 + i, "atcap") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "key"])
+    a = dedup.cap_hot_buckets(df, ["key"], 3, "w", log_dropped=False)
+    b = dedup.cap_hot_buckets_agg(df, ["key"], 3, "a", log_dropped=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # at-cap bucket kept (strict >), hot+warm dropped
+    kept_keys = {r["key"] for r in b.collect()}
+    assert kept_keys == {"atcap"}
+
+    import logging
+
+    dedup._PENDING_REPORTS.clear()
+    with caplog.at_level(logging.WARNING, logger="forgettable_spark.extensions"):
+        dedup.cap_hot_buckets_agg(df, ["key"], 3, "agg-report").collect()
+        dedup.flush_bucket_reports()
+    msg = [r.message for r in caplog.records if "agg-report" in r.message]
+    assert msg and "2 hot bucket(s) totalling 25 rows" in msg[0]
+
+
+def test_incremental_admit_index_side_never_shuffles(spark):
+    """The admission band join broadcasts the batch side and caps the
+    index with the aggregation variant, so the INDEX rows themselves
+    cross no exchange: every Exchange in the plan must be
+    broadcast-or-tiny (the per-bucket partial-count aggregation), never
+    a hashpartitioning of the banded index rows (which carry doc_id)."""
+    old = spark.createDataFrame(
+        [(i, f"stored doc {i} alpha beta gamma delta") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1000, "stored doc 7 alpha beta gamma delta"), (1001, "fresh text")],
+        ["doc_id", "text"],
+    )
+    old_sigs = dedup.minhash_sketch_narrow(old)
+    new_sigs = dedup.minhash_sketch_narrow(new)
+    out = dedup.incremental_admit_from_sketches(
+        old_sigs, new_sigs, old, new, persist=False, max_bucket_size=8
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(1), (
+            "banded index rows (doc_id) crossed a shuffle:\n" + m.group(0)
+        )
