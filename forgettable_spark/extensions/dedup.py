@@ -1056,22 +1056,31 @@ def incremental_admit_from_sketches(
     )
     if persist:
         sh_cand = scoped_cache(sh_cand)
+    # Join ORDER is load-bearing: the old side first, the new side LAST,
+    # so the verify output leaves the second join hash-partitioned by
+    # new_id — exactly the partitioning the best-match window needs, and
+    # Catalyst reuses the exchange instead of reshuffling the verified
+    # pairs. (Column pruning already keeps the shingle arrays out of any
+    # exchange — only ids and jaccard cross.) sh_cand itself is NOT
+    # broadcast deliberately: it carries document-sized shingle sets,
+    # the wrong scale bet; its per-candidate-DOC shuffle is the verify
+    # stage's one honest exchange.
     verified = (
         cand.join(
-            sh_cand.select(
-                F.col("_vid").alias("new_id"),
-                F.col("shd").alias("sh_a"),
-                F.col("n").alias("na"),
-            ),
-            "new_id",
-        )
-        .join(
             sh_cand.select(
                 F.col("_vid").alias("old_id"),
                 F.col("shd").alias("sh_b"),
                 F.col("n").alias("nb"),
             ),
             "old_id",
+        )
+        .join(
+            sh_cand.select(
+                F.col("_vid").alias("new_id"),
+                F.col("shd").alias("sh_a"),
+                F.col("n").alias("na"),
+            ),
+            "new_id",
         )
         .withColumn(
             "jaccard",
@@ -1087,9 +1096,11 @@ def incremental_admit_from_sketches(
         .filter(F.col("_rn") == 1)
         .select("new_id", F.col("old_id").alias("match_id"), "jaccard")
     )
+    # best is one row per matched batch doc — broadcast it so the
+    # verdict join never shuffles the (checkpointed) batch side.
     return (
         batch.select(F.col(id_col).alias("doc_id"))
-        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .join(F.broadcast(best.withColumnRenamed("new_id", "doc_id")), "doc_id", "left")
         .select(
             "doc_id",
             F.col("match_id").isNotNull().alias("is_dup"),
