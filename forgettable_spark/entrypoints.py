@@ -566,6 +566,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # floor-at-1 no-prune decay law.
         "get_field_compat_partial_z": q_get_field_compat_partial_z,
         "get_dist_noprune": q_get_dist_noprune,
+        # r8 rotation (VERDICT r7 #1): first driver rows for the three
+        # stalest never-driver-seen secondaries in this module — the
+        # strategy-equivalence check that the skew-safe join normalize
+        # equals the window plan (get_dist_join_norm), the R4 operator on
+        # the user-keyed projection (db_size_users), and the e^-λ<1e-8
+        # wipe regime of the default rate (get_dist_wipe_regime,
+        # goforget/decay.go:17-19) which had never had a driver row.
+        "get_dist_join_norm": q_get_dist_join_norm,
+        "db_size_users": q_db_size_users,
+        "get_dist_wipe_regime": q_get_dist_wipe_regime,
     }
     from forgettable_spark import entrypoints_ext, entrypoints_rel
 
@@ -686,18 +696,14 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from forgettable_spark import entrypoints_ext, entrypoints_rel
 
     return {
-        "db_size_users": q_db_size_users,
-        "get_dist_join_norm": q_get_dist_join_norm,
         "get_dist_single": q_get_dist_single,
         "n_most_probable_users": q_n_most_probable_users,
         "dedup_simhash": entrypoints_ext.q_dedup_simhash,
         "ann_cosine_topk": entrypoints_ext.q_ann_cosine_topk,
         "ann_bucketed_float": entrypoints_ext.q_ann_bucketed_float,
         "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
-        "get_dist_wipe_regime": q_get_dist_wipe_regime,
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
         "ann_argmax_multiprobe": entrypoints_ext.q_ann_argmax_multiprobe,
-        "ann_signature_topk": entrypoints_ext.q_ann_signature_topk,
         "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
         "stratified_sample": entrypoints_ext.q_stratified_sample,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
@@ -714,6 +720,19 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_apply": entrypoints_ext.q_pack_apply,
         "dedup_chunk_apply": entrypoints_ext.q_dedup_chunk_apply,
         "rel_shipping_priority": entrypoints_rel.q_rel_shipping_priority,
+        # r8 demotions (VERDICT r7 #1 rotation): green driver rows r1-r7,
+        # each a shape a still-registered primary keeps exercising —
+        # language_id (row-local codegen scoring, same family as the
+        # registered quality_filter / corpus_report rule gates),
+        # corpus_top_ngrams (explode+partial-agg, kept green by
+        # repetition_stats and tfidf_keywords), pii_scan (row-local regex
+        # scan, same class as quality_filter), and
+        # orders_without_lineitems (broadcast anti-join, the same shape
+        # decontaminate exercises on the documents corpus).
+        "language_id": entrypoints_ext.q_language_id,
+        "corpus_top_ngrams": entrypoints_ext.q_corpus_top_ngrams,
+        "pii_scan": entrypoints_ext.q_pii_scan,
+        "orders_without_lineitems": entrypoints_rel.q_orders_without_lineitems,
     }
 
 
@@ -767,6 +786,12 @@ WHERE distribution = 'colors'"""
         "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
         "get_field_compat_partial_z": _oracle_get_field_compat(),
         "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
+        "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
+        "db_size_users": (
+            "SELECT CAST(COUNT(DISTINCT 'u' || CAST(user_id % 1000 AS VARCHAR)) AS BIGINT)"
+            " AS db_size FROM events"
+        ),
+        "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
     }
     out.update(entrypoints_ext.oracle_sql())
     out.update(entrypoints_rel.oracle_sql())
@@ -799,11 +824,6 @@ def secondary_oracle_sql() -> dict[str, str]:
     from forgettable_spark import entrypoints_ext, entrypoints_rel
 
     return {
-        "db_size_users": (
-            "SELECT CAST(COUNT(DISTINCT 'u' || CAST(user_id % 1000 AS VARCHAR)) AS BIGINT)"
-            " AS db_size FROM events"
-        ),
-        "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "get_dist_single": _oracle_get_dist(
             _EV_EVENT_TYPE, RATE_SLOW, True, "linear", f"WHERE distribution = '{GET_FIELD_DIST}'"
         ),
@@ -812,10 +832,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": entrypoints_ext.ORACLE_ANN_COSINE,
         "ann_bucketed_float": entrypoints_ext.ORACLE_ANN_BUCKETED,
         "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
-        "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
         "ann_argmax_multiprobe": entrypoints_ext._oracle_ann_quantized_bucketed(),
-        "ann_signature_topk": entrypoints_ext._oracle_ann_signature(),
         "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
         "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
@@ -832,4 +850,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "pack_apply": entrypoints_ext._oracle_pack_apply(),
         "dedup_chunk_apply": entrypoints_ext.ORACLE_DEDUP_CHUNK_APPLY,
         "rel_shipping_priority": entrypoints_rel.ORACLE_REL_SHIPPING_PRIORITY,
+        "language_id": entrypoints_ext._oracle_language_id(),
+        "corpus_top_ngrams": entrypoints_ext.ORACLE_TOP_NGRAMS,
+        "pii_scan": entrypoints_ext.ORACLE_PII_SCAN,
+        "orders_without_lineitems": entrypoints_rel.ORACLE_ORDERS_ANTI,
     }

@@ -2241,7 +2241,6 @@ WHERE {bkt.replace('doc_id', 'd.doc_id')} < {INCR_NEW_BOUND}"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "language_id": q_language_id,
         "source_curation": q_source_curation,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2261,8 +2260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dup": q_media_near_dup,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "pii_scan": q_pii_scan,
-        "corpus_top_ngrams": q_corpus_top_ngrams,
         "sample_per_group_budget": q_sample_per_group_budget,
         "corpus_report": q_corpus_report,
         "quality_distill": q_quality_distill,
@@ -2285,12 +2282,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entrypoints.secondary_queries().
         "quality_filter": q_quality_filter,
         "ann_recall_signature": q_ann_recall_signature,
+        # r8 rotation (VERDICT r7 #1): first driver row for the headline
+        # quantizer's float-scored twin — same candidate set as
+        # ann_multiprobe_topk by construction, scored with the
+        # sequential-fold exact dot product instead of int8; the last
+        # never-driver-seen member of the headline ANN family.
+        "ann_signature_topk": q_ann_signature_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = {
-        "language_id": _oracle_language_id(),
         "source_curation": _oracle_source_curation(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _oracle_minhash_lsh(),
@@ -2309,8 +2311,6 @@ def oracle_sql() -> dict[str, str]:
         "media_near_dup": _oracle_media_near_dup(),
         "decontaminate": ORACLE_DECONTAMINATE,
         "decontaminate_fuzzy": _oracle_decontaminate_fuzzy(),
-        "pii_scan": ORACLE_PII_SCAN,
-        "corpus_top_ngrams": ORACLE_TOP_NGRAMS,
         "sample_per_group_budget": ORACLE_SAMPLE_PER_GROUP_BUDGET,
         "corpus_report": ORACLE_CORPUS_REPORT,
         "quality_distill": _oracle_quality_distill(),
@@ -2323,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "ann_recall_signature": _oracle_ann_recall_signature(),
+        "ann_signature_topk": _oracle_ann_signature(),
     }
     # ann_kmeans_topk: k-means is iterative, so this oracle is GENERATED
     # per-corpus (literal trained codebook) rather than a static string —

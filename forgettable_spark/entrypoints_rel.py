@@ -320,14 +320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7 rotation: rel_shipping_priority (green driver rows r1-r6; its
     # broadcast-join+topk shape stays hash-verified in the secondary
     # registry) freed a driver row for a never-driver-seen promotion.
+    # r8 rotation: orders_without_lineitems (green driver rows r1-r7;
+    # its broadcast anti-join shape stays exercised by the registered
+    # decontaminate) followed to the secondary registry, freeing the
+    # row for a never-driver-seen promotion.
     return {
         "funnel_signup_purchase": q_funnel_signup_purchase,
-        "orders_without_lineitems": q_orders_without_lineitems,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "funnel_signup_purchase": ORACLE_FUNNEL,
-        "orders_without_lineitems": ORACLE_ORDERS_ANTI,
     }
