@@ -193,19 +193,53 @@ def test_decontaminate_broadcasts_eval_grams(spark):
 
 
 def test_pii_scan_is_shuffle_free(spark):
-    """PII scan is row-local regexp work: no Exchange in the plan."""
-    from forgettable_spark import entrypoints_ext as ext
-
-    plan = _formatted_plan(ext.queries()["pii_scan"](spark, SF_SMOKE))
+    """PII scan is row-local regexp work: no Exchange in the plan.
+    (Secondary registry since the r8 rotation.)"""
+    plan = _formatted_plan(ep.secondary_queries()["pii_scan"](spark, SF_SMOKE))
     assert "Exchange" not in plan
 
 
 def test_top_ngrams_partial_aggregates_before_shuffle(spark):
     """Corpus vocabulary: the gram counts must partial-aggregate map-side
-    and the top-k must be a TakeOrderedAndProject, not a global sort."""
-    from forgettable_spark import entrypoints_ext as ext
-
-    plan = _formatted_plan(ext.queries()["corpus_top_ngrams"](spark, SF_SMOKE))
+    and the top-k must be a TakeOrderedAndProject, not a global sort.
+    (Secondary registry since the r8 rotation.)"""
+    plan = _formatted_plan(ep.secondary_queries()["corpus_top_ngrams"](spark, SF_SMOKE))
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan  # no global sort stage
+
+
+# The ONLY registered queries allowed to run a Python worker stage: the
+# seeded-Poisson sampler (ArrowEvalPython scalar pandas UDF), the
+# multimodal featurizer, and the media near-dup pipeline it feeds (both
+# one MapInPandas decode/featurize pass over Arrow batches of media
+# bytes — test_media_near_dup_candidate_join_is_ids_only asserts the
+# latter's presence). Everything else must stay JVM-side. VERDICT r7
+# #3: the audit regex previously missed MapInPandas-family nodes, so
+# this guarantee was unenforced — and indeed the r7 claim that only TWO
+# queries carry Python stages was wrong; the widened detector found the
+# third on its first full sweep.
+PYTHON_STAGE_ALLOWLIST = {
+    "get_dist_poisson",
+    "multimodal_image_features",
+    "media_near_dup",
+}
+
+
+def test_python_stages_closed_set(spark):
+    """Exactly the two opt-in Arrow paths carry a Python physical node —
+    scanned over the WHOLE primary registry with the widened detector
+    (the same one scripts/audit_plans.py uses), so an accidental pandas
+    stage in any hot path fails loudly here."""
+    from scripts.audit_plans import summarize
+    from forgettable_spark.functions.cache import plan_audit_mode
+
+    flagged = set()
+    for name, fn in ep.queries().items():
+        spark.catalog.clearCache()
+        with plan_audit_mode():
+            s = summarize(_formatted_plan(fn(spark, SF_SMOKE)))
+        if s["python"]:
+            flagged.add(name)
+    spark.catalog.clearCache()
+    assert flagged == PYTHON_STAGE_ALLOWLIST
