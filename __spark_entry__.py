@@ -29,5 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each entry in ``queries()``."""
+    """DuckDB-equivalent SQL for each entry in ``queries()``.
+
+    The driver compares at sf0.01, which is also the default corpus for
+    the one GENERATED oracle (ann_kmeans_topk's literal codebook); local
+    multi-sf callers use ``entrypoints.oracle_sql(sf_dir=...)`` instead.
+    """
     return _ep.oracle_sql()

@@ -736,7 +736,11 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB twins for :func:`queries`. ``sf_dir`` pins the corpus used
+    by GENERATED oracles (see entrypoints_ext.oracle_sql); the static
+    SQL strings are sf-independent. The driver calls with no arguments
+    and gets its correctness corpus's generated oracles."""
     get_field_where = (
         f"WHERE distribution = '{GET_FIELD_DIST}' AND bin IN "
         f"({', '.join(repr(b) for b in GET_FIELD_BINS)})"
@@ -793,7 +797,7 @@ WHERE distribution = 'colors'"""
         ),
         "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
     }
-    out.update(entrypoints_ext.oracle_sql())
+    out.update(entrypoints_ext.oracle_sql(sf_dir))
     out.update(entrypoints_rel.oracle_sql())
     return out
 

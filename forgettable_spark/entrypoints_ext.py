@@ -708,13 +708,14 @@ KMEANS_CAP = 32  # bites at sf0.01 (trained cells run 44-78) so the
 #: identical collect for the identical literals.
 _CODEBOOKS: dict[tuple[str, int], list[list[float]]] = {}
 
-#: The corpus the most recent kmeans training ran against — the oracle
-#: generator's sf_dir signal (oracle_sql() takes no arguments, but the
-#: local parity gate compares query and oracle per-sf, query first).
-#: Falls back to the driver's documented correctness corpus when no
-#: query has run yet in this process.
+#: The corpus the kmeans oracle generator trains against when the
+#: caller doesn't say — the driver's documented correctness corpus
+#: (it fetches oracle_sql() with no arguments and compares at sf0.01).
+#: Multi-sf callers pass sf_dir explicitly through oracle_sql(sf_dir=…)
+#: instead; there is deliberately NO module-level mutable sf state
+#: (VERDICT r7 #4 — the old _LAST_KMEANS_SF global could hand a
+#: fetch-once-run-many caller a codebook for the wrong corpus).
 _KMEANS_ORACLE_DEFAULT_SF = "/root/testdata/sf0.01"
-_LAST_KMEANS_SF: list[str] = []
 
 
 def _codebook_for(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
@@ -724,7 +725,6 @@ def _codebook_for(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]
     if key not in _CODEBOOKS:
         emb = load_table(spark, sf_dir, "embeddings")
         _CODEBOOKS[key] = cb.train_codebook(emb, k=k)
-    _LAST_KMEANS_SF[:] = [sf_dir]
     return _CODEBOOKS[key]
 
 
@@ -758,20 +758,16 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ann_kmeans() -> str:
-    """Literal-codebook DuckDB twin of :func:`q_ann_kmeans_topk`.
-
-    The codebook is re-derived for the corpus the query last trained on
-    (the local gate runs query-then-oracle per sf), or — when the driver
-    fetches oracles before running anything — trained fresh from the
-    driver's correctness corpus without a session
-    (``train_codebook_local``: same sample order, same Lloyd kernel,
-    bit-identical centroids — test-locked)."""
+def _oracle_ann_kmeans(sf_dir: str) -> str:
+    """Literal-codebook DuckDB twin of :func:`q_ann_kmeans_topk` for an
+    EXPLICIT corpus: the codebook is re-derived for ``sf_dir`` — from
+    the memo if the query already trained there, else fresh and without
+    a session (``train_codebook_local``: same sample order, same Lloyd
+    kernel, bit-identical centroids — test-locked)."""
     import os
 
     from forgettable_spark.extensions import codebook as cb
 
-    sf_dir = _LAST_KMEANS_SF[0] if _LAST_KMEANS_SF else _KMEANS_ORACLE_DEFAULT_SF
     key = (sf_dir, KMEANS_CELLS)
     if key not in _CODEBOOKS:
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -2291,7 +2287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB twins for :func:`queries`. ``sf_dir`` pins the corpus the
+    GENERATED oracles (ann_kmeans_topk's literal codebook) are derived
+    for; omitted, it defaults to the driver's correctness corpus — the
+    only caller that can't pass one."""
     out = {
         "source_curation": _oracle_source_curation(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
@@ -2334,7 +2334,7 @@ def oracle_sql() -> dict[str, str]:
     # records a rows-only check) instead of raising out of oracle_sql()
     # and breaking retrieval of every other oracle (ADVICE r6).
     try:
-        out["ann_kmeans_topk"] = _oracle_ann_kmeans()
+        out["ann_kmeans_topk"] = _oracle_ann_kmeans(sf_dir or _KMEANS_ORACLE_DEFAULT_SF)
     except (OSError, ImportError):
         pass
     return out

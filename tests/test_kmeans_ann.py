@@ -170,10 +170,29 @@ def test_registered_oracle_matches_driver_order(spark, duck):
     the rows must still hash-match, i.e. the sessionless fallback trains
     the same codebook the query trains."""
     ext._CODEBOOKS.clear()
-    ext._LAST_KMEANS_SF.clear()
     from forgettable_spark import entrypoints as ep
 
     sql = ep.oracle_sql()["ann_kmeans_topk"]  # trains via pyarrow fallback
     sdf = ext.q_ann_kmeans_topk(spark, SF_ORACLE)  # trains via Spark
     register_views(duck, SF_ORACLE)
     assert_frames_match(sdf, duck.sql(sql))
+
+
+def test_oracle_sf_dir_explicit_no_order_dependence():
+    """VERDICT r7 #4: oracle_sql(sf_dir=...) returns the codebook for
+    THAT corpus regardless of fetch order or what any query trained
+    last — the old _LAST_KMEANS_SF global made a fetch-once-run-many
+    multi-sf caller's oracle depend on process history."""
+    from forgettable_spark import entrypoints as ep
+
+    ext._CODEBOOKS.clear()
+    a1 = ep.oracle_sql(SF_SMOKE)["ann_kmeans_topk"]
+    b1 = ep.oracle_sql(SF_ORACLE)["ann_kmeans_topk"]
+    ext._CODEBOOKS.clear()
+    b2 = ep.oracle_sql(SF_ORACLE)["ann_kmeans_topk"]
+    a2 = ep.oracle_sql(SF_SMOKE)["ann_kmeans_topk"]
+    assert a1 == a2 and b1 == b2  # order-independent
+    assert a1 != b1  # genuinely per-corpus literals
+    # the no-argument (driver) form is pinned to the correctness corpus
+    assert ep.oracle_sql()["ann_kmeans_topk"] == b1
+    assert SF_ORACLE.rstrip("/").endswith("sf0.01")

@@ -20,8 +20,8 @@ def _all_queries():
     return q
 
 
-def _all_oracles():
-    o = dict(ep.oracle_sql())
+def _all_oracles(sf_dir=None):
+    o = dict(ep.oracle_sql(sf_dir))
     o.update(ep.secondary_oracle_sql())
     return o
 
@@ -32,11 +32,12 @@ QUERY_NAMES = sorted(_all_queries().keys())
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE], ids=["sf0.001", "sf0.01"])
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name, sf_dir):
-    # Query first, oracles second: generated oracles (ann_kmeans_topk's
-    # literal codebook) key off the corpus the query just trained on;
-    # building the query plan runs any eager training step.
+    # sf_dir is threaded EXPLICITLY to the oracle fetch (VERDICT r7 #4):
+    # generated oracles (ann_kmeans_topk's literal codebook) derive from
+    # the same corpus the query runs against, with no ordering
+    # dependence between query execution and oracle retrieval.
     sdf = _all_queries()[name](spark, sf_dir)
-    oracles = _all_oracles()
+    oracles = _all_oracles(sf_dir)
     if name not in oracles:
         # Stochastic / non-SQL-expressible: driver records rows-only.
         assert sdf.count() >= 0

@@ -107,14 +107,15 @@ def test_fuzzy_decontaminate_accepts_custom_id_col(spark):
     assert rows[0]["jaccard"] == 1.0
 
 
-def test_kmeans_oracle_degrades_to_omission_without_corpus(monkeypatch):
-    """ADVICE r6: a cold oracle_sql() fetch in an environment lacking the
-    fallback corpus must omit ann_kmeans_topk (rows-only check) instead
-    of raising out of oracle_sql() and breaking EVERY oracle."""
+def test_kmeans_oracle_degrades_to_omission_without_corpus():
+    """ADVICE r6: an oracle_sql() fetch against an environment lacking
+    the corpus must omit ann_kmeans_topk (rows-only check) instead of
+    raising out of oracle_sql() and breaking EVERY oracle. Since the r8
+    sf_dir threading the missing corpus is simulated by passing it
+    explicitly rather than poking the (removed) _LAST_KMEANS_SF global."""
     from forgettable_spark import entrypoints_ext as ext
 
-    monkeypatch.setattr(ext, "_LAST_KMEANS_SF", ["/nonexistent/sf999"])
-    oracles = ext.oracle_sql()
+    oracles = ext.oracle_sql("/nonexistent/sf999")
     assert "ann_kmeans_topk" not in oracles
     assert "dedup_exact" in oracles  # the rest of the dict survives
 
