@@ -170,6 +170,58 @@ def _fold(spark: SparkSession, path: str, batch_id: int) -> None:
             shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 
+#: Per-table maintenance watermark: a one-line file holding the highest
+#: batch id whose delta (or backfill) this table has absorbed. Written
+#: after every successfully drained maintained batch; read by the gap
+#: detector below. The name can't collide with _table_parts' fold-/
+#: batch- prefixes, so readers never see it as a part.
+_MAINT_MARKER = "_last_maintained"
+
+
+def _read_last_maintained(table_dir: str) -> int | None:
+    try:
+        with open(os.path.join(table_dir, _MAINT_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_last_maintained(table_dir: str, batch_id: int) -> None:
+    """Monotonic watermark advance (replay of an old batch id must not
+    regress it), atomic via rename so a torn write reads as absent."""
+    prev = _read_last_maintained(table_dir)
+    if prev is not None and prev >= batch_id:
+        return
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = os.path.join(table_dir, f".{_MAINT_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, os.path.join(table_dir, _MAINT_MARKER))
+
+
+def _latest_prior_corpus_batch(corpus_dir: str, batch_id: int) -> int | None:
+    """Highest batch id evidenced in the admitted corpus BEFORE the
+    current batch: live ``batch-<i>`` dirs, plus ``fold-<m>`` which by
+    construction covers batches up to m-1."""
+    if not os.path.isdir(corpus_dir):
+        return None
+    best = None
+    for e in os.listdir(corpus_dir):
+        if e.startswith("batch-") and os.path.isfile(
+            os.path.join(corpus_dir, e, "_SUCCESS")
+        ):
+            i = int(e[6:])
+            if i != batch_id and (best is None or i > best):
+                best = i
+        elif e.startswith("fold-") and os.path.isfile(
+            os.path.join(corpus_dir, e, "_SUCCESS")
+        ):
+            m = int(e[5:]) - 1
+            if best is None or m > best:
+                best = m
+    return best
+
+
 def _bootstrap_missing_tables(
     spark: SparkSession,
     base_dir: str,
@@ -178,36 +230,66 @@ def _bootstrap_missing_tables(
     corpus_dir: str,
     build,
 ) -> None:
-    """Backfill a spine enabled MID-STREAM: when ``spine_dir`` /
-    ``sketch_dir`` is newly set on a stream that has already admitted
-    documents, the table directories are empty while the corpus is not —
-    without this step every previously admitted batch would be missing
-    from the spine forever, silently breaking the read_spine /
-    read_sketches row-identity contract (ADVICE r6). For each table with
-    NO live parts, build it from the admitted corpus as it stood BEFORE
-    the current batch and write it as ``fold-<batch_id>`` — exactly the
-    shape a fold would have (covers everything strictly before this
-    batch; the current batch's own delta lands under ``batch-<id>`` as
-    usual). Per-table, so a crash mid-backfill self-heals on the next
-    batch; a stream with maintenance on from batch 0 never enters the
-    build (every table has parts). One-time O(admitted corpus) by
-    necessity — the deltas for those batches were never written."""
-    missing = [
-        n
-        for n in table_names
-        if not _table_parts(os.path.join(base_dir, n), exclude_batch=batch_id)
-    ]
-    if not missing:
+    """Backfill a spine enabled MID-STREAM — or RE-enabled after a gap.
+
+    When ``spine_dir`` / ``sketch_dir`` is newly set on a stream that
+    has already admitted documents, the table directories are empty
+    while the corpus is not — without this step every previously
+    admitted batch would be missing from the spine forever, silently
+    breaking the read_spine / read_sketches row-identity contract
+    (ADVICE r6). For each table with NO live parts, build it from the
+    admitted corpus as it stood BEFORE the current batch and write it
+    as ``fold-<batch_id>`` — exactly the shape a fold would have
+    (covers everything strictly before this batch; the current batch's
+    own delta lands under ``batch-<id>`` as usual).
+
+    ADVICE r7 closed the re-enablement hole: a table with live parts
+    can still be INCOMPLETE if maintenance was disabled for some
+    batches and later re-enabled — the gap batches' deltas were never
+    written, and zero-live-parts detection can't see it. Every
+    maintained batch therefore advances a ``_last_maintained``
+    watermark per table; when the watermark trails the corpus's latest
+    prior batch, the gap is detected and the table is REBUILT as
+    ``fold-<batch_id>`` from the prior corpus (superseded parts
+    vacuumed), restoring row-identity at the same one-time
+    O(admitted corpus) cost as the never-maintained case. Tables with
+    parts but no watermark (pre-r8 layouts) are assumed complete —
+    there is nothing recorded to check against — and gain the
+    watermark from this batch forward.
+
+    Per-table, so a crash mid-backfill self-heals on the next batch; a
+    stream with maintenance continuously on never enters the build."""
+    latest_prior = _latest_prior_corpus_batch(corpus_dir, batch_id)
+    needs: list[str] = []
+    for n in table_names:
+        table_dir = os.path.join(base_dir, n)
+        if not _table_parts(table_dir, exclude_batch=batch_id):
+            needs.append(n)
+            continue
+        last = _read_last_maintained(table_dir)
+        if last is not None and latest_prior is not None and latest_prior > last:
+            needs.append(n)  # re-enabled across a gap: rebuild
+    if not needs:
         return
     parts = _table_parts(corpus_dir, batch_id)
     if not parts:
         return  # nothing admitted yet: nothing to backfill
     prior = spark.read.option("mergeSchema", "true").parquet(*parts)
     tables = build(prior)
-    for n in missing:
+    for n in needs:
+        table_dir = os.path.join(base_dir, n)
         tables[n].write.mode("overwrite").parquet(
-            os.path.join(base_dir, n, f"fold-{batch_id}")
+            os.path.join(table_dir, f"fold-{batch_id}")
         )
+        # vacuum parts the new fold supersedes (no-op for the
+        # never-maintained case; for a gap rebuild the stale partial
+        # coverage must go or _table_parts would never look past the
+        # new fold anyway but the dirs would leak)
+        for e in os.listdir(table_dir):
+            if (e.startswith("batch-") and int(e[6:]) < batch_id) or (
+                e.startswith("fold-") and int(e[5:]) < batch_id
+            ):
+                shutil.rmtree(os.path.join(table_dir, e), ignore_errors=True)
 
 
 def admit_batch(
@@ -311,6 +393,7 @@ def admit_batch(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    _write_pool = None  # released in the outer finally (ADVICE r7)
     try:
         if batch.isEmpty():
             # An empty trigger must not run the two-pass job or mint
@@ -459,7 +542,15 @@ def admit_batch(
             # concurrent plans recompute only narrow projections.
             from concurrent.futures import ThreadPoolExecutor
 
-            pool = ThreadPoolExecutor(8)
+            # The pool is registered with the batch's OUTER finally
+            # before any plan construction can raise: an exception while
+            # building the spine/sketch plans or bootstrapping (between
+            # creation and the drain below) previously leaked 8
+            # non-daemon idle workers per failed batch attempt — and a
+            # stream retrying a failing batch accumulates them without
+            # bound (ADVICE r7). The drain's own shutdown(wait=True)
+            # stays the happy path; the outer sweep is then a no-op.
+            pool = _write_pool = ThreadPoolExecutor(8)
             futures = []
 
             def _submit(df: DataFrame, path: str) -> None:
@@ -585,6 +676,43 @@ def admit_batch(
                 pool.shutdown(wait=True)
             _mark(f"writes[{len(futures)}]")
 
+            # The whole layout's liveness gate is the _SUCCESS marker
+            # (_table_parts): on deployments where the committer is
+            # configured not to write it (mapreduce.fileoutputcommitter.
+            # marksuccessfuljobs=false — common with cloud committers)
+            # every delta would be invisible, the loop would silently
+            # re-admit duplicates and read empty spines. The committer
+            # conf lives in the CONTEXT hadoopConfiguration (a runtime
+            # session pin does not reach it — verified), so instead of
+            # mutating context-global state, fail the FIRST batch loudly
+            # with the remediation (ADVICE r7).
+            if not os.path.isfile(
+                os.path.join(verdict_dir, f"batch-{batch_id}", "_SUCCESS")
+            ):
+                raise RuntimeError(
+                    "admit_batch wrote a batch directory without a _SUCCESS "
+                    "marker — this deployment disables "
+                    "mapreduce.fileoutputcommitter.marksuccessfuljobs, which "
+                    "this layout requires (liveness gating of batch/fold "
+                    "dirs). Re-enable it for the admission loop's session, "
+                    "e.g. spark.hadoop.mapreduce.fileoutputcommitter."
+                    "marksuccessfuljobs=true at session build."
+                )
+            # Advance the per-table maintenance watermarks ONLY after
+            # every write drained: the gap detector
+            # (_bootstrap_missing_tables) compares them against the
+            # corpus's latest prior batch on re-enablement.
+            if spine_dir is not None:
+                from forgettable_spark.extensions.postings import (
+                    _TABLES as _sp_tables,
+                )
+
+                for n in _sp_tables:
+                    _write_last_maintained(os.path.join(spine_dir, n), batch_id)
+            if sketch_dir is not None:
+                for n in ("shingled", "simhash"):
+                    _write_last_maintained(os.path.join(sketch_dir, n), batch_id)
+
         if fold_every:
             # Gate each table on its OWN live-batch count: a crash
             # between the two folds previously left the corpus unfolded
@@ -630,6 +758,12 @@ def admit_batch(
                 flush=True,
             )
     finally:
+        if _write_pool is not None:
+            # No-op after the happy-path drain; on an exception between
+            # pool creation and the drain it cancels queued writes and
+            # lets in-flight ones finish-and-exit instead of leaving 8
+            # idle non-daemon workers per failed attempt.
+            _write_pool.shutdown(wait=False, cancel_futures=True)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         jmap = spark.sparkContext._jsc.getPersistentRDDs()

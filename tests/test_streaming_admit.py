@@ -361,7 +361,10 @@ def test_incremental_spine_matches_rebuild(spark, dirs):
 
     # the fold fired on every spine table directory
     for t in ("postings", "doc_stats", "bigrams"):
-        entries = sorted(os.listdir(os.path.join(spine_dir, t)))
+        entries = sorted(
+            e for e in os.listdir(os.path.join(spine_dir, t))
+            if not e.startswith("_")
+        )
         assert entries == ["batch-2", "fold-2"], (t, entries)
 
     admitted = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -523,7 +526,10 @@ def test_incremental_sketches_match_rebuild(spark, dirs):
     run(2, [(20, "twenty tokens of fresh text alpha20 beta20 gamma20 delta20")])
 
     for t in ("shingled", "simhash"):
-        entries = sorted(os.listdir(os.path.join(sketch_dir, t)))
+        entries = sorted(
+            e for e in os.listdir(os.path.join(sketch_dir, t))
+            if not e.startswith("_")
+        )
         assert entries == ["batch-2", "fold-2"], (t, entries)
 
     admitted = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -597,9 +603,12 @@ def test_spines_enabled_mid_stream_backfill_previous_batches(spark, dirs):
     run(2, [(20, "twenty tokens of fresh text alpha20 beta20 gamma20")],
         maintain=True)
 
-    # the backfill landed as fold-2 next to batch-2's own delta
+    # the backfill landed as fold-2 next to batch-2's own delta (plus
+    # the r8 _last_maintained watermark, which is not a part)
     for base, t in ((spine_dir, "postings"), (sketch_dir, "shingled")):
-        entries = sorted(os.listdir(os.path.join(base, t)))
+        entries = sorted(
+            e for e in os.listdir(os.path.join(base, t)) if not e.startswith("_")
+        )
         assert entries == ["batch-2", "fold-2"], (t, entries)
 
     admitted = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -618,3 +627,115 @@ def test_spines_enabled_mid_stream_backfill_previous_batches(spark, dirs):
     want_sk = sketch_tables(admitted, block_col=None)
     for t in ("shingled", "simhash"):
         assert _rows(live_sk[t]) == _rows(want_sk[t]), f"{t} missing backfill"
+
+
+def test_spine_reenabled_after_gap_backfills(spark, dirs):
+    """ADVICE r7: a spine maintained for batch 0, DISABLED for batch 1,
+    then re-enabled at batch 2 previously missed batch 1 forever — the
+    zero-live-parts bootstrap couldn't see a table that exists but is
+    incomplete. The _last_maintained watermark detects the gap and the
+    table is rebuilt from the prior corpus, restoring the read_spine /
+    read_sketches row-identity contract."""
+    from forgettable_spark.extensions.postings import postings_tables
+    from forgettable_spark.extensions.sketches import sketch_tables
+    from forgettable_spark.streaming.admit import read_sketches, read_spine
+
+    spine_dir = os.path.join(dirs["root"], "spine")
+    sketch_dir = os.path.join(dirs["root"], "sketches")
+
+    def run(bid, rows, maintain):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bid,
+            dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=None,
+            spine_dir=spine_dir if maintain else None,
+            sketch_dir=sketch_dir if maintain else None,
+        )
+
+    run(0, [(1, DOC_A), (2, DOC_B)], maintain=True)
+    run(1, [(11, DOC_E)], maintain=False)  # the gap batch
+    run(2, [(20, "twenty tokens of fresh text alpha20 beta20 gamma20")],
+        maintain=True)
+
+    admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+        dirs["corpus"]
+    ).select("doc_id", "text")
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 11, 20]
+
+    def _rows(df):
+        return sorted(tuple(repr(v) for v in r) for r in df.collect())
+
+    live_sp = read_spine(spark, spine_dir)
+    want_sp = postings_tables(admitted)
+    for t in ("postings", "doc_stats", "bigrams"):
+        assert _rows(live_sp[t]) == _rows(want_sp[t]), f"{t} missing gap batch"
+    live_sk = read_sketches(spark, sketch_dir)
+    want_sk = sketch_tables(admitted, block_col=None)
+    for t in ("shingled", "simhash"):
+        assert _rows(live_sk[t]) == _rows(want_sk[t]), f"{t} missing gap batch"
+    # watermark advanced to the rebuilding batch
+    from forgettable_spark.streaming.admit import _read_last_maintained
+
+    assert _read_last_maintained(os.path.join(spine_dir, "postings")) == 2
+
+
+def test_admit_fails_loudly_without_success_markers(spark, dirs):
+    """ADVICE r7: on deployments where the committer writes no _SUCCESS
+    (marksuccessfuljobs=false), every delta would be invisible to
+    _table_parts and the loop would silently re-admit duplicates — the
+    FIRST batch must fail with the remediation instead. The committer
+    conf is context-level, so the test flips the shared context's
+    hadoopConfiguration and restores it."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+            admit_batch(
+                spark,
+                spark.createDataFrame([(1, DOC_A)], ["doc_id", "text"]),
+                0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+                threshold=0.5, fold_every=None,
+            )
+    finally:
+        if prev is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev)
+
+
+def test_write_pool_released_when_planning_raises(spark, dirs, monkeypatch):
+    """ADVICE r7: an exception between write-pool creation and the drain
+    (here: a failing spine bootstrap) must not leak the pool's 8
+    non-daemon workers — a stream retrying a failing batch would
+    accumulate them without bound."""
+    import threading
+    import time
+
+    from forgettable_spark.streaming import admit as adm
+
+    def boom(*a, **k):
+        raise OSError("bootstrap read failed")
+
+    monkeypatch.setattr(adm, "_bootstrap_missing_tables", boom)
+    before = {t.ident for t in threading.enumerate()}
+    with pytest.raises(OSError, match="bootstrap read failed"):
+        admit_batch(
+            spark,
+            spark.createDataFrame([(1, DOC_A)], ["doc_id", "text"]),
+            0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=None,
+            spine_dir=os.path.join(dirs["root"], "spine"),
+        )
+    # pool workers exit once shutdown is called and their task (if any)
+    # finishes; poll briefly rather than assuming instant teardown
+    for _ in range(100):
+        leaked = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.name.startswith("ThreadPoolExecutor")
+        ]
+        if not leaked:
+            break
+        time.sleep(0.1)
+    assert not leaked, f"leaked pool workers: {leaked}"
