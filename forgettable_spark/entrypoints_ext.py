@@ -2136,49 +2136,79 @@ def _oracle_lm_score() -> str:
     return lm.LM_SCORE_ORACLE_SQL
 
 
-#: New-batch split for the incremental-admission query: documents whose
-#: salted hash bucket falls below this bound (of sampling.BUCKETS) form
-#: the incoming batch (~12.5%); the rest are the already-admitted corpus.
+#: New-batch split for the incremental-admission query. The admission
+#: BENCHMARK batch is COUNT-BOUNDED since r8: the min(INCR_BATCH_DOCS,
+#: ceil(n/8)) lowest (md5(salt:id), id) documents — a distributed
+#: top-K, no global sort. Production triggers are micro and bounded,
+#: and the previous unconditionally-proportional ~12.5% slice made the
+#: operator's forced batch-side broadcasts grow linearly with corpus
+#: size (ADVICE r7); the ceil(n/8) arm only matters below 8·cap docs,
+#: where it keeps the tiny correctness corpora exercising a real
+#: existing side. batch_novelty keeps the proportional bucket split
+#: (< INCR_NEW_BOUND of sampling.BUCKETS, ~12.5%) — it is a
+#: distribution-shift gauge over slices, with no broadcast riding on
+#: batch size.
 INCR_SALT = "incr"
 INCR_NEW_BOUND = 1250
+INCR_BATCH_DOCS = 1000
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental admission dedup (``dedup.incremental_lsh_admit``):
-    match a deterministic ~12.5% "incoming batch" slice against the
-    remaining ~87.5% "already admitted" corpus — new×old band join only,
-    no old×old pairs, one verdict row per batch document. The ingest
-    twin of ``dedup_minhash_lsh``'s batch self-join. Both slices come
-    from the sketch spine's narrow (doc_id, mh) projection — exactly
-    the production shape, where existing-side sketches ARE a stored
-    table (the admission loop's persistent index); the exact-Jaccard
-    verify re-shingles candidate documents only, from text."""
-    from forgettable_spark.extensions.sampling import hash_bucket
+    match a deterministic COUNT-BOUNDED "incoming batch" (the
+    min(INCR_BATCH_DOCS, ceil(n/8)) lowest (md5(salt:id), id) documents
+    — a distributed top-K selection, TakeOrdered not a global sort)
+    against the rest of the corpus as "already admitted" — new×old band
+    join only, no old×old pairs, one verdict row per batch document.
+    The ingest twin of ``dedup_minhash_lsh``'s batch self-join. Both
+    slices come from the sketch spine's narrow (doc_id, mh) projection
+    — exactly the production shape, where existing-side sketches ARE a
+    stored table (the admission loop's persistent index); the
+    exact-Jaccard verify re-shingles candidate documents only, from
+    text.
 
+    Count-bounded since r8 (ADVICE r7): production admission triggers
+    are micro and BOUNDED, so the benchmark batch is too — which is
+    what makes ``broadcast_batch=True`` (the zero-index-shuffle plan:
+    banded batch, candidate ids and verdicts all broadcast, the stored
+    index and corpus text never repartitioned) honest at ANY corpus
+    scale. The previous unconditionally-proportional ~12.5% slice grew
+    those forced broadcasts linearly with the corpus, straight into the
+    8 GB broadcast limit; the ceil(n/8) arm only bites below 8000 docs,
+    keeping the tiny correctness corpora's existing side real."""
     docs = load_table(spark, sf_dir, "documents")
-    b = hash_bucket(F.col("doc_id"), INCR_SALT)
     _, sp = _sketch_spine(spark, sf_dir)
 
     def build() -> DataFrame:
-        sigs = sp["shingled"].select("doc_id", "mh").withColumn(
-            "_bkt", hash_bucket(F.col("doc_id"), INCR_SALT)
+        n_docs = docs.count()
+        bound = min(INCR_BATCH_DOCS, (n_docs + 7) // 8)
+        new_ids = scoped_cache(
+            docs.select(
+                "doc_id",
+                F.md5(
+                    F.concat(F.lit(f"{INCR_SALT}:"), F.col("doc_id").cast("string"))
+                ).alias("_k"),
+            )
+            .orderBy("_k", "doc_id")
+            .limit(bound)
+            .select("doc_id")
         )
+        sigs = sp["shingled"].select("doc_id", "mh")
         return dedup.incremental_admit_from_sketches(
-            sigs.filter(F.col("_bkt") >= INCR_NEW_BOUND),
-            sigs.filter(F.col("_bkt") < INCR_NEW_BOUND),
-            docs.filter(b >= INCR_NEW_BOUND),
-            docs.filter(b < INCR_NEW_BOUND),
+            sigs.join(F.broadcast(new_ids), "doc_id", "left_anti"),
+            sigs.join(F.broadcast(new_ids), "doc_id", "left_semi"),
+            docs.join(F.broadcast(new_ids), "doc_id", "left_anti"),
+            docs.join(F.broadcast(new_ids), "doc_id", "left_semi"),
             k=MINHASH_K,
             bands=LSH_BANDS,
             threshold=JACCARD_THRESHOLD,
+            broadcast_batch=True,
         )
 
     return run_released(spark, build)
 
 
 def _oracle_dedup_incremental() -> str:
-    from forgettable_spark.extensions.sampling import BUCKETS
-
     rows_per_band = MINHASH_K // LSH_BANDS
     band_exprs = ", ".join(
         "md5(concat_ws('|', "
@@ -2186,11 +2216,17 @@ def _oracle_dedup_incremental() -> str:
         + "))"
         for b in range(LSH_BANDS)
     )
-    bkt = (
-        f"('0x' || substr(md5('{INCR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
-        f" % {BUCKETS}"
-    )
-    return f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+    # count-bounded batch membership (r8): the min(INCR_BATCH_DOCS,
+    # ceil(n/8)) lowest (md5(salt:id), id) documents — the oracle twin
+    # of the Spark query's TakeOrdered selection; defined over ALL
+    # documents (including NULL-text ones, which are admitted
+    # unmatched). DuckDB's LIMIT accepts the subquery expression.
+    return f"""WITH member AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5('{INCR_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT (SELECT LEAST({INCR_BATCH_DOCS}, (COUNT(*) + 7) // 8) FROM documents)
+),
+{_TOK_CTE}, {_SHINGLE_CTE},
 based AS (SELECT doc_id, shingles, {_MINHASH_BASE_SQL.format(src='shingles')} AS mhb
           FROM sh WHERE text IS NOT NULL),
 sigs AS (
@@ -2198,14 +2234,13 @@ sigs AS (
          [{', '.join(_minhash_sql(i) for i in range(MINHASH_K))}] AS mh
   FROM based
 ),
-split AS (SELECT *, {bkt} AS bkt FROM sigs),
 banded_old AS (
   SELECT doc_id, unnest([{band_exprs}]) AS key, unnest(range(0, {LSH_BANDS})) AS band
-  FROM split WHERE bkt >= {INCR_NEW_BOUND}
+  FROM sigs WHERE doc_id NOT IN (SELECT doc_id FROM member)
 ),
 banded_new AS (
   SELECT doc_id, unnest([{band_exprs}]) AS key, unnest(range(0, {LSH_BANDS})) AS band
-  FROM split WHERE bkt < {INCR_NEW_BOUND}
+  FROM sigs WHERE doc_id IN (SELECT doc_id FROM member)
 ),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
@@ -2225,11 +2260,10 @@ best AS (
     FROM ver
   ) WHERE rn = 1
 )
-SELECT d.doc_id, b.match_id IS NOT NULL AS is_dup,
+SELECT m.doc_id, b.match_id IS NOT NULL AS is_dup,
   CAST(COALESCE(b.match_id, -1) AS BIGINT) AS match_id,
   COALESCE(b.jaccard, 0e0) AS jaccard
-FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
-WHERE {bkt.replace('doc_id', 'd.doc_id')} < {INCR_NEW_BOUND}"""
+FROM member m LEFT JOIN best b ON m.doc_id = b.new_id"""
 
 
 # Registry --------------------------------------------------------------------

@@ -893,6 +893,7 @@ def incremental_lsh_admit(
     persist: bool = True,
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Admission dedup: match a NEW batch against an EXISTING corpus —
     the shape production ingest actually runs. Batch-mode dedup
@@ -946,6 +947,7 @@ def incremental_lsh_admit(
         persist=persist,
         max_bucket_size=max_bucket_size,
         log_dropped=log_dropped,
+        broadcast_batch=broadcast_batch,
     )
 
 
@@ -974,6 +976,7 @@ def incremental_admit_from_sketches(
     persist: bool = True,
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Admission verdicts from PRE-BUILT narrow sketch frames (id, mh —
     :func:`minhash_sketch_narrow`); the hot inner path of
@@ -987,7 +990,20 @@ def incremental_admit_from_sketches(
     each feeds multiple plan branches): with it, run under
     ``released_scope``/``run_released`` (or accept plain ``.cache()``
     lifetimes); without it, the branches recompute instead — the choice
-    a long-running library ingest loop without a scope should make."""
+    a long-running library ingest loop without a scope should make.
+
+    ``broadcast_batch`` asserts the caller's batch is MICRO (bounded,
+    e.g. a streaming trigger): the banded batch side, the candidate-id
+    list and the best-match verdicts are then FORCE-broadcast, which is
+    what keeps the corpus-scale index and text sides entirely map-side
+    (zero index shuffle — the production ingest plan). Default OFF
+    because the hints scale with the batch, not the corpus: a caller
+    feeding a corpus-proportional "batch" (e.g. a re-admission backfill
+    or the registered benchmark's fixed-fraction slice) would otherwise
+    grow the forced broadcasts linearly with corpus size straight into
+    the 8 GB broadcast hard limit / driver OOM, where the plain plan
+    just shuffles — and AQE still converts to broadcast at runtime
+    whenever the batch side is genuinely small (ADVICE r7)."""
     rows_per_band = k // bands
 
     def banded(sigs: DataFrame) -> DataFrame:
@@ -998,16 +1014,15 @@ def incremental_admit_from_sketches(
             ),
         )
 
-    # The INDEX side never shuffles: the cap is the aggregation variant
-    # (partial-count exchange of one row per bucket + broadcast
-    # anti-join — cap_hot_buckets_agg docstring) and the band join
-    # BROADCASTS the banded batch side, so candidate generation is
-    # entirely map-side over the index scan. The window-cap + shuffle
-    # join form would repartition the whole corpus-scale index per
-    # micro-batch — the only corpus-wide exchange of the ingest path,
-    # and for nothing (the batch side is micro by this operator's
-    # contract; a corpus-sized "new" frame belongs in the batch dedup
-    # family, not here).
+    # The INDEX side never shuffles in the micro-batch configuration:
+    # the cap is the aggregation variant (partial-count exchange of one
+    # row per bucket + broadcast anti-join — cap_hot_buckets_agg
+    # docstring) and with broadcast_batch the band join BROADCASTS the
+    # banded batch side, so candidate generation is entirely map-side
+    # over the index scan. The window-cap + shuffle join form would
+    # repartition the whole corpus-scale index per micro-batch — the
+    # only corpus-wide exchange of the ingest path, and for nothing
+    # when the batch side is micro.
     old_b = cap_hot_buckets_agg(
         banded(old_sigs),
         ["band", "key"],
@@ -1015,9 +1030,11 @@ def incremental_admit_from_sketches(
         "incremental_lsh_admit",
         log_dropped,
     )
+    new_banded = banded(new_sigs)
+    if broadcast_batch:
+        new_banded = F.broadcast(new_banded)
     cand = (
-        F.broadcast(banded(new_sigs))
-        .alias("n")
+        new_banded.alias("n")
         .join(
             old_b.alias("o"),
             (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
@@ -1040,16 +1057,19 @@ def incremental_admit_from_sketches(
     # space.) The candidate shingle table itself is scope-cached: it
     # feeds both sides of the pair join and is bounded by the candidate
     # count, not the corpus.
-    # cand_ids BROADCASTS: it is bounded by the candidate count (itself
-    # cap-bounded per band), so the corpus text side of the semi-join
-    # stays a map-side scan — no text-table exchange either.
+    # With broadcast_batch, cand_ids broadcasts too (bounded by the
+    # candidate count, itself batch-proportional and cap-bounded per
+    # band), so the corpus text side of the semi-join stays a map-side
+    # scan — no text-table exchange either.
     cand_ids = cand.select(F.col("new_id").alias("_cid")).union(
         cand.select(F.col("old_id").alias("_cid"))
     )
+    if broadcast_batch:
+        cand_ids = F.broadcast(cand_ids)
     sh_cand = (
         existing.select(F.col(id_col), F.col(text_col))
         .union(batch.select(F.col(id_col), F.col(text_col)))
-        .join(F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi")
+        .join(cand_ids, F.col(id_col) == F.col("_cid"), "left_semi")
         .select(F.col(id_col).alias("_vid"), shingles(F.col(text_col)).alias("sh"))
         .withColumn("shd", F.array_distinct(F.col("sh")))
         .select("_vid", "shd", F.size("shd").cast("bigint").alias("n"))
@@ -1096,11 +1116,15 @@ def incremental_admit_from_sketches(
         .filter(F.col("_rn") == 1)
         .select("new_id", F.col("old_id").alias("match_id"), "jaccard")
     )
-    # best is one row per matched batch doc — broadcast it so the
-    # verdict join never shuffles the (checkpointed) batch side.
+    # best is one row per matched batch doc — under broadcast_batch it
+    # broadcasts so the verdict join never shuffles the (checkpointed)
+    # batch side.
+    best = best.withColumnRenamed("new_id", "doc_id")
+    if broadcast_batch:
+        best = F.broadcast(best)
     return (
         batch.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(best.withColumnRenamed("new_id", "doc_id")), "doc_id", "left")
+        .join(best, "doc_id", "left")
         .select(
             "doc_id",
             F.col("match_id").isNotNull().alias("is_dup"),

@@ -474,6 +474,13 @@ def admit_batch(
                 bands=bands,
                 threshold=threshold,
                 max_bucket_size=max_bucket_size,
+                # a streaming trigger IS micro by contract: force the
+                # batch-side broadcasts so the stored index and the
+                # admitted-corpus text cross no exchange (the
+                # zero-index-shuffle production plan; the hint is
+                # gated off by default for corpus-proportional callers
+                # — ADVICE r7)
+                broadcast_batch=True,
             )
             verdicts = (
                 within.select(

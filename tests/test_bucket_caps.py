@@ -138,7 +138,8 @@ def test_incremental_admit_index_side_never_shuffles(spark):
     old_sigs = dedup.minhash_sketch_narrow(old)
     new_sigs = dedup.minhash_sketch_narrow(new)
     out = dedup.incremental_admit_from_sketches(
-        old_sigs, new_sigs, old, new, persist=False, max_bucket_size=8
+        old_sigs, new_sigs, old, new, persist=False, max_bucket_size=8,
+        broadcast_batch=True,  # the production micro-batch configuration
     )
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"

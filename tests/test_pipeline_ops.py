@@ -388,6 +388,11 @@ def test_persist_false_paths_match_cached_results(spark):
     assert rowset(incremental_lsh_admit(existing, batch, threshold=0.5, persist=True)) == rowset(
         incremental_lsh_admit(existing, batch, threshold=0.5, persist=False)
     )
+    # broadcast_batch is a PLAN hint only (micro-batch broadcasts vs
+    # guarded default) — verdicts must be identical either way
+    assert rowset(
+        incremental_lsh_admit(existing, batch, threshold=0.5, broadcast_batch=True)
+    ) == rowset(incremental_lsh_admit(existing, batch, threshold=0.5))
 
 
 def test_vocabulary_novelty_counts(spark):
