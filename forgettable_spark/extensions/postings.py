@@ -64,15 +64,23 @@ _MATERIALIZED: dict[tuple[str, str, str, str], str] = {}
 _TABLES = ("postings", "doc_stats", "bigrams")
 
 
-#: (applicationId, corpus_key) -> (parent-dir signature, fingerprint).
+#: (applicationId, corpus_key) -> (directory signature, fingerprint).
 #: The full fingerprint stats EVERY corpus input file — at 100 TB that
 #: is a per-query driver-side metadata sweep over millions of object
 #: paths, so it is computed once per (session, corpus) and revalidated
-#: with one stat per parent DIRECTORY: any writer that adds, removes,
-#: or renames files (every Spark/Hive-style overwrite does) bumps a
-#: directory mtime and forces a fresh sweep. The one change this misses
-#: is an in-place same-filename rewrite — writers doing that call
-#: :func:`invalidate_corpus` (the test fixture's contract in
+#: with one stat per DIRECTORY. The signature covers the input files'
+#: parent dirs AND every ancestor up to their common root (ADVICE r7:
+#: parent dirs alone missed growth via a NEW directory — e.g. a fresh
+#: Hive partition dir bumps only the mtime of the directory it is
+#: created IN, which is an ancestor, never an existing leaf parent).
+#: Any writer that adds, removes, or renames files or partition dirs
+#: therefore bumps a signed mtime and forces a fresh sweep. When any
+#: input is NON-statable (object stores), nothing is cached at all —
+#: a stale -1 signature would otherwise "match" forever — and the
+#: fingerprint degrades to hashing the path list per call (correct,
+#: costs one inputFiles() listing). The one change still missed is an
+#: in-place same-filename rewrite on a statable FS — writers doing
+#: that call :func:`invalidate_corpus` (the test fixture's contract in
 #: tests/test_postings.py).
 _FP_CACHE: dict[tuple[str, str], tuple[tuple, str]] = {}
 
@@ -100,22 +108,46 @@ def _dir_sig(dirs) -> tuple:
     return tuple(sig)
 
 
+def _ancestor_dirs(parents: set[str]) -> set[str]:
+    """The input files' parent dirs plus every ancestor up to (and
+    including) their common root — the set of directories whose mtime
+    can change when a file OR a new partition directory is added
+    anywhere inside the corpus. Bounded by #parents × depth, i.e.
+    directory-scale, never file-scale."""
+    if not parents:
+        return set()
+    try:
+        common = os.path.commonpath(list(parents))
+    except ValueError:  # mixed drives/schemes: no common root to watch
+        return set(parents)
+    out = set(parents)
+    out.add(common)
+    for p in parents:
+        d = p
+        while len(d) > len(common):
+            d = os.path.dirname(d)
+            out.add(d)
+    return out
+
+
 def _corpus_fingerprint(spark: SparkSession, docs: DataFrame, corpus_key: str) -> str:
     """Stable digest of the corpus' physical inputs: sorted (path, size,
     mtime_ns) of every input file. Non-local or non-statable inputs
-    (object stores, in-memory frames) contribute path-only rows — for
-    those the caller's ``corpus_key`` remains the identity and the
-    static-corpus-per-session assumption applies. Memoized per
-    (session, ``corpus_key``) with directory-mtime revalidation
-    (``_FP_CACHE`` note above)."""
+    (object stores, in-memory frames) contribute path-only rows; for
+    in-memory frames (no input files) the caller's ``corpus_key``
+    remains the identity. Memoized per (session, ``corpus_key``) with
+    directory-mtime revalidation over parents AND ancestors; when any
+    input is non-statable the memo is skipped entirely so the
+    fingerprint tracks the path list per call (``_FP_CACHE`` note)."""
     import hashlib
 
     cache_key = (spark.sparkContext.applicationId, corpus_key)
     hit = _FP_CACHE.get(cache_key)
-    if hit is not None and _dir_sig(d for d, _ in hit[0]) == hit[0]:
+    if hit is not None and _dir_sig([d for d, _ in hit[0]]) == hit[0]:
         return hit[1]
     rows = []
     parents = set()
+    statable = True
     for uri in sorted(docs.inputFiles()):
         path = uri[len("file:"):] if uri.startswith("file:") else uri
         parents.add(os.path.dirname(path))
@@ -124,8 +156,15 @@ def _corpus_fingerprint(spark: SparkSession, docs: DataFrame, corpus_key: str) -
             rows.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
         except OSError:
             rows.append(uri)
+            statable = False
     fp = hashlib.md5("\n".join(rows).encode()).hexdigest()
-    _FP_CACHE[cache_key] = (_dir_sig(parents), fp)
+    sig = _dir_sig(_ancestor_dirs(parents))
+    if statable and all(m != -1 for _, m in sig):
+        _FP_CACHE[cache_key] = (sig, fp)
+    else:
+        # a cached -1 signature would "match" forever; recompute the
+        # (path-list) fingerprint on every call instead (ADVICE r7)
+        _FP_CACHE.pop(cache_key, None)
     return fp
 
 

@@ -9,6 +9,7 @@ pin the standalone path to the same values)."""
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -223,3 +224,70 @@ def test_materialized_spine_cleanup_removes_roots(spark, tmp_path):
     postings._cleanup_materialized()
     assert not postings._MATERIALIZED
     assert all(not os.path.isdir(r) for r in roots)
+
+
+def test_fingerprint_autodetects_new_partition_dir(spark, tmp_path):
+    """ADVICE r7: corpus growth via a NEW directory (e.g. a fresh Hive
+    partition dir) bumps only the mtime of the directory it is created
+    IN — an ancestor, never an existing leaf parent. The signature now
+    covers ancestors up to the common root, so the cached fingerprint
+    revalidates and changes WITHOUT an explicit invalidate call."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "part_corpus"
+    (root / "p=1").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["alpha beta"], pa.string())}),
+        str(root / "p=1" / "f.parquet"),
+    )
+    docs1 = spark.read.parquet(str(root))
+    fp1 = postings._corpus_fingerprint(spark, docs1, str(root))
+    assert fp1 == postings._corpus_fingerprint(spark, docs1, str(root))  # memo hit
+
+    time.sleep(0.05)
+    (root / "p=2").mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([2], pa.int64()),
+                  "text": pa.array(["gamma delta"], pa.string())}),
+        str(root / "p=2" / "f.parquet"),
+    )
+    docs2 = spark.read.parquet(str(root))
+    fp2 = postings._corpus_fingerprint(spark, docs2, str(root))
+    assert fp2 != fp1, "new partition dir served a stale fingerprint"
+
+
+def test_fingerprint_not_cached_when_unstatable(spark, tmp_path, monkeypatch):
+    """ADVICE r7: on non-statable inputs (object stores) every directory
+    signature used to read -1 and 'match' forever, so the cache never
+    invalidated. Now nothing is cached at all: the fingerprint tracks
+    the path list per call."""
+    d1 = _tiny_corpus_dir(tmp_path, [(1, "alpha")])
+    docs = spark.read.parquet(d1)
+    d2 = str(tmp_path / "corpus2")
+    os.makedirs(d2, exist_ok=True)
+    shutil.copy(os.path.join(d1, "documents.parquet"),
+                os.path.join(d2, "renamed.parquet"))
+    docs2 = spark.read.parquet(d2)
+    key = "unstatable-corpus"
+    real_stat = os.stat
+
+    def deny(path, *a, **k):
+        if str(tmp_path) in str(path):
+            raise OSError("simulated object store")
+        return real_stat(path, *a, **k)
+
+    # os.stat is patched module-globally: everything after this point
+    # sees the corpus as an object store
+    monkeypatch.setattr(postings.os, "stat", deny)
+    postings.invalidate_corpus(key)
+    fp1 = postings._corpus_fingerprint(spark, docs, key)
+    cache_key = (spark.sparkContext.applicationId, key)
+    assert cache_key not in postings._FP_CACHE, "unstatable corpus was cached"
+    # a different file set under the same corpus_key must change the
+    # fingerprint on the very next call — no stale memo in the way
+    fp2 = postings._corpus_fingerprint(spark, docs2, key)
+    assert fp1 != fp2
