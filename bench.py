@@ -252,18 +252,27 @@ def main() -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "forget_table_ops_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "retries": retries,
-                "sf": sf,
-            }
-        )
-    )
+    # Stale-floor check (VERDICT r7 #7): a floor sitting ABOVE a better
+    # observed run is no defense — it lets a real regression up to the
+    # stale floor pass unretried. Report every beaten floor so the
+    # per-round refresh (scripts/update_floors.py) can lower it; only
+    # meaningful deltas (>2%) to keep timer jitter out of the field.
+    stale = {
+        n: {"floor": floors[n], "ran": timings[n]}
+        for n in timings
+        if n in floors and timings[n] < floors[n] * 0.98
+    }
+    out = {
+        "metric": "forget_table_ops_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "retries": retries,
+        "sf": sf,
+    }
+    if stale:
+        out["stale_floors"] = stale
+    print(json.dumps(out))
     spark.stop()
 
 
