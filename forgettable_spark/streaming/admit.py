@@ -395,13 +395,39 @@ def admit_batch(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     _write_pool = None  # released in the outer finally (ADVICE r7)
     try:
-        if batch.isEmpty():
+        # One count over the checkpointed blocks replaces the old
+        # isEmpty peek: the empty-trigger gate below still holds, and
+        # the count sizes the delta writes' fan-in (r8 — see
+        # _delta_parts note at the spine section).
+        n_batch = batch.count()
+        if n_batch == 0:
             # An empty trigger must not run the two-pass job or mint
             # three empty directories that every later batch would list
-            # and read. Checked AFTER the checkpoint so the peek reads
+            # and read. Checked AFTER the checkpoint so the count reads
             # the cached blocks instead of scanning the source a second
             # time (the checkpoint of an empty batch is trivial).
             return
+        # Output-file fan-in for the five spine/sketch delta writes: ONE
+        # file per table at micro-batch sizes (readers and folds list
+        # one shard per batch; the reduce is one cheap task), but a
+        # coalesce(1) at production batch sizes SINGLE-THREADS each
+        # delta's post-shuffle aggregation — at 71k-doc batches the five
+        # delta writes cost 16-25 s/batch against 0.45 s for the three
+        # un-coalesced base writes (SCALING.md r8 sf10 attribution).
+        # Scale the fan-in with the batch instead, capped at the loop's
+        # pinned shuffle width.
+        _delta_parts = max(1, min(8, (n_batch + 19_999) // 20_000))
+        # MAP-side width (the bigger r8 sf10 finding): a large batch
+        # often arrives as 1-2 source splits (one staged file under
+        # maxPartitionBytes), and localCheckpoint PRESERVES that — so
+        # the sketch build and every delta's map side ran near-single-
+        # threaded at 71k-doc batches (sigs_ckpt ~9-10 s in both
+        # configs). Re-spread a large narrow batch across the loop's
+        # width once, re-checkpoint, and let the finally's block sweep
+        # release the superseded blocks; one O(batch) row shuffle buys
+        # 8-way everything downstream. Micro batches skip it entirely.
+        if n_batch >= 20_000 and batch.rdd.getNumPartitions() < 8:
+            batch = batch.repartition(8).localCheckpoint(eager=True)
         # released_scope, not run_released: verdicts are one row PER
         # DOCUMENT — collecting them would put O(batch) rows on the
         # driver (cache.py's documented anti-pattern). Everything is
@@ -602,12 +628,15 @@ def admit_batch(
                     F.col("_w"),
                     F.col("_t"),
                 )
-                # coalesce(1): a micro-batch delta is a few hundred
-                # rows — one output file per table keeps the write's
-                # reduce side to one task and every later reader/fold
-                # from listing 8 shards per batch.
+                # _delta_parts (sized from the batch count above): one
+                # output file per table at micro sizes, wider at
+                # production batch sizes so the post-shuffle aggregation
+                # never single-threads.
                 for name, df in _sp._tables_from_base(spine_base).items():
-                    _submit(df.coalesce(1), f"{spine_dir}/{name}/batch-{batch_id}")
+                    _submit(
+                        df.coalesce(_delta_parts),
+                        f"{spine_dir}/{name}/batch-{batch_id}",
+                    )
                 _mark("plan_spine")
 
             if sketch_dir is not None:
@@ -662,11 +691,11 @@ def admit_batch(
                         id_col=id_col,
                         tokens_col="_w",
                     )
-                    .coalesce(1)
+                    .coalesce(_delta_parts)
                     .select(F.col(id_col).alias("doc_id"), "simhash")
                 )
                 _submit(
-                    shingled_delta.coalesce(1),
+                    shingled_delta.coalesce(_delta_parts),
                     f"{sketch_dir}/shingled/batch-{batch_id}",
                 )
                 _submit(simhash_delta, f"{sketch_dir}/simhash/batch-{batch_id}")
