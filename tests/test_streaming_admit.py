@@ -739,3 +739,50 @@ def test_write_pool_released_when_planning_raises(spark, dirs, monkeypatch):
             break
         time.sleep(0.1)
     assert not leaked, f"leaked pool workers: {leaked}"
+
+
+def test_spine_double_gap_and_fold_interaction(spark, dirs):
+    """Two separate maintenance gaps, with a corpus FOLD between them:
+    the watermark must catch the second gap even though the gap
+    batches' corpus dirs were folded away (the fold's coverage bound
+    stands in as the evidence), and the rebuilt tables stay
+    row-identical to a from-scratch rebuild."""
+    from forgettable_spark.extensions.sketches import sketch_tables
+    from forgettable_spark.streaming.admit import (
+        _read_last_maintained,
+        read_sketches,
+    )
+
+    sketch_dir = os.path.join(dirs["root"], "sketches")
+
+    def run(bid, rows, maintain, fold_every=None):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bid,
+            dirs["index"], dirs["corpus"], dirs["verdicts"],
+            threshold=0.5, fold_every=fold_every,
+            sketch_dir=sketch_dir if maintain else None,
+        )
+
+    run(0, [(1, DOC_A)], maintain=True)
+    run(1, [(2, DOC_B)], maintain=False)          # gap 1
+    run(2, [(3, DOC_E)], maintain=True)           # rebuild covers gap 1
+    assert _read_last_maintained(os.path.join(sketch_dir, "shingled")) == 2
+    # fold the corpus so batch dirs 0-2 collapse into fold-3
+    run(3, [(4, "fresh words four alpha4 beta4 gamma4 delta4")],
+        maintain=False, fold_every=1)             # gap 2 (+ corpus fold)
+    run(4, [(5, "fresh words five alpha5 beta5 gamma5 delta5")],
+        maintain=True)                            # must detect gap 2
+
+    admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+        dirs["corpus"]
+    ).select("doc_id", "text")
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 3, 4, 5]
+
+    def _rows(df):
+        return sorted(tuple(repr(v) for v in r) for r in df.collect())
+
+    live = read_sketches(spark, sketch_dir)
+    want = sketch_tables(admitted, block_col=None)
+    for t in ("shingled", "simhash"):
+        assert _rows(live[t]) == _rows(want[t]), f"{t} missing a gap batch"
+    assert _read_last_maintained(os.path.join(sketch_dir, "shingled")) == 4
