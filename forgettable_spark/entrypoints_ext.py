@@ -1052,17 +1052,19 @@ def q_ann_recall_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         v = similarity.as_double(F.col("embedding"))
-        # capped corpus cells (ids only) for the cost count — the SAME
-        # md5-window sample the headline's join sees.
-        cells = scoped_cache(
-            similarity._sample_cells_to_cap(
-                emb.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    similarity.signature_cell(v, SIG_ANN_BITS).alias("cell"),
-                ),
-                SIG_ANN_CAP,
+        # The quantized+capped corpus side is IDENTICAL across flip
+        # settings (flips explode the QUERY cells only) — build it ONCE
+        # and share it with all three topk evaluations (r8; previously
+        # each setting re-quantized and re-capped the whole corpus).
+        # The ids-only cells for the cost count are a projection of the
+        # same frame, so the gauge's candidate count and the headline's
+        # join see the exact same md5-window sample by construction.
+        c_side = scoped_cache(
+            similarity.quantized_signature_corpus_side(
+                emb, n_bits=SIG_ANN_BITS, max_bucket_size=SIG_ANN_CAP
             )
         )
+        cells = c_side.select("neighbor_id", "cell")
         out = None
         for flips in ANN_SIG_RECALL_FLIPS:
             ap = similarity.quantized_signature_topk(
@@ -1072,6 +1074,7 @@ def q_ann_recall_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_bits=SIG_ANN_BITS,
                 n_flip=flips,
                 max_bucket_size=SIG_ANN_CAP,
+                corpus_side=c_side,
             ).select("query_id", "neighbor_id")
             hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
             qcells = qset.select(

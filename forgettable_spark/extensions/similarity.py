@@ -587,25 +587,16 @@ def signature_ann_topk(
     )
 
 
-def quantized_signature_topk(
+def quantized_signature_corpus_side(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = HYPERPLANE_BITS,
-    n_flip: int = 0,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """The composed 100 TB ANN configuration: sign-LSH cells bound WHO
-    is scored (cell count a corpus knob + sample-to-cap occupancy bound
-    — :func:`signature_ann_topk`) and int8 quantization bounds the BYTES
-    that ride the join (codes + scale + norm, ~4× less than floats, and
-    integer dots are order-independent codegen —
-    :func:`quantized_bucketed_topk`). Returns (query_id, neighbor_id,
-    cosine_q, rank); candidate set identical to
-    :func:`signature_ann_topk` at the same (n_bits, n_flip, cap) since
-    cells are assigned from the original floats."""
+    """The corpus side of :func:`quantized_signature_topk` — int8 codes
+    + scale + norm + signature cell, sample-capped — split out so a
+    multi-configuration caller can build (and cache) it once."""
     v = as_double(F.col(vec_col))
     c = with_quantization(corpus, vec_col, "_cs", "_cq").select(
         F.col(id_col).alias("neighbor_id"),
@@ -616,6 +607,44 @@ def quantized_signature_topk(
     )
     if max_bucket_size is not None:
         c = _sample_cells_to_cap(c, max_bucket_size)
+    return c
+
+
+def quantized_signature_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = HYPERPLANE_BITS,
+    n_flip: int = 0,
+    max_bucket_size: int | None = None,
+    corpus_side: DataFrame | None = None,
+) -> DataFrame:
+    """The composed 100 TB ANN configuration: sign-LSH cells bound WHO
+    is scored (cell count a corpus knob + sample-to-cap occupancy bound
+    — :func:`signature_ann_topk`) and int8 quantization bounds the BYTES
+    that ride the join (codes + scale + norm, ~4× less than floats, and
+    integer dots are order-independent codegen —
+    :func:`quantized_bucketed_topk`). Returns (query_id, neighbor_id,
+    cosine_q, rank); candidate set identical to
+    :func:`signature_ann_topk` at the same (n_bits, n_flip, cap) since
+    cells are assigned from the original floats.
+
+    ``corpus_side``: a caller evaluating several ``n_flip`` settings
+    against the SAME corpus (the recall gauge) passes the
+    quantized+capped corpus frame built by
+    :func:`quantized_signature_corpus_side` once — typically
+    scope-cached — instead of re-quantizing and re-capping the whole
+    corpus per setting. The per-row expressions are identical, so
+    results are bit-equal to the self-built path (test-asserted)."""
+    if corpus_side is not None:
+        c = corpus_side
+    else:
+        c = quantized_signature_corpus_side(
+            corpus, id_col, vec_col, n_bits, max_bucket_size
+        )
+    v = as_double(F.col(vec_col))
     q = with_quantization(queries, vec_col, "_qs", "_qq").select(
         F.col(id_col).alias("query_id"),
         "_qs",
