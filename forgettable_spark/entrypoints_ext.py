@@ -846,20 +846,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "neighbor_id"
             )
         )
-        # Corpus bucket assignment, shared by every probe setting's
-        # candidate count (ids + bucket only — no vectors).
+        # Corpus side (vectors + argmax bucket + norm), shared by EVERY
+        # probe setting's top-k AND the candidate cost count — probes
+        # shape the query side only (r8; previously each setting
+        # re-bucketed and re-normed the whole corpus, and only the
+        # ids+bucket cost frame was shared).
         v = similarity.as_double(F.col("embedding"))
-        cb = scoped_cache(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                similarity.argmax_bucket(v).alias("bucket"),
-            )
-        )
+        c_side = scoped_cache(similarity.bucketed_ann_corpus_side(emb))
+        cb = c_side.select("neighbor_id", "bucket")
         out = None
         for p in ANN_RECALL_PROBES:
-            ap = similarity.bucketed_ann_topk(emb, qset, k=ANN_K, n_probes=p).select(
-                "query_id", "neighbor_id"
-            )
+            ap = similarity.bucketed_ann_topk(
+                emb, qset, k=ANN_K, n_probes=p, corpus_side=c_side
+            ).select("query_id", "neighbor_id")
             hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
             if p <= 1:
                 qb = qset.select(

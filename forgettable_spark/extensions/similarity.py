@@ -111,6 +111,27 @@ def top_p_buckets(vec: Column, n_probes: int) -> Column:
     )
 
 
+def bucketed_ann_corpus_side(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """The corpus side of :func:`bucketed_ann_topk` — float vectors,
+    argmax bucket, cap, per-vector norm — split out so a multi-probe
+    sweep can build (and cache) it once."""
+    from forgettable_spark.extensions.dedup import cap_hot_buckets
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("bucket", argmax_bucket(F.col("_cv")))
+    c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "bucketed_ann_topk", log_dropped)
+    # per-vector norms before the join (brute_force_topk's rationale)
+    return c.withColumn("_cn", norm(F.col("_cv")))
+
+
 def bucketed_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,6 +141,7 @@ def bucketed_ann_topk(
     n_probes: int = 1,
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    corpus_side: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: search the query's ``n_probes`` best
     coarse buckets (corpus vectors are indexed under their single argmax
@@ -134,16 +156,18 @@ def bucketed_ann_topk(
     :func:`forgettable_spark.extensions.dedup.cap_hot_buckets`): a
     degenerate quantizer cell holding half the corpus would otherwise
     drag every query probing it back to brute-force cost.
-    """
-    from forgettable_spark.extensions.dedup import cap_hot_buckets
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
-    ).withColumn("bucket", argmax_bucket(F.col("_cv")))
-    c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "bucketed_ann_topk", log_dropped)
-    # per-vector norms before the join (brute_force_topk's rationale)
-    c = c.withColumn("_cn", norm(F.col("_cv")))
+    ``corpus_side``: a caller sweeping several ``n_probes`` settings
+    (the recall gauge) passes :func:`bucketed_ann_corpus_side`'s frame
+    once — typically scope-cached — instead of re-bucketing and
+    re-norming the whole corpus per setting; probes shape the QUERY
+    side only, so results are bit-equal to the self-built path."""
+    if corpus_side is not None:
+        c = corpus_side
+    else:
+        c = bucketed_ann_corpus_side(
+            corpus, id_col, vec_col, max_bucket_size, log_dropped
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
