@@ -428,6 +428,14 @@ def admit_batch(
         # 8-way everything downstream. Micro batches skip it entirely.
         if n_batch >= 20_000 and batch.rdd.getNumPartitions() < 8:
             batch = batch.repartition(8).localCheckpoint(eager=True)
+            # The replacement checkpoint was created AFTER own_ids was
+            # snapshotted, so the outer finally's by-id sweep would never
+            # see it (and released_scope's 'before' set already contains
+            # it) — refresh the tracked set so BOTH generations of batch
+            # blocks are released at exit (ADVICE r8: a narrow >=20k-doc
+            # batch otherwise leaked its (doc_id, text) blocks for the
+            # stream session's lifetime).
+            own_ids = _persistent_rdd_ids(spark) - before_ids
         # released_scope, not run_released: verdicts are one row PER
         # DOCUMENT — collecting them would put O(batch) rows on the
         # driver (cache.py's documented anti-pattern). Everything is

@@ -196,6 +196,40 @@ def test_admit_batch_leaves_no_storage(spark, dirs):
     assert after <= before, f"leaked RDD blocks: {sorted(after - before)}"
 
 
+def test_admit_large_narrow_batch_leaves_no_storage(spark, dirs):
+    """A >=20k-doc batch arriving NARROW (1 partition) takes the r8
+    re-spread path — repartition(8) + a SECOND localCheckpoint created
+    after the first own_ids snapshot. ADVICE r8: that replacement
+    checkpoint must be re-tracked or it leaks its (doc_id, text) blocks
+    for the stream session's lifetime; the 2-row test above never
+    reaches the branch."""
+    docs = (
+        spark.range(20_000)
+        .coalesce(1)  # force the narrow-arrival shape the branch guards
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"w{j}x"), F.col("id")) for j in range(12)],
+            ).alias("text"),
+        )
+    )
+    assert docs.rdd.getNumPartitions() < 8
+    before = {
+        int(x)
+        for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    admit_batch(
+        spark, docs, 0, dirs["index"], dirs["corpus"], dirs["verdicts"],
+        threshold=0.5,
+    )
+    after = {
+        int(x)
+        for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert after <= before, f"leaked RDD blocks: {sorted(after - before)}"
+
+
 def test_admission_matches_batch_operator(spark, dirs):
     """One-batch admission verdicts against a pre-seeded corpus must
     agree with the batch incremental_lsh_admit operator run on the same
