@@ -2056,22 +2056,35 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     steepest curve in the suite); the sample caps it while small
     corpora (≤ the sample size, including both correctness SFs) are
     unchanged — LIMIT over fewer rows is the whole set. Ad-hoc
-    full-corpus gauging stays available via
-    SPARK_GRAFT_LSH_RECALL_FULL=1 (not the registered/oracle form)."""
+    full-corpus gauging lives in ``dedup_lsh_recall_full`` — a separate,
+    NON-registered helper, so no environment flag can ever make the
+    registered query and its oracle disagree (ADVICE r8)."""
+    return _lsh_recall(spark, sf_dir, sample_docs=LSH_RECALL_SAMPLE_DOCS)
 
+
+def dedup_lsh_recall_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus form of the LSH recall gauge — the exact-truth side
+    grows with candidate density (measured 7.5× wall for 10× rows), so
+    this is an ad-hoc investigation tool, deliberately NOT in any
+    registry: the registered ``dedup_lsh_recall`` is always the
+    count-bounded sample and always matches its oracle."""
+    return _lsh_recall(spark, sf_dir, sample_docs=None)
+
+
+def _lsh_recall(
+    spark: SparkSession, sf_dir: str, sample_docs: int | None
+) -> DataFrame:
     _, sp = _sketch_spine(spark, sf_dir)
 
     def build() -> DataFrame:
-        import os as _os
-
         sketched = sp["shingled"]
-        if _os.environ.get("SPARK_GRAFT_LSH_RECALL_FULL") != "1":
+        if sample_docs is not None:
             member = sketched.select(
                 "doc_id",
                 F.md5(
                     F.concat(F.lit(f"{LSH_RECALL_SALT}:"), F.col("doc_id").cast("string"))
                 ).alias("_k"),
-            ).orderBy("_k", "doc_id").limit(LSH_RECALL_SAMPLE_DOCS).select("doc_id")
+            ).orderBy("_k", "doc_id").limit(sample_docs).select("doc_id")
             sketched = sketched.join(F.broadcast(member), "doc_id", "left_semi")
             sketched = scoped_cache(sketched)
         base = sketched.select(

@@ -36,10 +36,29 @@ scope list only.
 from __future__ import annotations
 
 import logging
+import os
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Hard ceiling on rows :func:`run_released` will collect to the driver
+#: (override via SPARK_GRAFT_RUN_RELEASED_MAX_ROWS). Sized for the
+#: measured registry: the widest per-document queries return one row per
+#: document, so the default clears a sf10 scale run (~500k docs) with
+#: 10× headroom while still failing loudly long before a
+#: corpus-proportional registry entry (VERDICT r8 #6) can exhaust driver
+#: memory — such a query must route through :class:`released_scope` and
+#: a write instead.
+RUN_RELEASED_MAX_ROWS_DEFAULT = 5_000_000
+
+
+def _run_released_max_rows() -> int:
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_RUN_RELEASED_MAX_ROWS", RUN_RELEASED_MAX_ROWS_DEFAULT
+        )
+    )
 
 #: Stack of active release scopes; each holds the DataFrames cached via
 #: scoped_cache inside it. Innermost scope collects.
@@ -141,7 +160,32 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
     _SCOPES.append(scope)
     try:
         df = build()
-        rows = df.collect()
+        # Row-cap guard (VERDICT r8 #6): collect through a LIMIT of
+        # cap+1 — one extra potential row proves an overflow without
+        # materializing an unbounded result on the driver (the global
+        # limit short-circuits), and at or under the cap the limited
+        # collect IS the complete result set. executeTake's incremental
+        # partition scheduling (1, 4, 16, ... waves) would otherwise add
+        # a scheduling round per wave to every registered query, so the
+        # initial wave is pinned to all partitions for this one collect —
+        # one job, exactly like the unguarded collect().
+        cap = _run_released_max_rows()
+        prev_init = spark.conf.get("spark.sql.limit.initialNumPartitions", None)
+        spark.conf.set("spark.sql.limit.initialNumPartitions", str(2**31 - 1))
+        try:
+            rows = df.limit(cap + 1).collect()
+        finally:
+            if prev_init is None:
+                spark.conf.unset("spark.sql.limit.initialNumPartitions")
+            else:
+                spark.conf.set("spark.sql.limit.initialNumPartitions", prev_init)
+        if len(rows) > cap:
+            raise RuntimeError(
+                f"run_released: result exceeds the {cap}-row driver "
+                "collect cap (SPARK_GRAFT_RUN_RELEASED_MAX_ROWS) — this "
+                "query's output is corpus-proportional, not driver-small; "
+                "route it through released_scope and a write instead"
+            )
         schema = df.schema
     finally:
         _SCOPES.pop()

@@ -77,6 +77,36 @@ def test_run_released_handles_empty_result(spark):
     assert out.collect() == []
 
 
+def test_run_released_row_cap_fails_loudly(spark, monkeypatch):
+    """VERDICT r8 #6: run_released collects to the driver — a future
+    corpus-proportional registry entry must hit a loud, configurable cap
+    instead of silently OOMing the driver. The overflow path must still
+    release the build's storage."""
+    monkeypatch.setenv("SPARK_GRAFT_RUN_RELEASED_MAX_ROWS", "50")
+    spark.catalog.clearCache()
+    before = _persistent_ids(spark)
+
+    def build():
+        df = scoped_cache(spark.range(100).selectExpr("id", "id * 2 AS v"))
+        df.count()
+        return df
+
+    with pytest.raises(RuntimeError, match="released_scope"):
+        run_released(spark, build)
+    assert _persistent_ids(spark) == before
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # conf guard restored: the pinned initial-partition wave must not
+    # leak into the session's other limits
+    assert (
+        spark.conf.get("spark.sql.limit.initialNumPartitions", None) is None
+    )
+
+    # at (not above) the cap the full result comes back intact
+    monkeypatch.setenv("SPARK_GRAFT_RUN_RELEASED_MAX_ROWS", "100")
+    out = run_released(spark, build)
+    assert out.count() == 100
+
+
 def test_run_released_failure_path_releases_storage(spark):
     """A build that raises must still release its scoped caches and any
     localCheckpoint blocks (ADVICE r3: the failure path leaked sketch

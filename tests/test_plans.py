@@ -227,7 +227,8 @@ PYTHON_STAGE_ALLOWLIST = {
 
 
 def test_python_stages_closed_set(spark):
-    """Exactly the two opt-in Arrow paths carry a Python physical node —
+    """Exactly the allowlisted opt-in Arrow paths (three) carry a Python
+    physical node —
     scanned over the WHOLE primary registry with the widened detector
     (the same one scripts/audit_plans.py uses), so an accidental pandas
     stage in any hot path fails loudly here."""
