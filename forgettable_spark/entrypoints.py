@@ -560,12 +560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dist_poisson": q_get_dist_poisson,
         "incr_snapshot": q_incr_snapshot,
         "asof_attribution": q_asof_attribution,
-        # r7 rotation (VERDICT r6 #4): first driver rows for two compat/
-        # law variants green locally since r1 but never driver-seen —
-        # the reference's partial-Z /get quirk and the pyforget
-        # floor-at-1 no-prune decay law.
-        "get_field_compat_partial_z": q_get_field_compat_partial_z,
-        "get_dist_noprune": q_get_dist_noprune,
+        # r9 rotation (VERDICT r8 #2): the r7 promotions
+        # get_field_compat_partial_z and get_dist_noprune — driver-green
+        # r7-r8, each a parameter twist of a still-registered core query
+        # (get_field / get_dist_all) — moved to the secondary registry,
+        # freeing rows for never-driver-seen ANN/sampling promotions in
+        # entrypoints_ext.
         # r8 rotation (VERDICT r7 #1): first driver rows for the three
         # stalest never-driver-seen secondaries in this module — the
         # strategy-equivalence check that the skew-safe join normalize
@@ -690,6 +690,21 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``rel_cube_summary`` — CUBE rollup over lineitem (green r1–r5);
       its scan-agg sub-shape ``rel_pricing_summary`` was already here.
 
+    r9 rotation (VERDICT r8 #2): ``ann_quantized_topk``,
+    ``ann_bucketed_float``, ``ann_multiprobe_float`` and
+    ``stratified_sample`` — the four stalest never-driver-seen
+    secondaries — promoted for debut driver rows, demoting here:
+
+    - ``get_field_compat_partial_z`` — the partial-Z /get quirk, a
+      parameter twist of the registered ``get_field`` (green r7-r8);
+    - ``get_dist_noprune`` — the floor-at-1 pyforget law, a parameter
+      twist of the registered ``get_dist_all`` (green r7-r8);
+    - ``quality_filter`` — the rule gate the registered
+      ``quality_distill`` embeds verbatim as its labeling step (green
+      r7-r8);
+    - ``dedup_simhash_capped`` — the hot-bucket-cap twist of the
+      registered ``dedup_simhash_pairs`` (green r6-r8).
+
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
     """
@@ -700,12 +715,22 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_most_probable_users": q_n_most_probable_users,
         "dedup_simhash": entrypoints_ext.q_dedup_simhash,
         "ann_cosine_topk": entrypoints_ext.q_ann_cosine_topk,
-        "ann_bucketed_float": entrypoints_ext.q_ann_bucketed_float,
-        "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
         "ann_bucketed_topk": entrypoints_ext.q_ann_bucketed_topk,
         "ann_argmax_multiprobe": entrypoints_ext.q_ann_argmax_multiprobe,
-        "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
-        "stratified_sample": entrypoints_ext.q_stratified_sample,
+        # r9 demotions (VERDICT r8 #2 rotation): driver-green twists of
+        # still-registered queries, displaced by the four never-driver-
+        # seen promotions (ann_quantized_topk, ann_bucketed_float,
+        # ann_multiprobe_float, stratified_sample) —
+        # get_field_compat_partial_z (partial-Z twist of get_field,
+        # green r7-r8), get_dist_noprune (floor-at-1 twist of
+        # get_dist_all, green r7-r8), quality_filter (the rule gate
+        # quality_distill embeds verbatim, green r7-r8), and
+        # dedup_simhash_capped (hot-bucket-cap twist of the registered
+        # dedup_simhash_pairs, green r6-r8).
+        "get_field_compat_partial_z": q_get_field_compat_partial_z,
+        "get_dist_noprune": q_get_dist_noprune,
+        "quality_filter": entrypoints_ext.q_quality_filter,
+        "dedup_simhash_capped": entrypoints_ext.q_dedup_simhash_capped,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
         "token_counts": entrypoints_ext.q_token_counts,
         "hash_split": entrypoints_ext.q_hash_split,
@@ -788,8 +813,6 @@ WHERE distribution = 'colors'"""
         "get_dist_poisson": _oracle_get_dist_poisson(_EV_EVENT_TYPE, RATE_SLOW, POISSON_SEED),
         "incr_snapshot": incr_sql,
         "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
-        "get_field_compat_partial_z": _oracle_get_field_compat(),
-        "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
         "db_size_users": (
             "SELECT CAST(COUNT(DISTINCT 'u' || CAST(user_id % 1000 AS VARCHAR)) AS BIGINT)"
@@ -834,12 +857,13 @@ def secondary_oracle_sql() -> dict[str, str]:
         "n_most_probable_users": ORACLE_N_MOST_PROBABLE_USERS,
         "dedup_simhash": entrypoints_ext.ORACLE_DEDUP_SIMHASH,
         "ann_cosine_topk": entrypoints_ext.ORACLE_ANN_COSINE,
-        "ann_bucketed_float": entrypoints_ext.ORACLE_ANN_BUCKETED,
-        "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
         "ann_bucketed_topk": entrypoints_ext._oracle_ann_quantized_bucketed(1),
         "ann_argmax_multiprobe": entrypoints_ext._oracle_ann_quantized_bucketed(),
-        "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
-        "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
+        # r9 demotions (oracles follow their queries)
+        "get_field_compat_partial_z": _oracle_get_field_compat(),
+        "get_dist_noprune": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, False, "linear"),
+        "quality_filter": entrypoints_ext.ORACLE_QUALITY_FILTER,
+        "dedup_simhash_capped": entrypoints_ext.ORACLE_DEDUP_SIMHASH_CAPPED,
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
         "token_counts": entrypoints_ext.ORACLE_TOKEN_COUNTS,
         "hash_split": entrypoints_ext.ORACLE_HASH_SPLIT,

@@ -2365,7 +2365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally since r4 (three rel_* twists moved to secondary).
         "batch_novelty": q_batch_novelty,
         "sample_per_group": q_sample_per_group,
-        "dedup_simhash_capped": q_dedup_simhash_capped,
         # r7 rotation (VERDICT r6 #4): first driver rows for the rule
         # gate quality_distill embeds (quality_filter) and the headline
         # quantizer's recall+cost gauge (ann_recall_signature, new r6);
@@ -2374,7 +2373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_chunk_apply (materialize twins of the still-registered
         # layout queries) — keep identical oracle rigor in
         # entrypoints.secondary_queries().
-        "quality_filter": q_quality_filter,
         "ann_recall_signature": q_ann_recall_signature,
         # r8 rotation (VERDICT r7 #1): first driver row for the headline
         # quantizer's float-scored twin — same candidate set as
@@ -2382,6 +2380,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequential-fold exact dot product instead of int8; the last
         # never-driver-seen member of the headline ANN family.
         "ann_signature_topk": q_ann_signature_topk,
+        # r9 rotation (VERDICT r8 #2): first driver rows for the four
+        # stalest never-driver-seen secondaries — the flat int8 cosine
+        # top-k on the recall query sample (ann_quantized_topk), the
+        # sequential-fold float-scored twins of the registered int8
+        # bucketed/multiprobe ANN queries (ann_bucketed_float,
+        # ann_multiprobe_float — same candidate sets by construction),
+        # and per-stratum salted-hash sampling (stratified_sample).
+        # quality_filter and dedup_simhash_capped rotated to the
+        # secondary registry to make room (see
+        # entrypoints.secondary_queries).
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_bucketed_float": q_ann_bucketed_float,
+        "ann_multiprobe_float": q_ann_multiprobe_float,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2418,10 +2430,13 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "batch_novelty": _oracle_batch_novelty(),
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
-        "dedup_simhash_capped": ORACLE_DEDUP_SIMHASH_CAPPED,
-        "quality_filter": ORACLE_QUALITY_FILTER,
         "ann_recall_signature": _oracle_ann_recall_signature(),
         "ann_signature_topk": _oracle_ann_signature(),
+        # r9 promotions (oracles follow their queries)
+        "ann_quantized_topk": _oracle_ann_quantized(),
+        "ann_bucketed_float": ORACLE_ANN_BUCKETED,
+        "ann_multiprobe_float": ORACLE_ANN_MULTIPROBE,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     }
     # ann_kmeans_topk: k-means is iterative, so this oracle is GENERATED
     # per-corpus (literal trained codebook) rather than a static string —
