@@ -6,9 +6,11 @@ sf0.1 on this box — bench.py re-runs any entry reading >1.5x its floor
 and keeps the min (host-noise defense). A floor above a better observed
 run is STALE: it lets a genuine regression up to the stale floor pass
 unretried. This script lowers every floor to the minimum across the
-sources given (BENCH_r*.json driver records and/or raw bench.py JSON
-lines saved to files), adds floors for newly rotated-in entries, and
-drops floors for entries no longer timed.
+sources given (BENCH_r*.json driver records, BENCH_DETAIL.json
+sidecars — since r9 the per-query dict lives there, not on the
+driver-facing final line — and/or raw bench payloads saved to files),
+adds floors for newly rotated-in entries, and drops floors for entries
+no longer timed.
 
     python scripts/update_floors.py BENCH_r07.json my_run.json ...
 
@@ -31,6 +33,7 @@ def _timings(path: str) -> dict[str, float]:
     output line saved to a file; only sf0.1 runs contribute."""
     with open(path) as fh:
         rec = json.load(fh)
+    rec = rec.get("bench_detail", rec)  # a saved raw detail stdout line
     parsed = rec.get("parsed", rec)
     if parsed.get("sf") != 0.1:
         return {}
