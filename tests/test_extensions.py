@@ -385,6 +385,30 @@ def test_multimodal_real_decode_ppm_end_to_end(spark):
         assert all(0.0 <= f <= 1.0 for f in feats)
 
 
+def test_media_histograms_real_decode_ppm(spark):
+    """The near-dup featurizer's real-decode branch also runs end-to-end
+    on PNM: decoded samples are histogrammed (not the raw bytes), so two
+    renderings of the SAME image with different byte layouts (P6 RGB vs
+    P5 grayscale at the P6 luma values) land identical histograms."""
+    p6 = _ppm_bytes(4, 2, lambda i: (32 * i, 16 * i, 8 * i))
+    _, _, _, gray = multimodal._parse_pnm_gray(p6)
+    p5 = b"P5\n4 2\n255\n" + bytes(gray)
+    media = spark.createDataFrame(
+        [(0, "image", p6, None), (1, "image", p5, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_feature_histograms(
+            media, use_fake_decoder=False
+        ).collect()
+    }
+    assert rows[0]["counts"] == rows[1]["counts"]
+    assert rows[0]["n_chars"] == sum(rows[0]["counts"]) > 0
+    # different bytes -> different exact-dup key, same perceptual features
+    assert rows[0]["sha256"] != rows[1]["sha256"]
+
+
 def test_parse_pnm_gray_p6_p5_and_errors():
     # P6 luma: (299r + 587g + 114b) // 1000, bit-deterministic
     p6 = _ppm_bytes(2, 1, lambda i: (100, 200, 50) if i == 0 else (0, 0, 255))
