@@ -60,6 +60,39 @@ from forgettable_spark.extensions.text import (
 from forgettable_spark.functions.cache import scoped_cache
 
 
+def _token_label_pairs_standalone(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = QUALITY_MIN_TOKENS,
+    min_distinct_ratio: float = QUALITY_MIN_DISTINCT_RATIO,
+) -> DataFrame:
+    """(doc_id, label, token, tf) from raw text — the non-spine branch
+    of :func:`distill_quality_classifier`. THE rule gate
+    (text.quality_pass) labels each document; the label is the same
+    expression quality_filter/corpus_report/source_curation gate on.
+
+    Two-step select, deliberately (same fix as postings.py
+    _tables_from_base, r9): alongside the explode in one projection, the
+    planner evaluates quality_pass — which re-tokenizes the text AND
+    runs array_distinct — in the Project ABOVE the Generate, once per
+    emitted TOKEN (O(doc_len²) per document). The child Project pins
+    one evaluation per document (plan-asserted in tests/test_postings.py).
+    """
+    label = quality_pass(F.col(text_col), min_tokens, min_distinct_ratio)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            label.alias("label"),
+            tokens(F.col(text_col)).alias("_w"),
+        )
+        .select("doc_id", "label", F.explode("_w").alias("token"))
+        .groupBy("doc_id", "label", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def distill_quality_classifier(
     docs: DataFrame,
     text_col: str = "text",
@@ -100,16 +133,8 @@ def distill_quality_classifier(
             "tf",
         )
     else:
-        w_arr = tokens(F.col(text_col))
-        # THE rule gate (text.quality_pass) — the label is the same
-        # expression quality_filter/corpus_report/source_curation gate on.
-        label = quality_pass(F.col(text_col), min_tokens, min_distinct_ratio)
-        pairs = (
-            docs.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("doc_id"), label.alias("label"),
-                    F.explode(w_arr).alias("token"))
-            .groupBy("doc_id", "label", "token")
-            .agg(F.count(F.lit(1)).alias("tf"))
+        pairs = _token_label_pairs_standalone(
+            docs, text_col, id_col, min_tokens, min_distinct_ratio
         )
     if persist:
         pairs = scoped_cache(pairs)

@@ -371,13 +371,23 @@ def _tables_from_base(base: DataFrame) -> dict[str, DataFrame]:
         F.size("_w").cast("bigint").alias("dl"),
         F.size(F.array_distinct("_w")).cast("bigint").alias("n_distinct"),
     )
+    # Two-step select, deliberately: with the per-doc stats and the
+    # explode in ONE select, the planner evaluates the non-generator
+    # expressions in the Project ABOVE the Generate — size(array_distinct)
+    # then runs once per emitted TOKEN, O(doc_len²) per document
+    # (measured at sf30: the postings write cost 7.6× the
+    # identically-shaped bigrams write in the same pass; splitting the
+    # select put it at parity). Computing them in a child Project pins
+    # one evaluation per document; the Generate merely replicates the
+    # computed values.
     postings = (
         base.select(
             "doc_id",
             F.size("_w").cast("bigint").alias("dl"),
             F.size(F.array_distinct("_w")).cast("bigint").alias("n_distinct"),
-            F.explode("_w").alias("term"),
+            "_w",
         )
+        .select("doc_id", "dl", "n_distinct", F.explode("_w").alias("term"))
         .groupBy("doc_id", "dl", "n_distinct", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -291,3 +291,34 @@ def test_fingerprint_not_cached_when_unstatable(spark, tmp_path, monkeypatch):
     # fingerprint on the very next call — no stale memo in the way
     fp2 = postings._corpus_fingerprint(spark, docs2, key)
     assert fp1 != fp2
+
+
+def _plan_above_generate(df) -> str:
+    """Physical-plan text ABOVE the (first) Generate node — expressions
+    here run once per EMITTED row, not once per document."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("Generate")
+    assert i != -1, "expected a Generate node"
+    return plan[:i]
+
+
+def test_postings_per_doc_stats_not_recomputed_per_token(spark):
+    """r9 regression guard: with dl/n_distinct in the same projection as
+    the explode, the planner evaluated size(array_distinct(_w)) in the
+    Project ABOVE the Generate — once per emitted token, O(doc_len²)
+    per document (measured 7.6× the identically-shaped bigrams write at
+    sf30). The stats must stay below the Generate."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = postings._full_base(docs, "text", "doc_id", "lang")
+    above = _plan_above_generate(postings._tables_from_base(base)["postings"])
+    assert "array_distinct" not in above
+
+
+def test_classifier_label_not_recomputed_per_token(spark):
+    """Same defect class in the classifier's standalone (non-spine)
+    branch: quality_pass re-tokenizes the text, so it must be pinned
+    below the Generate, once per document."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = classifier._token_label_pairs_standalone(docs)
+    above = _plan_above_generate(pairs)
+    assert "array_distinct" not in above and "split(" not in above
