@@ -250,16 +250,19 @@ def kmeans_ann_topk(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
     )
+    # per-vector norms before the join (similarity.brute_force_topk's
+    # rationale): one dot + divide per pair instead of three folds —
+    # and _qn BEFORE the probe explode: added after it, the O(dim) norm
+    # fold lands in the Project above the Generate and re-evaluates once
+    # per probed cell (the r9 GEN-RECOMPUTE audit class).
+    q = q.withColumn("_qn", norm(F.col("_qv")))
     if n_probes <= 1:
         q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
     else:
         q = q.withColumn(
             "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
         )
-    # per-vector norms before the join (similarity.brute_force_topk's
-    # rationale): one dot + divide per pair instead of three folds
     c = c.withColumn("_cn", norm(F.col("_cv")))
-    q = q.withColumn("_qn", norm(F.col("_qv")))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -577,6 +577,11 @@ def signature_ann_topk(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
     ).withColumn("cell", signature_cell(F.col("_qv"), n_bits))
+    # _qn BEFORE the flip explode: added after it, the O(dim) norm fold
+    # lands in the Project above the Generate and re-evaluates once per
+    # flipped cell (the r9 GEN-RECOMPUTE audit class); below it, the
+    # Generate replicates the computed value.
+    q = q.withColumn("_qn", norm(F.col("_qv")))
     if n_flip > 0:
         q = q.withColumn(
             "cell",
@@ -591,7 +596,6 @@ def signature_ann_topk(
             ),
         )
     c = c.withColumn("_cn", norm(F.col("_cv")))
-    q = q.withColumn("_qn", norm(F.col("_qv")))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

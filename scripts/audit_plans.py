@@ -37,6 +37,100 @@ def _formatted_plan(df) -> str:
     )
 
 
+#: Function tokens that are expensive enough that evaluating them once
+#: per GENERATED row (instead of once per input row) is a plan defect —
+#: array/string-rebuilding work, hashing, regex. Cheap scalar ops
+#: (casts, arithmetic, CASE, size() — O(1) on arrays) are fine per-row.
+_EXPENSIVE_FNS = (
+    "array_distinct(", "array_sort(", "sort_array(", "split(",
+    "aggregate(", "transform(", "zip_with(", "filter(", "array_repeat(",
+    "sequence(", "regexp", "md5(", "sha2(", "sha1(", "conv(",
+    "array_intersect(", "array_union(", "array_except(", "flatten(",
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a formatted-plan expression list on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def generator_recompute(plan: str) -> list[str]:
+    """Detect the r9 per-emitted-row recomputation defect: an expensive
+    expression in a Generate's PARENT Project runs once per generated
+    row — O(doc_len²) per document for a token explode (postings paid
+    size(array_distinct) per TOKEN before the r9 fix). Returns the
+    offending expressions; expressions over the generator's own output
+    attributes are legitimately per-row and not flagged. Parses the
+    FORMATTED explain (tree + per-node detail blocks)."""
+    lines = plan.splitlines()
+    tree_re = re.compile(r"^([\s+\-:*]*?)(?:\* )?(\w+) \((\d+)\)\s*$")
+    entries = []  # (line_no, name_col, op, id)
+    for i, l in enumerate(lines):
+        m = tree_re.match(l)
+        if m:
+            entries.append((i, l.index(m.group(2)), m.group(2), m.group(3)))
+    # detail blocks: "(id) OpName ..." then fields until the next block
+    blocks: dict[str, str] = {}
+    cur_id = None
+    for l in lines:
+        m = re.match(r"^\((\d+)\) (\w+)", l)
+        if m:
+            cur_id = m.group(1)
+            blocks[cur_id] = l + "\n"
+        elif cur_id is not None:
+            blocks[cur_id] += l + "\n"
+    flagged = []
+    for idx, (line_no, col, op, nid) in enumerate(entries):
+        if op != "Generate":
+            continue
+        # parent: nearest earlier tree line, contiguous run, smaller indent
+        parent = None
+        for j in range(idx - 1, -1, -1):
+            pl, pc, pop, pid = entries[j]
+            if entries[j + 1][0] - pl != 1:
+                break  # left this tree run
+            if pc < col:
+                parent = (pop, pid)
+                break
+        if parent is None or parent[0] != "Project":
+            continue
+        gen_block = blocks.get(nid, "")
+        # generator output attrs: the last [...] of the Arguments line
+        gout = re.findall(r"\[([^\[\]]*)\]\s*$", gen_block.strip().splitlines()[-1] if "Arguments:" in gen_block else "")
+        for bl in gen_block.splitlines():
+            if bl.startswith("Arguments:"):
+                gout = re.findall(r"\[([^\[\]]*)\]", bl)[-1:]
+        gen_attrs = [a.strip() for a in (gout[0].split(",") if gout else []) if a.strip()]
+        out_line = next(
+            (bl for bl in blocks.get(parent[1], "").splitlines() if bl.startswith("Output")),
+            "",
+        )
+        m = re.search(r"Output \[\d+\]: \[(.*)\]\s*$", out_line)
+        if not m:
+            continue
+        for expr in _split_top_level(m.group(1)):
+            if " AS " not in expr:
+                continue  # pass-through attribute: replicated, not recomputed
+            if any(fn in expr for fn in _EXPENSIVE_FNS) and not any(
+                a in expr for a in gen_attrs
+            ):
+                flagged.append(expr)
+    return flagged
+
+
 def summarize(plan: str) -> dict:
     op_lines = [l.strip() for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
     exchanges = sum(
@@ -78,6 +172,7 @@ def summarize(plan: str) -> dict:
         "python": python,
         "spine": spine,
         "local": local_only,
+        "gen_recompute": generator_recompute(plan),
     }
 
 
@@ -151,11 +246,17 @@ def main() -> None:
             if s["local"]:
                 out.append(f"| `{name}` | local-only plan (no scan) | | | | | |\n")
                 continue
+            notes = "corpus spine" if s["spine"] else ""
+            if s["gen_recompute"]:
+                # per-emitted-row recomputation above a Generate — the r9
+                # postings defect class; tests/test_plans.py asserts this
+                # never appears in either registry
+                notes = (notes + "; " if notes else "") + "GEN-RECOMPUTE!"
             out.append(
                 f"| `{name}` | {s['exchanges']} | {s['reused']} | "
                 f"{'yes' if s['pushed'] else '—'} | {s['codegen']} | "
                 f"{'ARROW' if s['python'] else '—'} | "
-                f"{'corpus spine' if s['spine'] else ''} |\n"
+                f"{notes} |\n"
             )
     spark.catalog.clearCache()
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:

@@ -226,6 +226,28 @@ PYTHON_STAGE_ALLOWLIST = {
 }
 
 
+def test_no_per_generated_row_recomputation(spark):
+    """r9 defect class (the postings finding): an expensive expression
+    in a Generate's parent Project evaluates once per EMITTED row —
+    O(doc_len²) per document for a token explode. Scanned over BOTH
+    registries with the same detector audit_plans.py reports through;
+    expressions over the generator's own output are legitimately
+    per-row and not flagged."""
+    from scripts.audit_plans import generator_recompute
+    from forgettable_spark.functions.cache import plan_audit_mode
+
+    flagged = {}
+    for reg in (ep.queries(), ep.secondary_queries()):
+        for name, fn in reg.items():
+            spark.catalog.clearCache()
+            with plan_audit_mode():
+                hits = generator_recompute(_formatted_plan(fn(spark, SF_SMOKE)))
+            if hits:
+                flagged[name] = hits
+    spark.catalog.clearCache()
+    assert flagged == {}, f"per-generated-row recomputation: {flagged}"
+
+
 def test_python_stages_closed_set(spark):
     """Exactly the allowlisted opt-in Arrow paths (three) carry a Python
     physical node —
