@@ -407,6 +407,18 @@ def admit_batch(
             # the cached blocks instead of scanning the source a second
             # time (the checkpoint of an empty batch is trivial).
             return
+        # Loop width scales with the batch (r9): the pinned 8-way
+        # shuffle is right up to ~71k-doc batches (job-scheduling-bound
+        # below, measured −13.7% maintenance overhead at sf10), but at
+        # 214k-doc batches (sf30) it became the binding constraint —
+        # every verdict join and delta aggregation squeezed through 8
+        # partitions, and the same-window overhead regressed to −20.3%.
+        # Widths: 8 (<100k docs — all previously measured rungs keep
+        # their exact plans and numbers), 16 (<400k), 32 beyond. The
+        # conf is re-set here, before any of the batch's plans compile.
+        _width = 8 if n_batch < 100_000 else (16 if n_batch < 400_000 else 32)
+        if _width != 8:
+            spark.conf.set("spark.sql.shuffle.partitions", str(_width))
         # Output-file fan-in for the five spine/sketch delta writes: ONE
         # file per table at micro-batch sizes (readers and folds list
         # one shard per batch; the reduce is one cheap task), but a
@@ -415,8 +427,8 @@ def admit_batch(
         # delta writes cost 16-25 s/batch against 0.45 s for the three
         # un-coalesced base writes (SCALING.md r8 sf10 attribution).
         # Scale the fan-in with the batch instead, capped at the loop's
-        # pinned shuffle width.
-        _delta_parts = max(1, min(8, (n_batch + 19_999) // 20_000))
+        # width.
+        _delta_parts = max(1, min(_width, (n_batch + 19_999) // 20_000))
         # MAP-side width (the bigger r8 sf10 finding): a large batch
         # often arrives as 1-2 source splits (one staged file under
         # maxPartitionBytes), and localCheckpoint PRESERVES that — so
@@ -425,9 +437,9 @@ def admit_batch(
         # configs). Re-spread a large narrow batch across the loop's
         # width once, re-checkpoint, and let the finally's block sweep
         # release the superseded blocks; one O(batch) row shuffle buys
-        # 8-way everything downstream. Micro batches skip it entirely.
-        if n_batch >= 20_000 and batch.rdd.getNumPartitions() < 8:
-            batch = batch.repartition(8).localCheckpoint(eager=True)
+        # width-way everything downstream. Micro batches skip it entirely.
+        if n_batch >= 20_000 and batch.rdd.getNumPartitions() < _width:
+            batch = batch.repartition(_width).localCheckpoint(eager=True)
             # The replacement checkpoint was created AFTER own_ids was
             # snapshotted, so the outer finally's by-id sweep would never
             # see it (and released_scope's 'before' set already contains
