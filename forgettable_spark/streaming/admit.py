@@ -292,6 +292,17 @@ def _bootstrap_missing_tables(
                 shutil.rmtree(os.path.join(table_dir, e), ignore_errors=True)
 
 
+def _loop_width(n_batch: int) -> int:
+    """Shuffle width for one admission micro-batch (r9): 8 below 100k
+    docs — the loop is job-scheduling-bound there and every rung
+    measured through sf10 keeps its exact plans — then 16, then 32 at
+    400k. Measured at the 214k-doc rung: the pinned 8 was the binding
+    constraint (2,270 → 5,987 docs/s with full maintenance at 16)."""
+    if n_batch < 100_000:
+        return 8
+    return 16 if n_batch < 400_000 else 32
+
+
 def admit_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -413,10 +424,9 @@ def admit_batch(
         # 214k-doc batches (sf30) it became the binding constraint —
         # every verdict join and delta aggregation squeezed through 8
         # partitions, and the same-window overhead regressed to −20.3%.
-        # Widths: 8 (<100k docs — all previously measured rungs keep
-        # their exact plans and numbers), 16 (<400k), 32 beyond. The
-        # conf is re-set here, before any of the batch's plans compile.
-        _width = 8 if n_batch < 100_000 else (16 if n_batch < 400_000 else 32)
+        # The conf is re-set here, before any of the batch's plans
+        # compile.
+        _width = _loop_width(n_batch)
         if _width != 8:
             spark.conf.set("spark.sql.shuffle.partitions", str(_width))
         # Output-file fan-in for the five spine/sketch delta writes: ONE
