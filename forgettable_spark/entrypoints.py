@@ -705,6 +705,21 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``dedup_simhash_capped`` — the hot-bucket-cap twist of the
       registered ``dedup_simhash_pairs`` (green r6-r8).
 
+    Late-r9 rotation (new-operator debuts): the three NEW operators
+    ``semantic_dedup`` (SemDeDup cluster-scoped embedding dedup over the
+    trained codebook), ``dedup_canonicalize`` (quality-argmax
+    representative per duplicate cluster) and ``mixture_plan``
+    (target-mixture domain reweighting) enter the primary registry for
+    debut driver rows, demoting here:
+
+    - ``embedding_near_dup`` — the IVF-cell near-dup strategy variant
+      (green r5-r8); the hyperplane variant stays primary and
+      ``semantic_dedup`` now carries the cell-bucketed shape;
+    - ``sample_per_group`` — count-cap twist beside the registered
+      budget + stratified samplers (green r6-r8);
+    - ``corpus_report`` — one-row observability rollup, kept green by
+      ``batch_novelty`` + ``source_curation`` (green r5-r8).
+
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
     """
@@ -758,6 +773,19 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": entrypoints_ext.q_corpus_top_ngrams,
         "pii_scan": entrypoints_ext.q_pii_scan,
         "orders_without_lineitems": entrypoints_rel.q_orders_without_lineitems,
+        # Late-r9 demotions (rotation for the three NEW debut operators
+        # semantic_dedup / dedup_canonicalize / mixture_plan): each a
+        # strategy variant or twist a still-registered primary keeps
+        # exercising — embedding_near_dup (IVF-cell near-dup; the
+        # hyperplane variant stays primary and semantic_dedup carries
+        # the cell-bucketed shape, green r5-r8), sample_per_group
+        # (count-cap twist beside the registered budget + stratified
+        # samplers, green r6-r8), corpus_report (one-row observability
+        # rollup, kept green by batch_novelty + source_curation, green
+        # r5-r8).
+        "embedding_near_dup": entrypoints_ext.q_embedding_near_dup,
+        "sample_per_group": entrypoints_ext.q_sample_per_group,
+        "corpus_report": entrypoints_ext.q_corpus_report,
     }
 
 
@@ -882,4 +910,8 @@ def secondary_oracle_sql() -> dict[str, str]:
         "corpus_top_ngrams": entrypoints_ext.ORACLE_TOP_NGRAMS,
         "pii_scan": entrypoints_ext.ORACLE_PII_SCAN,
         "orders_without_lineitems": entrypoints_rel.ORACLE_ORDERS_ANTI,
+        # late-r9 demotions (oracles follow their queries)
+        "embedding_near_dup": entrypoints_ext.ORACLE_EMBEDDING_NEAR_DUP,
+        "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
+        "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
     }

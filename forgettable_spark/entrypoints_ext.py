@@ -787,6 +787,52 @@ def _oracle_ann_kmeans(sf_dir: str) -> str:
     )
 
 
+#: semantic_dedup config: the SAME k=8 codebook as ann_kmeans_topk (one
+#: training, memoized), a threshold inside the synthetic corpus' within-
+#: cell cosine range (real embedding dedup runs 0.9+; these vectors are
+#: near-orthogonal — NEAR_DUP_COSINE's rationale), and a cap that BITES
+#: at sf0.01 (trained cells run 57-70, three exceed 64) so the
+#: deterministic sample-to-cap semantics are hash-verified, not just
+#: plumbed (SIMHASH_BUCKET_CAP's rationale).
+SEMDEDUP_COSINE = 0.38
+SEMDEDUP_CAP = 64
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped embedding dedup (SemDeDup, arXiv:2303.09540) over
+    the trained k-means codebook: semantic duplicates share a cell, so
+    pair scoring is a balanced-cell equi-join — the trained-quantizer
+    complement to the banded-LSH `embedding_near_dup*` family, and the
+    third consumer of the memoized `ann_kmeans_topk` codebook. Output is
+    one row per dropped doc with its minimal keep-witness."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+    return cb.semantic_dedup(
+        emb, cents, threshold=SEMDEDUP_COSINE, max_cell_size=SEMDEDUP_CAP
+    )
+
+
+def _oracle_semantic_dedup(sf_dir: str) -> str:
+    """Literal-codebook DuckDB twin of :func:`q_semantic_dedup` —
+    generated per-corpus exactly like :func:`_oracle_ann_kmeans` (same
+    memo, same sessionless fallback, same typed cold-fetch error)."""
+    import os
+
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, KMEANS_CELLS)
+    if key not in _CODEBOOKS:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(emb_path)
+        _CODEBOOKS[key] = cb.train_codebook_local(emb_path, k=KMEANS_CELLS)
+    return cb.semantic_dedup_oracle_sql(
+        _CODEBOOKS[key], threshold=SEMDEDUP_COSINE, max_cell_size=SEMDEDUP_CAP
+    )
+
+
 #: Multi-probe list: indices of the n_probes largest |components|, ties by
 #: index asc — the struct list_sort mirrors Spark's top_p_buckets exactly.
 _PROBES_SQL = (
@@ -1349,6 +1395,82 @@ comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
 SELECT node AS doc_id, component, node = component AS keep FROM comp"""
 
 
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision layer above `dedup_components`: per duplicate
+    cluster, keep the HIGHEST-QUALITY member (``components.
+    canonical_by_score`` over the text quality score), not the smallest
+    id — the choice that matters when a boilerplate-stripped mirror
+    should beat the original crawl hit. Same O(near-dup docs) output
+    contract as `dedup_components`, plus the score and the chosen
+    representative per member."""
+    from forgettable_spark.extensions.components import (
+        canonical_by_score,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, sp = _sketch_spine(spark, sf_dir)
+
+    def build() -> DataFrame:
+        pairs = dedup.simhash_pairs_from_sketch(
+            sp["simhash"], max_hamming=SIMHASH_MAX_HAMMING
+        )
+        comp = connected_components(pairs)
+        members = comp.select(F.col("node").alias("doc_id"), "component")
+        # Members are O(near-dup docs) — broadcast them into the corpus
+        # scan; quality re-derives row-locally on the joined slice (the
+        # same formula the text_stats family oracle-locks).
+        scored = text.with_text_stats(docs.join(F.broadcast(members), "doc_id"))
+        return canonical_by_score(
+            scored.select("doc_id", "component", "quality_score"), "quality_score"
+        ).select("doc_id", "component", "quality_score", "canonical_id", "keep")
+
+    return run_released(spark, build)
+
+
+def _oracle_dedup_canonicalize() -> str:
+    """The components fixpoint (recursive CTE, as `_oracle_dedup_
+    components`) joined to the text-stats quality formula, with the
+    representative picked by the mirrored (score DESC, id ASC) window."""
+    qs = (
+        f"5e-1 * (CAST(len(list_filter(w, x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE)"
+        " / CAST(len(w) AS DOUBLE))"
+        " + 5e-1 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))"
+    )
+    return f"""WITH RECURSIVE {_SIMHASH_CAND_CTE},
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT t.doc_id, comp.component, {qs} AS quality_score
+  FROM comp JOIN (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  ) t USING (doc_id)
+),
+best AS (
+  SELECT component, doc_id AS canonical_id FROM (
+    SELECT component, doc_id, ROW_NUMBER() OVER (
+      PARTITION BY component ORDER BY quality_score DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.component, s.quality_score, b.canonical_id,
+       s.doc_id = b.canonical_id AS keep
+FROM scored s JOIN best b USING (component)"""
+
+
 # Multimodal ------------------------------------------------------------------
 #
 # No parquet media ships in the testdata, so the table is the deterministic
@@ -1727,6 +1849,56 @@ ORACLE_SAMPLE_PER_GROUP = f"""SELECT doc_id, lang FROM (
     ORDER BY md5('sample' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS srn
   FROM documents
 ) WHERE srn <= {GROUP_SAMPLE_CAP}"""
+
+
+#: mixture_plan's target recipe: non-uniform shares over five of the
+#: twenty (uniform) sources, so T binds on src0, every floor truncation
+#: differs, and fifteen share-0 sources exercise the absent-source path.
+MIXTURE_TARGETS = {
+    "src0": 0.30,
+    "src1": 0.25,
+    "src2": 0.20,
+    "src3": 0.15,
+    "src4": 0.10,
+}
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighting plan (``sampling.mixture_plan``): per-source
+    keep counts that hit MIXTURE_TARGETS with maximal retention — the
+    mixture step a training-data pipeline runs between curation and
+    sampling. O(sources) output; materialization composes with the
+    registered per-group samplers (keep_n is their per-source cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_plan(docs, MIXTURE_TARGETS)
+
+
+def _oracle_mixture_plan() -> str:
+    from forgettable_spark.extensions.codebook import _sql_double
+
+    vals = ", ".join(
+        f"('{s}', {_sql_double(share)})" for s, share in sorted(MIXTURE_TARGETS.items())
+    )
+    return f"""WITH t(source, share) AS (VALUES {vals}),
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+j AS (
+  SELECT c.source, c.n_docs, COALESCE(t.share, 0e0) AS target_share
+  FROM c LEFT JOIN t USING (source)
+),
+m AS (
+  SELECT COALESCE(MIN(CAST(n_docs AS DOUBLE) / target_share), 0e0) AS t
+  FROM j WHERE target_share > 0e0
+),
+p AS (
+  SELECT source, n_docs, target_share,
+         LEAST(n_docs, CAST(FLOOR(target_share * m.t + 1e-9) AS BIGINT)) AS keep_n
+  FROM j CROSS JOIN m
+),
+s AS (SELECT SUM(keep_n) AS tot FROM p)
+SELECT source, n_docs, target_share, keep_n,
+  CASE WHEN s.tot > 0 THEN CAST(keep_n AS DOUBLE) / CAST(s.tot AS DOUBLE)
+       ELSE 0e0 END AS achieved_share
+FROM p CROSS JOIN s"""
 
 
 GROUP_SAMPLE_BUDGET = 3000  # chars per language: bites at sf0.01
@@ -2348,14 +2520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "bm25_search": q_bm25_search,
         "ann_recall": q_ann_recall,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_hyperplane": q_embedding_near_dup_hyperplane,
         "multimodal_image_features": q_multimodal_image_features,
         "media_near_dup": q_media_near_dup,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "sample_per_group_budget": q_sample_per_group_budget,
-        "corpus_report": q_corpus_report,
         "quality_distill": q_quality_distill,
         "tfidf_keywords": q_tfidf_keywords,
         "repetition_stats": q_repetition_stats,
@@ -2364,7 +2534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 rotation: first driver rows for three operators green
         # locally since r4 (three rel_* twists moved to secondary).
         "batch_novelty": q_batch_novelty,
-        "sample_per_group": q_sample_per_group,
         # r7 rotation (VERDICT r6 #4): first driver rows for the rule
         # gate quality_distill embeds (quality_filter) and the headline
         # quantizer's recall+cost gauge (ann_recall_signature, new r6);
@@ -2394,6 +2563,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed_float": q_ann_bucketed_float,
         "ann_multiprobe_float": q_ann_multiprobe_float,
         "stratified_sample": q_stratified_sample,
+        # Late-r9 debuts (rotation policy: every NEW operator earns a
+        # driver row in its debut round): semantic_dedup (SemDeDup
+        # cluster-scoped embedding dedup over the trained codebook),
+        # dedup_canonicalize (quality-argmax representative per
+        # duplicate cluster), mixture_plan (target-mixture domain
+        # reweighting). Displaced to the secondary registry:
+        # embedding_near_dup (the IVF-cell near-dup strategy variant —
+        # the hyperplane variant stays primary and semantic_dedup now
+        # carries the cell-bucketed shape), sample_per_group (count-cap
+        # twist beside the still-registered budget + stratified
+        # samplers), corpus_report (one-row observability rollup, kept
+        # green by batch_novelty and source_curation).
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_canonicalize": q_dedup_canonicalize,
+        "mixture_plan": q_mixture_plan,
     }
 
 
@@ -2415,21 +2599,18 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ann_multiprobe_topk": _oracle_ann_signature_quantized(),
         "bm25_search": _oracle_bm25(),
         "ann_recall": _oracle_ann_recall(),
-        "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "embedding_near_dup_hyperplane": _oracle_hyperplane(),
         "multimodal_image_features": _oracle_multimodal(),
         "media_near_dup": _oracle_media_near_dup(),
         "decontaminate": ORACLE_DECONTAMINATE,
         "decontaminate_fuzzy": _oracle_decontaminate_fuzzy(),
         "sample_per_group_budget": ORACLE_SAMPLE_PER_GROUP_BUDGET,
-        "corpus_report": ORACLE_CORPUS_REPORT,
         "quality_distill": _oracle_quality_distill(),
         "tfidf_keywords": ORACLE_TFIDF,
         "repetition_stats": ORACLE_REPETITION_STATS,
         "lm_score": _oracle_lm_score(),
         "pack_sequences": _oracle_pack_sequences(),
         "batch_novelty": _oracle_batch_novelty(),
-        "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
         "ann_recall_signature": _oracle_ann_recall_signature(),
         "ann_signature_topk": _oracle_ann_signature(),
         # r9 promotions (oracles follow their queries)
@@ -2437,17 +2618,26 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ann_bucketed_float": ORACLE_ANN_BUCKETED,
         "ann_multiprobe_float": ORACLE_ANN_MULTIPROBE,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        # late-r9 debuts (oracles follow their queries; semantic_dedup's
+        # is generated below with ann_kmeans_topk's)
+        "dedup_canonicalize": _oracle_dedup_canonicalize(),
+        "mixture_plan": _oracle_mixture_plan(),
     }
-    # ann_kmeans_topk: k-means is iterative, so this oracle is GENERATED
-    # per-corpus (literal trained codebook) rather than a static string —
-    # the training is a bit-deterministic pure function of the corpus,
-    # restated sessionlessly when needed. Generation touches the corpus
-    # parquet, so a cold fetch in an environment without the fallback
-    # corpus must DEGRADE to omitting this one entry (the driver then
-    # records a rows-only check) instead of raising out of oracle_sql()
-    # and breaking retrieval of every other oracle (ADVICE r6).
+    # ann_kmeans_topk / semantic_dedup: k-means is iterative, so these
+    # oracles are GENERATED per-corpus (literal trained codebook — ONE
+    # shared training via the _CODEBOOKS memo) rather than static
+    # strings — the training is a bit-deterministic pure function of the
+    # corpus, restated sessionlessly when needed. Generation touches the
+    # corpus parquet, so a cold fetch in an environment without the
+    # fallback corpus must DEGRADE to omitting these entries (the driver
+    # then records rows-only checks) instead of raising out of
+    # oracle_sql() and breaking retrieval of every other oracle
+    # (ADVICE r6).
     try:
         out["ann_kmeans_topk"] = _oracle_ann_kmeans(sf_dir or _KMEANS_ORACLE_DEFAULT_SF)
+        out["semantic_dedup"] = _oracle_semantic_dedup(
+            sf_dir or _KMEANS_ORACLE_DEFAULT_SF
+        )
     except (OSError, ImportError):
         pass
     return out

@@ -286,18 +286,16 @@ def _sql_double(x: float) -> str:
     return f"{x:.17e}"
 
 
-def codebook_oracle_sql(
-    centroids: list[list[float]],
-    k: int = 10,
-    n_probes: int = 1,
-    max_bucket_size: int | None = None,
-    query_mod: int = 25,
-) -> str:
-    """The DuckDB twin of :func:`kmeans_ann_topk` over the pre-registered
-    ``embeddings`` view, with the trained codebook rendered as literals.
-    Generated (k-means is iterative — the documented dynamic-oracle
-    class); tests/test_kmeans_ann.py holds it to the same
-    rows+schema+values standard as the static oracles."""
+def _assignment_cte_sql(
+    centroids: list[list[float]], max_bucket_size: int | None
+) -> tuple[str, str]:
+    """The shared literal-codebook assignment prefix of every trained-cell
+    oracle: CTEs ``v`` (float64 vectors), ``cb`` (the codebook as VALUES),
+    ``scores`` / ``ranked`` (nearest-centroid ranking, ties to the lowest
+    index) and ``assigned`` (+ ``capped`` when a cell cap is set, the same
+    md5-of-id ROW_NUMBER window as ``_sample_cells_to_cap``). Returns the
+    CTE text (no leading WITH) and the name of the corpus CTE downstream
+    SQL should read (``assigned`` or ``capped``)."""
     cb_rows = ", ".join(
         "({i}, [{vals}], {h})".format(
             i=i,
@@ -307,13 +305,6 @@ def codebook_oracle_sql(
         for i, (c, h) in enumerate(zip(centroids, _half_norms(centroids)))
     )
     dot_vc = "list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * c[j]))"
-    cos = (
-        "({d}) / ((sqrt({na})) * (sqrt({nb})))".format(
-            d="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * e[j]))",
-            na="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * qv[j]))",
-            nb="list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * e[j]))",
-        )
-    )
     cap_cte = ""
     corpus_src = "assigned"
     if max_bucket_size is not None:
@@ -326,7 +317,7 @@ capped AS (
   ) WHERE srn <= {max_bucket_size}
 )"""
         corpus_src = "capped"
-    return f"""WITH v AS (
+    prefix = f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
@@ -342,7 +333,31 @@ ranked AS (
 ),
 assigned AS (
   SELECT vec_id, e, CAST(ci AS BIGINT) AS cell FROM ranked WHERE crn = 1
-){cap_cte},
+){cap_cte}"""
+    return prefix, corpus_src
+
+
+def codebook_oracle_sql(
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 1,
+    max_bucket_size: int | None = None,
+    query_mod: int = 25,
+) -> str:
+    """The DuckDB twin of :func:`kmeans_ann_topk` over the pre-registered
+    ``embeddings`` view, with the trained codebook rendered as literals.
+    Generated (k-means is iterative — the documented dynamic-oracle
+    class); tests/test_kmeans_ann.py holds it to the same
+    rows+schema+values standard as the static oracles."""
+    cos = (
+        "({d}) / ((sqrt({na})) * (sqrt({nb})))".format(
+            d="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * e[j]))",
+            na="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * qv[j]))",
+            nb="list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * e[j]))",
+        )
+    )
+    prefix, corpus_src = _assignment_cte_sql(centroids, max_bucket_size)
+    return f"""WITH {prefix},
 q AS (
   SELECT vec_id AS query_id, e AS qv, CAST(ci AS BIGINT) AS cell
   FROM ranked WHERE vec_id % {query_mod} = 0 AND crn <= {n_probes}
@@ -358,3 +373,101 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {k}"""
 
 
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Cluster-scoped embedding dedup (the SemDeDup recipe, Abbas et al.
+    2023, arXiv:2303.09540): assign every vector to its trained-codebook
+    cell, then compare pairs ONLY within a cell — semantic duplicates sit
+    close in embedding space, so they land in the same k-means cell, and
+    the cross-cell quadratic term disappears by construction.
+
+    Keep rule: a document is dropped iff a LOWER-id member of its cell
+    scores ``cosine >= threshold`` against it (keep-min-id, the engine's
+    canonical deterministic rule — see ``connected_components``; the
+    quality-based representative choice is the separate
+    ``dedup_canonicalize`` operator). Output is one row per DROPPED
+    document with its minimal witness: (vec_id, cell, dup_of, cosine) —
+    O(duplicates), never O(corpus).
+
+    Scale posture (100 TB): assignment is row-local literal-codebook
+    folds in the scan stage (``centroid_cell``); the only shuffle is the
+    cell equi-join, and balanced trained cells hold occupancy near
+    corpus/k, so per-cell work is O((corpus/k)²) with k a corpus knob —
+    plus ``max_cell_size`` as the same deterministic sample-to-cap
+    safety net as every other candidate generator (capped-out members
+    are neither dropped nor witnesses; the oracle mirrors the cap
+    window). No all-pairs term survives a scale-up.
+
+    Reference scope: brief-commissioned LLM-pipeline operator (the
+    reference engine has no embedding surface).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    if max_cell_size is not None:
+        c = _sample_cells_to_cap(c, max_cell_size, id_col="vec_id")
+    # Norm once per row BEFORE the self-join (similarity.brute_force_topk's
+    # rationale): one dot + one divide per candidate pair.
+    c = c.withColumn("_n", norm(F.col("_v")))
+    a = c.select(
+        F.col("vec_id").alias("dup_of"),
+        "cell",
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    b = c.select("vec_id", "cell", F.col("_v").alias("_bv"), F.col("_n").alias("_bn"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    # Minimal witness per dropped doc: the lowest qualifying dup_of (ids
+    # are distinct within a cell, so the window pick is deterministic).
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dup_of"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell", "dup_of", "cosine")
+    )
+
+
+def semantic_dedup_oracle_sql(
+    centroids: list[list[float]],
+    threshold: float,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_dedup` over the pre-registered
+    ``embeddings`` view — generated like :func:`codebook_oracle_sql`
+    (same literal codebook, same assignment CTEs via
+    ``_assignment_cte_sql``), then the within-cell pair scan and the
+    min-witness window restated in SQL. Norms precompute per row exactly
+    like the engine's ``norm`` column, so the cosine bits match."""
+    prefix, corpus_src = _assignment_cte_sql(centroids, max_cell_size)
+    dot_ab = "list_sum(list_transform(range(1, len(a.e) + 1), j -> a.e[j] * b.e[j]))"
+    return f"""WITH {prefix},
+sd AS (
+  SELECT vec_id, e, cell, sqrt(list_sum(list_transform(e, y -> y * y))) AS n
+  FROM {corpus_src}
+),
+pairs AS (
+  SELECT a.vec_id AS dup_of, b.vec_id AS vec_id, b.cell AS cell,
+         ({dot_ab}) / (a.n * b.n) AS cosine
+  FROM sd a JOIN sd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ({dot_ab}) / (a.n * b.n) >= {_sql_double(threshold)}
+)
+SELECT vec_id, cell, dup_of, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
+  FROM pairs
+) WHERE rn = 1"""

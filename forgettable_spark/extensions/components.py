@@ -259,3 +259,35 @@ def dedup_keep_list(
         .withColumn("keep", F.col(id_col) == F.col("component"))
     )
     return out
+
+
+def canonical_by_score(
+    members: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Representative selection over duplicate clusters: per component,
+    ``canonical_id`` = the member with the HIGHEST ``score_col`` (ties →
+    lowest ``id_col``), plus a per-member ``keep`` verdict.
+
+    This is the decision layer between pairwise dedup and the training
+    set: min-id components answer "which docs are duplicates"; this
+    answers "which copy do we train on" (keep the highest-quality copy,
+    not the one with the smallest id — boilerplate-stripped mirrors
+    usually beat the original crawl hit).
+
+    One window over the component key — components are O(near-dup docs),
+    so the shuffle is tiny relative to the corpus. The argmax is a
+    struct max: (score, −id) compares score first, then −id, so equal
+    scores pick the smallest id — exactly the oracle's
+    ``ORDER BY score DESC, id ASC`` window.
+    """
+    from pyspark.sql import Window
+
+    best = F.max(
+        F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni"))
+    ).over(Window.partitionBy(comp_col))
+    return members.withColumn("canonical_id", -best["ni"]).withColumn(
+        "keep", F.col(id_col) == F.col("canonical_id")
+    )

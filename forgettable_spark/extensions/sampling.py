@@ -162,3 +162,64 @@ def sample_per_group_budget(
         .filter((F.col("_cum") <= budget) | (F.col("_srn") == 1))
         .drop("_cum", "_srn")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling plan that hits a TARGET MIXTURE with maximal
+    retention — the domain-reweighting step of a training-data pipeline
+    (decide how much of each source survives so the blend matches the
+    recipe, before any row is materialized).
+
+    Math: with per-source counts ``n_s`` and target shares ``p_s``, the
+    largest corpus honoring every share exactly has total
+    ``T = min_s(n_s / p_s)`` (the scarcest source binds); each source
+    keeps ``min(n_s, floor(p_s · T))``. Sources absent from ``targets``
+    get share 0 and keep nothing — they're reported, not silently
+    dropped. Output is O(sources): (source, n_docs, target_share,
+    keep_n, achieved_share) — a PLAN, driver-safe at any corpus scale;
+    materializing it is one ``sample_per_group``-style rank filter with
+    ``keep_n`` as the per-source cap.
+
+    Scale posture: one partial-aggregated groupBy(source) plus two
+    1-row broadcast cross-joins; nothing row-level ever shuffles. The
+    float sequence (double divide → min → multiply → floor, with a 1e-9
+    ulp guard so ``p_s · (n_s / p_s)`` lands on ``n_s``, not one below)
+    is mirrored literally in the oracle.
+    """
+    if not targets:
+        raise ValueError("mixture_plan: targets must name at least one source")
+    tgt_map = F.create_map(
+        *[F.lit(x) for key in sorted(targets) for x in (key, float(targets[key]))]
+    )
+    counts = docs.groupBy(group_col).agg(F.count("*").cast("bigint").alias("n_docs"))
+    j = counts.withColumn(
+        "target_share", F.coalesce(tgt_map[F.col(group_col)], F.lit(0.0))
+    )
+    t = j.filter(F.col("target_share") > 0).agg(
+        F.coalesce(
+            F.min(F.col("n_docs").cast("double") / F.col("target_share")), F.lit(0.0)
+        ).alias("_t")
+    )
+    p = j.crossJoin(F.broadcast(t)).withColumn(
+        "keep_n",
+        F.least(
+            F.col("n_docs"),
+            F.floor(F.col("target_share") * F.col("_t") + F.lit(1e-9)).cast("bigint"),
+        ),
+    )
+    tot = p.agg(F.sum("keep_n").alias("_tot"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "achieved_share",
+            F.when(
+                F.col("_tot") > 0,
+                F.col("keep_n").cast("double") / F.col("_tot").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(group_col, "n_docs", "target_share", "keep_n", "achieved_share")
+    )

@@ -20,6 +20,7 @@ CACHING_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_simhash_capped",
     "dedup_components",
+    "dedup_canonicalize",
     "embedding_near_dup",
     "embedding_near_dup_hyperplane",
     "ann_recall",

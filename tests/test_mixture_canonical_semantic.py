@@ -1,0 +1,110 @@
+"""Planted-case semantics for the three late-r9 operators: semantic_dedup
+(cluster-scoped embedding dedup), canonical_by_score (quality-argmax
+representative per duplicate cluster), mixture_plan (target-mixture
+domain reweighting). The registered configs are oracle-hash-locked by
+tests/test_oracle_parity.py; these tests pin the CLAIMS on inputs where
+the expected answer is hand-derivable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgettable_spark.extensions.codebook import semantic_dedup
+from forgettable_spark.extensions.components import canonical_by_score
+from forgettable_spark.extensions.sampling import mixture_plan
+
+#: Two unit centroids: cell 0 = x-axis, cell 1 = y-axis (score is
+#: dot − ‖c‖²/2, so any vector with |x| > |y| lands in cell 0).
+CENTS = [[1.0, 0.0], [0.0, 1.0]]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in rows], "vec_id long, embedding array<float>"
+    )
+
+
+def test_semantic_dedup_drops_higher_id_with_min_witness(spark):
+    # Cell 0 holds three identical vectors (0, 1, 2) and one sub-threshold
+    # member (4); cell 1 holds one vector (3). Keep-min-id: 1 and 2 drop,
+    # BOTH witnessed by 0 (the minimal witness, not just any witness).
+    df = _emb(
+        spark,
+        [(0, (1.0, 0.0)), (1, (1.0, 0.0)), (2, (1.0, 0.0)), (3, (0.0, 1.0)), (4, (0.8, 0.6))],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, CENTS, threshold=0.95).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["dup_of"] == 0 and out[2]["dup_of"] == 0
+    assert out[1]["cell"] == 0
+    assert out[1]["cosine"] == pytest.approx(1.0)
+
+
+def test_semantic_dedup_is_cell_scoped(spark):
+    # Identical vectors in DIFFERENT cells are never compared: |x| vs |y|
+    # splits these two across cells, so nothing drops even at cosine 1.
+    df = _emb(spark, [(0, (0.7, 0.6)), (1, (0.6, 0.7))])
+    assert semantic_dedup(df, CENTS, threshold=0.5).count() == 0
+
+
+def test_semantic_dedup_cap_excludes_members_entirely(spark):
+    # With max_cell_size=1 the cell keeps one md5-sampled member — the
+    # others are neither droppable nor witnesses, so no rows survive.
+    df = _emb(spark, [(0, (1.0, 0.0)), (1, (1.0, 0.0)), (2, (1.0, 0.0))])
+    assert semantic_dedup(df, CENTS, threshold=0.95, max_cell_size=1).count() == 0
+
+
+def test_canonical_by_score_argmax_with_id_tiebreak(spark):
+    members = spark.createDataFrame(
+        [(10, 10, 0.2), (11, 10, 0.5), (12, 10, 0.5), (20, 20, 0.1)],
+        "doc_id long, component long, score double",
+    )
+    rows = {r["doc_id"]: r for r in canonical_by_score(members, "score").collect()}
+    # component 10: 11 and 12 tie on score — lowest id wins.
+    assert rows[10]["canonical_id"] == 11 and not rows[10]["keep"]
+    assert rows[11]["keep"] and not rows[12]["keep"]
+    # singleton component keeps itself.
+    assert rows[20]["canonical_id"] == 20 and rows[20]["keep"]
+
+
+def _docs(spark, counts):
+    rows = []
+    i = 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_plan_binds_on_scarcest_source(spark):
+    docs = _docs(spark, {"a": 10, "b": 20, "c": 5})
+    plan = {r["source"]: r for r in mixture_plan(docs, {"a": 0.5, "b": 0.5}).collect()}
+    # T = min(10/0.5, 20/0.5) = 20 → keep 10 of a, 10 of b, 0 of c.
+    assert plan["a"]["keep_n"] == 10 and plan["b"]["keep_n"] == 10
+    assert plan["c"]["keep_n"] == 0 and plan["c"]["target_share"] == 0.0
+    assert plan["a"]["achieved_share"] == pytest.approx(0.5)
+    assert plan["b"]["achieved_share"] == pytest.approx(0.5)
+
+
+def test_mixture_plan_keep_never_exceeds_available(spark):
+    # The ulp guard (+1e-9) must round p·T up onto n for the binding
+    # source, and LEAST caps it there — keep_n == n_docs exactly.
+    docs = _docs(spark, {"a": 7, "b": 30})
+    plan = {r["source"]: r for r in mixture_plan(docs, {"a": 0.3, "b": 0.7}).collect()}
+    assert plan["a"]["keep_n"] == 7  # binding source keeps everything
+    assert plan["b"]["keep_n"] <= 30
+
+
+def test_mixture_plan_no_matching_source_keeps_nothing(spark):
+    docs = _docs(spark, {"a": 5})
+    plan = mixture_plan(docs, {"zzz": 1.0}).collect()
+    assert all(r["keep_n"] == 0 and r["achieved_share"] == 0.0 for r in plan)
+
+
+def test_mixture_plan_empty_targets_raise(spark):
+    with pytest.raises(ValueError):
+        mixture_plan(_docs(spark, {"a": 1}), {})
