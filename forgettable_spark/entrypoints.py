@@ -786,6 +786,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": entrypoints_ext.q_embedding_near_dup,
         "sample_per_group": entrypoints_ext.q_sample_per_group,
         "corpus_report": entrypoints_ext.q_corpus_report,
+        # NEW late r9, secondary from birth (the registry is at cap and
+        # the flat-codebook form is the registered debut): the two-level
+        # trained quantizer variant of semantic_dedup — k1·k2 cells at
+        # k1+k2 per-row fold cost, the corpus-scale assignment strategy
+        # (SCALING.md r9-late); generated literal-codebook oracle, same
+        # rigor as every secondary.
+        "semantic_dedup_two_level": entrypoints_ext.q_semantic_dedup_two_level,
     }
 
 
@@ -873,12 +880,14 @@ WHERE "count" > 0 AND distribution = \'{GET_FIELD_DIST}\'
   AND bin IN ({", ".join(repr(b) for b in GET_FIELD_BINS)})"""
 
 
-def secondary_oracle_sql() -> dict[str, str]:
+def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     """Oracle twins for :func:`secondary_queries` (same contract as
-    ``oracle_sql``, consumed only by the local test gate)."""
+    ``oracle_sql``, consumed only by the local test gate). ``sf_dir``
+    pins the corpus for GENERATED oracles (semantic_dedup_two_level's
+    literal two-level codebook), exactly as in ``oracle_sql``."""
     from forgettable_spark import entrypoints_ext, entrypoints_rel
 
-    return {
+    out = {
         "get_dist_single": _oracle_get_dist(
             _EV_EVENT_TYPE, RATE_SLOW, True, "linear", f"WHERE distribution = '{GET_FIELD_DIST}'"
         ),
@@ -915,3 +924,13 @@ def secondary_oracle_sql() -> dict[str, str]:
         "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
         "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
     }
+    # semantic_dedup_two_level: generated per-corpus (literal two-level
+    # codebook); degrade to rows-only on a cold fetch without the
+    # fallback corpus, exactly like oracle_sql's kmeans block.
+    try:
+        out["semantic_dedup_two_level"] = entrypoints_ext._oracle_semantic_dedup_two_level(
+            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
+        )
+    except (OSError, ImportError):
+        pass
+    return out

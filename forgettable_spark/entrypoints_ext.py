@@ -833,6 +833,66 @@ def _oracle_semantic_dedup(sf_dir: str) -> str:
     )
 
 
+#: Two-level quantizer config for the SECONDARY semantic-dedup variant:
+#: 4×2 = the same 8 global cells as the registered flat config at
+#: correctness scale, so the two strategies are comparable rung-for-rung
+#: while the hierarchical assignment (coarse CASE route → one fine
+#: codebook) is what the oracle hash actually verifies. At corpus scale
+#: this is the configuration that matters: k1·k2 cells for k1+k2
+#: per-row folds (SCALING.md r9-late).
+SEMDEDUP_K1 = 4
+SEMDEDUP_K2 = 2
+
+#: (sf_dir, k1, k2) → (coarse, fines) memo — the _CODEBOOKS device.
+_TWO_LEVEL_CODEBOOKS: dict[tuple[str, int, int], tuple[list, list]] = {}
+
+
+def q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary: :func:`q_semantic_dedup` over the TWO-LEVEL trained
+    quantizer (`codebook.semantic_dedup_two_level`) — the corpus-scale
+    assignment strategy (k1·k2 cells at k1+k2 per-row fold cost).
+    run_released sweeps the assignment checkpoint blocks."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
+    if key not in _TWO_LEVEL_CODEBOOKS:
+        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook(
+            emb, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
+        )
+    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    return run_released(
+        spark,
+        lambda: cb.semantic_dedup_two_level(
+            emb,
+            coarse,
+            fines,
+            threshold=SEMDEDUP_COSINE,
+            max_cell_size=SEMDEDUP_CAP,
+        ),
+    )
+
+
+def _oracle_semantic_dedup_two_level(sf_dir: str) -> str:
+    """Generated two-level twin (the `_oracle_semantic_dedup` device)."""
+    import os
+
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
+    if key not in _TWO_LEVEL_CODEBOOKS:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(emb_path)
+        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook_local(
+            emb_path, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
+        )
+    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    return cb.semantic_dedup_two_level_oracle_sql(
+        coarse, fines, threshold=SEMDEDUP_COSINE, max_cell_size=SEMDEDUP_CAP
+    )
+
+
 #: Multi-probe list: indices of the n_probes largest |components|, ties by
 #: index asc — the struct list_sort mirrors Spark's top_p_buckets exactly.
 _PROBES_SQL = (

@@ -412,6 +412,16 @@ def semantic_dedup(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
     ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    return _celled_pair_dedup(c, threshold, max_cell_size)
+
+
+def _celled_pair_dedup(
+    c: DataFrame, threshold: float, max_cell_size: int | None
+) -> DataFrame:
+    """The shared within-cell pair scan of every semantic-dedup variant:
+    ``c`` is (vec_id, _v float64 vector, cell). Cap, self-join on cell,
+    cosine gate, min-witness window — see :func:`semantic_dedup` for the
+    semantics contract."""
     if max_cell_size is not None:
         c = _sample_cells_to_cap(c, max_cell_size, id_col="vec_id")
     # Norm once per row BEFORE the self-join (similarity.brute_force_topk's
@@ -455,6 +465,254 @@ def semantic_dedup_oracle_sql(
     min-witness window restated in SQL. Norms precompute per row exactly
     like the engine's ``norm`` column, so the cosine bits match."""
     prefix, corpus_src = _assignment_cte_sql(centroids, max_cell_size)
+    dot_ab = "list_sum(list_transform(range(1, len(a.e) + 1), j -> a.e[j] * b.e[j]))"
+    return f"""WITH {prefix},
+sd AS (
+  SELECT vec_id, e, cell, sqrt(list_sum(list_transform(e, y -> y * y))) AS n
+  FROM {corpus_src}
+),
+pairs AS (
+  SELECT a.vec_id AS dup_of, b.vec_id AS vec_id, b.cell AS cell,
+         ({dot_ab}) / (a.n * b.n) AS cosine
+  FROM sd a JOIN sd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ({dot_ab}) / (a.n * b.n) >= {_sql_double(threshold)}
+)
+SELECT vec_id, cell, dup_of, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
+  FROM pairs
+) WHERE rn = 1"""
+
+
+# Two-level trained quantizer ------------------------------------------------
+#
+# The r9-late scale finding (SCALING.md): semantic dedup wants cell
+# occupancy near a constant (~cap), so cell COUNT must grow linearly with
+# the corpus — but a flat codebook's per-row assignment cost is O(k·dim)
+# interpreted higher-order folds, measured LINEAR in k at sf1
+# (5.4/8.3/15.4/31.1 s for k=8/32/64/128; k=320 ran 86 s). The standard
+# IVF answer: quantize in two levels. A coarse k1 codebook routes each
+# row to ONE of k1 fine codebooks (k2 centroids each, trained on the
+# coarse cell's own sample members), giving k1·k2 cells for k1+k2
+# per-row fold cost — the CASE branch is picked once per row, so only
+# the selected fine codebook is ever evaluated.
+
+
+def train_two_level_codebook(
+    corpus: DataFrame,
+    k1: int,
+    k2: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = CODEBOOK_SAMPLE,
+    iters: int = CODEBOOK_ITERS,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Deterministic two-level Lloyd over the SAME bounded sample device
+    as :func:`train_codebook`: coarse k1 centroids first, then one fine
+    codebook per coarse cell trained on that cell's sample members
+    (k2 capped at the member count; an empty cell keeps its coarse
+    centroid as a single fine cell, the empty-cluster rule one level
+    up). Returns (coarse, fines); both are pure functions of the
+    corpus, bit-reproducible — the oracle regenerates them."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    return _two_level_lloyd([r["_v"] for r in rows], k1, k2, iters)
+
+
+def train_two_level_codebook_local(
+    parquet_path: str,
+    k1: int,
+    k2: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = CODEBOOK_SAMPLE,
+    iters: int = CODEBOOK_ITERS,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Sessionless twin of :func:`train_two_level_codebook` (the
+    :func:`train_codebook_local` device: pyarrow read, identical sample
+    order, shared kernels) for oracle generation."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[:sample_size]
+    return _two_level_lloyd([vecs[i] for i in order], k1, k2, iters)
+
+
+def _two_level_lloyd(
+    sample_vecs: list, k1: int, k2: int, iters: int
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    import numpy as np
+
+    coarse = _lloyd(sample_vecs, k1, iters)
+    s = np.array(sample_vecs, dtype=np.float64)
+    c = np.array(coarse, dtype=np.float64)
+    # Same squared-L2 argmin (ties → lowest index) as _lloyd's inner loop.
+    assign = ((s[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    fines: list[list[list[float]]] = []
+    for i in range(k1):
+        members = [sample_vecs[j] for j in np.nonzero(assign == i)[0]]
+        if not members:
+            fines.append([list(coarse[i])])
+        else:
+            fines.append(_lloyd(members, min(k2, len(members)), iters))
+    return coarse, fines
+
+
+def _fine_offsets(fines: list[list[list[float]]]) -> list[int]:
+    """Global cell-id base per coarse cell (fine codebooks may be ragged
+    when a coarse cell's sample was smaller than k2)."""
+    offs, acc = [], 0
+    for f in fines:
+        offs.append(acc)
+        acc += len(f)
+    return offs
+
+
+def with_two_level_cell(
+    df: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    vec_col: str = "_v",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Adds the global two-level cell id: ONE coarse argmax fold
+    (computed once, as its own column, so the CASE conditions don't
+    re-evaluate it), then only the SELECTED coarse cell's fine codebook
+    is folded — CaseWhen branches are lazy, so the per-row cost is
+    k1 + k2 folds for k1·k2 cells."""
+    offs = _fine_offsets(fines)
+    df = df.withColumn("_coarse", centroid_cell(F.col(vec_col), coarse))
+    expr = None
+    for i, fine in enumerate(fines):
+        branch = F.lit(offs[i]).cast("bigint") + centroid_cell(F.col(vec_col), fine)
+        cond = F.col("_coarse") == i
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return df.withColumn(out_col, expr.cast("bigint")).drop("_coarse")
+
+
+def semantic_dedup_two_level(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    materialize_assignment: bool = True,
+) -> DataFrame:
+    """:func:`semantic_dedup` over the two-level trained quantizer —
+    identical keep rule, output shape, and cap semantics; only the cell
+    assignment differs (k1·k2 cells at k1+k2 per-row fold cost, the
+    corpus-scale configuration the flat codebook can't reach — see the
+    module-level note and SCALING.md).
+
+    ``materialize_assignment`` (default on) puts an eager
+    localCheckpoint between assignment and the pair scan: the cap
+    window, self-join and witness window otherwise re-evaluate the
+    branchy assignment expression per consumer (measured 49.9 → 37.6 s
+    at sf1, 32×16) — result-identical either way, and callers that
+    persist results release the blocks through ``run_released``."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = with_two_level_cell(c, coarse, fines)
+    if materialize_assignment:
+        c = c.localCheckpoint(eager=True)
+    return _celled_pair_dedup(c, threshold, max_cell_size)
+
+
+def two_level_assignment_cte_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    max_bucket_size: int | None,
+) -> tuple[str, str]:
+    """Two-level twin of :func:`_assignment_cte_sql`: coarse VALUES +
+    argmax window picks the coarse cell; a second VALUES table keyed by
+    coarse cell carries every fine centroid with its precomputed GLOBAL
+    cell id; a second argmax window picks the fine cell. Returns
+    (CTE text, corpus CTE name)."""
+    cb1_rows = ", ".join(
+        "({i}, [{vals}], {h})".format(
+            i=i, vals=", ".join(_sql_double(x) for x in c), h=_sql_double(h)
+        )
+        for i, (c, h) in enumerate(zip(coarse, _half_norms(coarse)))
+    )
+    offs = _fine_offsets(fines)
+    cb2_rows = ", ".join(
+        "({ci}, {fi}, [{vals}], {h}, {g})".format(
+            ci=ci,
+            fi=fi,
+            vals=", ".join(_sql_double(x) for x in c),
+            h=_sql_double(h),
+            g=offs[ci] + fi,
+        )
+        for ci, fine in enumerate(fines)
+        for fi, (c, h) in enumerate(zip(fine, _half_norms(fine)))
+    )
+    dot_vc = "list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * c[j]))"
+    cap_cte = ""
+    corpus_src = "assigned"
+    if max_bucket_size is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+    FROM assigned
+  ) WHERE srn <= {max_bucket_size}
+)"""
+        corpus_src = "capped"
+    prefix = f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb1 AS (SELECT * FROM (VALUES {cb1_rows}) t(ci, c, h)),
+cb2 AS (SELECT * FROM (VALUES {cb2_rows}) t(ci, fi, c, h, g)),
+s1 AS (
+  SELECT v.vec_id, v.e, cb1.ci, ({dot_vc}) - cb1.h AS s
+  FROM v CROSS JOIN cb1
+),
+a1 AS (
+  SELECT vec_id, e, ci FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, ci ASC) AS crn
+    FROM s1
+  ) WHERE crn = 1
+),
+s2 AS (
+  SELECT a1.vec_id, a1.e, cb2.fi, cb2.g, ({dot_vc}) - cb2.h AS s
+  FROM a1 JOIN cb2 USING (ci)
+),
+assigned AS (
+  SELECT vec_id, e, CAST(g AS BIGINT) AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, fi ASC) AS frn
+    FROM s2
+  ) WHERE frn = 1
+){cap_cte}"""
+    return prefix, corpus_src
+
+
+def semantic_dedup_two_level_oracle_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_dedup_two_level` — generated
+    like :func:`semantic_dedup_oracle_sql`, with the two-level
+    assignment CTEs in place of the flat ones."""
+    prefix, corpus_src = two_level_assignment_cte_sql(coarse, fines, max_cell_size)
     dot_ab = "list_sum(list_transform(range(1, len(a.e) + 1), j -> a.e[j] * b.e[j]))"
     return f"""WITH {prefix},
 sd AS (

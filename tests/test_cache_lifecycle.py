@@ -21,6 +21,7 @@ CACHING_QUERIES = [
     "dedup_simhash_capped",
     "dedup_components",
     "dedup_canonicalize",
+    "semantic_dedup_two_level",
     "embedding_near_dup",
     "embedding_near_dup_hyperplane",
     "ann_recall",

@@ -108,3 +108,81 @@ def test_mixture_plan_no_matching_source_keeps_nothing(spark):
 def test_mixture_plan_empty_targets_raise(spark):
     with pytest.raises(ValueError):
         mixture_plan(_docs(spark, {"a": 1}), {})
+
+
+# Two-level trained quantizer -------------------------------------------------
+
+
+def test_two_level_k1_equals_flat_when_one_coarse_cell(spark):
+    """With k1=1 the single fine codebook trains on the WHOLE sample —
+    identical to the flat codebook — and global cell = fine cell, so the
+    two paths must agree bit-for-bit end to end."""
+    from forgettable_spark.extensions.codebook import (
+        semantic_dedup,
+        semantic_dedup_two_level,
+        train_codebook,
+        train_two_level_codebook,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    flat = train_codebook(emb, k=8)
+    coarse, fines = train_two_level_codebook(emb, k1=1, k2=8)
+    assert fines[0] == flat
+    a = sorted(map(tuple, semantic_dedup(emb, flat, 0.38, max_cell_size=64).collect()))
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup_two_level(
+                emb, coarse, fines, 0.38, max_cell_size=64
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_two_level_training_local_matches_spark(spark):
+    from forgettable_spark.extensions.codebook import (
+        train_two_level_codebook,
+        train_two_level_codebook_local,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    c1, f1 = train_two_level_codebook(emb, k1=4, k2=2)
+    c2, f2 = train_two_level_codebook_local(
+        f"{SF_ORACLE}/embeddings.parquet", k1=4, k2=2
+    )
+    assert c1 == c2 and f1 == f2
+
+
+def test_two_level_global_cell_ids_are_offset_consistent(spark):
+    """Ragged fine codebooks (a coarse cell with fewer sample members
+    than k2) must still produce disjoint global id ranges."""
+    from forgettable_spark.extensions.codebook import (
+        _fine_offsets,
+        train_two_level_codebook,
+        with_two_level_cell,
+    )
+    from forgettable_spark.extensions.similarity import as_double
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = train_two_level_codebook(emb, k1=4, k2=2)
+    offs = _fine_offsets(fines)
+    total = offs[-1] + len(fines[-1])
+    cells = (
+        with_two_level_cell(
+            emb.select(as_double(F.col("embedding")).alias("_v")), coarse, fines
+        )
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert all(0 <= r["cell"] < total for r in cells)

@@ -22,7 +22,7 @@ def _all_queries():
 
 def _all_oracles(sf_dir=None):
     o = dict(ep.oracle_sql(sf_dir))
-    o.update(ep.secondary_oracle_sql())
+    o.update(ep.secondary_oracle_sql(sf_dir))
     return o
 
 
