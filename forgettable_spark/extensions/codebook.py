@@ -286,6 +286,32 @@ def _sql_double(x: float) -> str:
     return f"{x:.17e}"
 
 
+#: The float64-vector view every trained-cell oracle opens with.
+_V_CTE_SQL = """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)"""
+
+
+def _cap_cte_sql(max_bucket_size: int | None) -> tuple[str, str]:
+    """The optional ``capped`` CTE (the md5-of-id ROW_NUMBER window of
+    ``_sample_cells_to_cap``) appended after ``assigned``; returns
+    (CTE text or \"\", name of the corpus CTE downstream SQL reads)."""
+    if max_bucket_size is None:
+        return "", "assigned"
+    return (
+        f""",
+capped AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+    FROM assigned
+  ) WHERE srn <= {max_bucket_size}
+)""",
+        "capped",
+    )
+
+
 def _assignment_cte_sql(
     centroids: list[list[float]], max_bucket_size: int | None
 ) -> tuple[str, str]:
@@ -305,22 +331,8 @@ def _assignment_cte_sql(
         for i, (c, h) in enumerate(zip(centroids, _half_norms(centroids)))
     )
     dot_vc = "list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * c[j]))"
-    cap_cte = ""
-    corpus_src = "assigned"
-    if max_bucket_size is not None:
-        cap_cte = f""",
-capped AS (
-  SELECT vec_id, e, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
-    FROM assigned
-  ) WHERE srn <= {max_bucket_size}
-)"""
-        corpus_src = "capped"
-    prefix = f"""v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
+    cap_cte, corpus_src = _cap_cte_sql(max_bucket_size)
+    prefix = f"""{_V_CTE_SQL},
 cb AS (SELECT * FROM (VALUES {cb_rows}) t(ci, c, h)),
 scores AS (
   SELECT v.vec_id, v.e, cb.ci, ({dot_vc}) - cb.h AS s
@@ -465,6 +477,14 @@ def semantic_dedup_oracle_sql(
     min-witness window restated in SQL. Norms precompute per row exactly
     like the engine's ``norm`` column, so the cosine bits match."""
     prefix, corpus_src = _assignment_cte_sql(centroids, max_cell_size)
+    return _pair_scan_sql(prefix, corpus_src, threshold)
+
+
+def _pair_scan_sql(prefix: str, corpus_src: str, threshold: float) -> str:
+    """The shared SQL tail of every semantic-dedup oracle (the twin of
+    ``_celled_pair_dedup``): per-row norms, within-cell pair scan with
+    the cosine gate, min-witness window. ONE definition so the flat and
+    two-level oracles cannot drift."""
     dot_ab = "list_sum(list_transform(range(1, len(a.e) + 1), j -> a.e[j] * b.e[j]))"
     return f"""WITH {prefix},
 sd AS (
@@ -660,22 +680,8 @@ def two_level_assignment_cte_sql(
         for fi, (c, h) in enumerate(zip(fine, _half_norms(fine)))
     )
     dot_vc = "list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * c[j]))"
-    cap_cte = ""
-    corpus_src = "assigned"
-    if max_bucket_size is not None:
-        cap_cte = f""",
-capped AS (
-  SELECT vec_id, e, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
-    FROM assigned
-  ) WHERE srn <= {max_bucket_size}
-)"""
-        corpus_src = "capped"
-    prefix = f"""v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
+    cap_cte, corpus_src = _cap_cte_sql(max_bucket_size)
+    prefix = f"""{_V_CTE_SQL},
 cb1 AS (SELECT * FROM (VALUES {cb1_rows}) t(ci, c, h)),
 cb2 AS (SELECT * FROM (VALUES {cb2_rows}) t(ci, fi, c, h, g)),
 s1 AS (
@@ -713,19 +719,4 @@ def semantic_dedup_two_level_oracle_sql(
     like :func:`semantic_dedup_oracle_sql`, with the two-level
     assignment CTEs in place of the flat ones."""
     prefix, corpus_src = two_level_assignment_cte_sql(coarse, fines, max_cell_size)
-    dot_ab = "list_sum(list_transform(range(1, len(a.e) + 1), j -> a.e[j] * b.e[j]))"
-    return f"""WITH {prefix},
-sd AS (
-  SELECT vec_id, e, cell, sqrt(list_sum(list_transform(e, y -> y * y))) AS n
-  FROM {corpus_src}
-),
-pairs AS (
-  SELECT a.vec_id AS dup_of, b.vec_id AS vec_id, b.cell AS cell,
-         ({dot_ab}) / (a.n * b.n) AS cosine
-  FROM sd a JOIN sd b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE ({dot_ab}) / (a.n * b.n) >= {_sql_double(threshold)}
-)
-SELECT vec_id, cell, dup_of, cosine FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
-  FROM pairs
-) WHERE rn = 1"""
+    return _pair_scan_sql(prefix, corpus_src, threshold)

@@ -109,9 +109,9 @@ def generator_recompute(plan: str) -> list[str]:
             continue
         gen_block = blocks.get(nid, "")
         # generator output attrs: the last [...] of the Arguments line
-        gout = re.findall(r"\[([^\[\]]*)\]\s*$", gen_block.strip().splitlines()[-1] if "Arguments:" in gen_block else "")
+        gout = []
         for bl in gen_block.splitlines():
-            if bl.startswith("Arguments:"):
+            if bl.strip().startswith("Arguments:"):
                 gout = re.findall(r"\[([^\[\]]*)\]", bl)[-1:]
         gen_attrs = [a.strip() for a in (gout[0].split(",") if gout else []) if a.strip()]
         out_line = next(
