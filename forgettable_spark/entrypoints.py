@@ -793,6 +793,10 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (SCALING.md r9-late); generated literal-codebook oracle, same
         # rigor as every secondary.
         "semantic_dedup_two_level": entrypoints_ext.q_semantic_dedup_two_level,
+        # NEW late r9, secondary from birth: the materialize twin of the
+        # registered mixture_plan (the pack_sequences/pack_apply split)
+        # — exactly keep_n docs per source in deterministic md5 order.
+        "mixture_apply": entrypoints_ext.q_mixture_apply,
     }
 
 
@@ -923,6 +927,7 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "embedding_near_dup": entrypoints_ext.ORACLE_EMBEDDING_NEAR_DUP,
         "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
         "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
+        "mixture_apply": entrypoints_ext._oracle_mixture_apply(),
     }
     # semantic_dedup_two_level: generated per-corpus (literal two-level
     # codebook); degrade to rows-only on a cold fetch without the

@@ -1933,13 +1933,16 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_plan(docs, MIXTURE_TARGETS)
 
 
-def _oracle_mixture_plan() -> str:
+def _mixture_plan_ctes() -> str:
+    """The shared plan CTEs (targets → counts → T → per-source keep_n)
+    of the mixture_plan and mixture_apply oracles — ONE definition so
+    the plan and its materialization cannot drift."""
     from forgettable_spark.extensions.codebook import _sql_double
 
     vals = ", ".join(
         f"('{s}', {_sql_double(share)})" for s, share in sorted(MIXTURE_TARGETS.items())
     )
-    return f"""WITH t(source, share) AS (VALUES {vals}),
+    return f"""t(source, share) AS (VALUES {vals}),
 c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
 j AS (
   SELECT c.source, c.n_docs, COALESCE(t.share, 0e0) AS target_share
@@ -1953,12 +1956,36 @@ p AS (
   SELECT source, n_docs, target_share,
          LEAST(n_docs, CAST(FLOOR(target_share * m.t + 1e-9) AS BIGINT)) AS keep_n
   FROM j CROSS JOIN m
-),
+)"""
+
+
+def _oracle_mixture_plan() -> str:
+    return f"""WITH {_mixture_plan_ctes()},
 s AS (SELECT SUM(keep_n) AS tot FROM p)
 SELECT source, n_docs, target_share, keep_n,
   CASE WHEN s.tot > 0 THEN CAST(keep_n AS DOUBLE) / CAST(s.tot AS DOUBLE)
        ELSE 0e0 END AS achieved_share
 FROM p CROSS JOIN s"""
+
+
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary (the plan-primary / apply-twin split of the packing and
+    chunk-dedup families): materialize the registered `mixture_plan` —
+    exactly keep_n docs per source in the engine's deterministic md5
+    order (`sampling.mixture_apply`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_apply(docs, MIXTURE_TARGETS)
+
+
+def _oracle_mixture_apply() -> str:
+    return f"""WITH {_mixture_plan_ctes()},
+r AS (
+  SELECT doc_id, source, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY md5('sample' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS srn
+  FROM documents
+)
+SELECT doc_id, source FROM r JOIN p USING (source) WHERE srn <= keep_n"""
 
 
 GROUP_SAMPLE_BUDGET = 3000  # chars per language: bites at sf0.01

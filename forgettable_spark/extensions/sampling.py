@@ -223,3 +223,35 @@ def mixture_plan(
         )
         .select(group_col, "n_docs", "target_share", "keep_n", "achieved_share")
     )
+
+
+def mixture_apply(
+    docs: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan`: keep exactly ``keep_n`` rows
+    per source, chosen in the engine's deterministic md5 order (the
+    :func:`sample_per_group` device — stable across runs, partitionings,
+    and engines; growing a source's share only ever ADDS rows). The
+    plan is O(sources), so it broadcasts into the corpus scan; the one
+    row-level shuffle is the per-source rank window, identical to every
+    other sampler here.
+
+    Same plan-primary / apply-twin split as ``pack_sequences`` /
+    ``pack_apply``: the plan is the registered decision artifact, the
+    apply is the byte-level consequence the local gate keeps verified.
+    """
+    plan = mixture_plan(docs, targets, group_col).select(group_col, "keep_n")
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        docs.join(F.broadcast(plan), group_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("keep_n"))
+        .select(id_col, group_col)
+    )

@@ -186,3 +186,21 @@ def test_two_level_global_cell_ids_are_offset_consistent(spark):
         .collect()
     )
     assert all(0 <= r["cell"] < total for r in cells)
+
+
+def test_mixture_apply_honors_plan_counts(spark):
+    """The materialization keeps EXACTLY keep_n docs per source, and the
+    kept set is the md5-order prefix (nested: growing a share only adds)."""
+    from forgettable_spark.extensions.sampling import mixture_apply
+
+    docs = _docs(spark, {"a": 10, "b": 20, "c": 5})
+    kept = mixture_apply(docs, {"a": 0.5, "b": 0.5}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["a"]) == 10 and len(by_src["b"]) == 10
+    assert "c" not in by_src
+    # nesting: a bigger share of b keeps a superset of b's docs
+    kept2 = mixture_apply(docs, {"a": 0.25, "b": 0.75}).collect()
+    b2 = {r["doc_id"] for r in kept2 if r["source"] == "b"}
+    assert by_src["b"] <= b2
