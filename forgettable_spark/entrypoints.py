@@ -797,6 +797,11 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registered mixture_plan (the pack_sequences/pack_apply split)
         # — exactly keep_n docs per source in deterministic md5 order.
         "mixture_apply": entrypoints_ext.q_mixture_apply,
+        # NEW late r9, secondary from birth: embedding ADMISSION dedup —
+        # the dedup_incremental shape (count-bounded batch vs stored
+        # index, text-family verdict sentinels) on the semantic-dedup
+        # cell machinery.
+        "semantic_admit": entrypoints_ext.q_semantic_admit,
     }
 
 
@@ -934,6 +939,9 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     # fallback corpus, exactly like oracle_sql's kmeans block.
     try:
         out["semantic_dedup_two_level"] = entrypoints_ext._oracle_semantic_dedup_two_level(
+            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
+        )
+        out["semantic_admit"] = entrypoints_ext._oracle_semantic_admit(
             sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
         )
     except (OSError, ImportError):

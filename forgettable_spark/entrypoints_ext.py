@@ -893,6 +893,77 @@ def _oracle_semantic_dedup_two_level(sf_dir: str) -> str:
     )
 
 
+#: semantic_admit batch bound: production embedding-ingest triggers are
+#: micro and COUNT-bounded (the dedup_incremental r8 lesson verbatim) —
+#: min(SEM_ADMIT_BATCH, ceil(n/8)) keeps the tiny correctness corpora's
+#: index side real while capping the forced batch broadcast at any
+#: corpus scale.
+SEM_ADMIT_BATCH = 200
+
+
+def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary: embedding ADMISSION dedup (`codebook.semantic_admit`)
+    — the `dedup_incremental` shape on the semantic-dedup machinery:
+    a count-bounded batch of vectors (lowest (md5(incr:id), id), the
+    text family's exact member device) verdicts against the cell-capped
+    stored index plus its own lower-id members; one (vec_id, is_dup,
+    match_id, cosine) row per batch vector, text-family sentinels."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+
+    def build() -> DataFrame:
+        n = emb.count()
+        bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
+        new_ids = scoped_cache(
+            emb.select(
+                "vec_id",
+                F.md5(
+                    F.concat(F.lit(f"{INCR_SALT}:"), F.col("vec_id").cast("string"))
+                ).alias("_k"),
+            )
+            .orderBy("_k", "vec_id")
+            .limit(bound)
+            .select("vec_id")
+        )
+        return cb.semantic_admit(
+            emb.join(F.broadcast(new_ids), "vec_id", "left_anti"),
+            emb.join(F.broadcast(new_ids), "vec_id", "left_semi"),
+            cents,
+            threshold=SEMDEDUP_COSINE,
+            max_cell_size=SEMDEDUP_CAP,
+            broadcast_batch=True,
+        )
+
+    return run_released(spark, build)
+
+
+def _oracle_semantic_admit(sf_dir: str) -> str:
+    """Generated literal-codebook twin (the `_oracle_semantic_dedup`
+    device) of :func:`q_semantic_admit`."""
+    import os
+
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, KMEANS_CELLS)
+    if key not in _CODEBOOKS:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(emb_path)
+        _CODEBOOKS[key] = cb.train_codebook_local(emb_path, k=KMEANS_CELLS)
+    limit_sql = (
+        f"SELECT LEAST({SEM_ADMIT_BATCH}, (COUNT(*) + 7) // 8) FROM embeddings"
+    )
+    return cb.semantic_admit_oracle_sql(
+        _CODEBOOKS[key],
+        threshold=SEMDEDUP_COSINE,
+        batch_limit_sql=limit_sql,
+        salt=INCR_SALT,
+        max_cell_size=SEMDEDUP_CAP,
+    )
+
+
 #: Multi-probe list: indices of the n_probes largest |components|, ties by
 #: index asc — the struct list_sort mirrors Spark's top_p_buckets exactly.
 _PROBES_SQL = (

@@ -720,3 +720,142 @@ def semantic_dedup_two_level_oracle_sql(
     assignment CTEs in place of the flat ones."""
     prefix, corpus_src = two_level_assignment_cte_sql(coarse, fines, max_cell_size)
     return _pair_scan_sql(prefix, corpus_src, threshold)
+
+
+def semantic_admit(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """Embedding ADMISSION dedup — the `incremental_lsh_admit` shape on
+    the semantic-dedup machinery: match a new batch of vectors against a
+    stored, cell-capped index (plus the batch's own lower-id members)
+    and emit one verdict row per batch vector: (vec_id, is_dup,
+    match_id, cosine), sentinels (-1, 0.0) when admitted — the text
+    family's exact column contract.
+
+    Rules: a batch vector is a duplicate iff some same-cell witness
+    scores ``cosine >= threshold``, where witnesses are every (capped)
+    index member plus every LOWER-id batch member; ``match_id`` is the
+    minimal witness id (deterministic, engine-mirrored). Index-side cap
+    only — the stored index is the thing that needs occupancy bounds; a
+    production batch is count-bounded by construction (set
+    ``broadcast_batch=True`` only when the caller has actually bounded
+    it — the `incremental_lsh_admit` guard precedent).
+
+    Scale posture: assignment is the trained-codebook scan expression
+    (two-level via :func:`with_two_level_cell` composes the same way);
+    the only joins are batch×witness cell equi-joins, batch-side
+    broadcastable, index never re-shuffled beyond its one cap window.
+    """
+    idx = index.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    if max_cell_size is not None:
+        idx = _sample_cells_to_cap(idx, max_cell_size, id_col="vec_id")
+    bat = batch.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    wit = idx.withColumn("_src", F.lit(0)).unionByName(
+        bat.withColumn("_src", F.lit(1))
+    )
+    wit = wit.select(
+        F.col("vec_id").alias("match_id"),
+        "cell",
+        F.col("_v").alias("_wv"),
+        norm(F.col("_v")).alias("_wn"),
+        "_src",
+    )
+    tgt = bat.select("vec_id", "cell", F.col("_v").alias("_bv")).withColumn(
+        "_bn", norm(F.col("_bv"))
+    )
+    if broadcast_batch:
+        tgt = F.broadcast(tgt)
+    pairs = (
+        wit.join(tgt, "cell")
+        .filter((F.col("_src") == 0) | (F.col("match_id") < F.col("vec_id")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_wv"), F.col("_bv")) / (F.col("_wn") * F.col("_bn")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("match_id"))
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "match_id", "cosine")
+    )
+    return (
+        bat.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("match_id").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("match_id"), F.lit(-1).cast("bigint")).alias("match_id"),
+            F.coalesce(F.col("cosine"), F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
+def semantic_admit_oracle_sql(
+    centroids: list[list[float]],
+    threshold: float,
+    batch_limit_sql: str,
+    salt: str,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_admit` over the pre-registered
+    ``embeddings`` view, with the batch selected exactly like the text
+    family's count-bounded member CTE (lowest (md5(salt:id), id) rows,
+    ``batch_limit_sql`` as the LIMIT expression)."""
+    prefix, _ = _assignment_cte_sql(centroids, None)
+    dot_ab = "list_sum(list_transform(range(1, len(w.e) + 1), j -> w.e[j] * b.e[j]))"
+    cap = "" if max_cell_size is None else f"""
+idx AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+    FROM idx0
+  ) WHERE srn <= {max_cell_size}
+),"""
+    idx_src = "idx0" if max_cell_size is None else "idx"
+    return f"""WITH {prefix},
+member AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5('{salt}:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT ({batch_limit_sql})
+),
+bat AS (SELECT a.* FROM assigned a JOIN member USING (vec_id)),
+idx0 AS (SELECT a.* FROM assigned a ANTI JOIN member USING (vec_id)),{cap}
+wit AS (
+  SELECT vec_id, e, cell, 0 AS src FROM {idx_src}
+  UNION ALL
+  SELECT vec_id, e, cell, 1 AS src FROM bat
+),
+sw AS (SELECT vec_id, e, cell, src,
+       sqrt(list_sum(list_transform(e, y -> y * y))) AS n FROM wit),
+sb AS (SELECT vec_id, e, cell,
+       sqrt(list_sum(list_transform(e, y -> y * y))) AS n FROM bat),
+pairs AS (
+  SELECT w.vec_id AS match_id, b.vec_id AS vec_id,
+         ({dot_ab}) / (w.n * b.n) AS cosine
+  FROM sw w JOIN sb b ON w.cell = b.cell
+   AND (w.src = 0 OR w.vec_id < b.vec_id)
+  WHERE ({dot_ab}) / (w.n * b.n) >= {_sql_double(threshold)}
+),
+best AS (
+  SELECT vec_id, match_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY match_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT b.vec_id, best.match_id IS NOT NULL AS is_dup,
+       COALESCE(best.match_id, -1) AS match_id,
+       COALESCE(best.cosine, 0e0) AS cosine
+FROM bat b LEFT JOIN best USING (vec_id)"""

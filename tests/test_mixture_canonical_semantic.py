@@ -204,3 +204,21 @@ def test_mixture_apply_honors_plan_counts(spark):
     kept2 = mixture_apply(docs, {"a": 0.25, "b": 0.75}).collect()
     b2 = {r["doc_id"] for r in kept2 if r["source"] == "b"}
     assert by_src["b"] <= b2
+
+
+def test_semantic_admit_witness_rules(spark):
+    """Index members witness regardless of id; batch members only
+    witness LOWER ids; match_id is the minimal witness; admitted rows
+    carry the text-family sentinels."""
+    from forgettable_spark.extensions.codebook import semantic_admit
+
+    # cell 0 (x-axis): index 100 ≈ batch 1 and 2; batch 1 also ≈ batch 2.
+    # cell 1 (y-axis): batch 3 alone — admitted.
+    index = _emb(spark, [(100, (1.0, 0.0)), (101, (0.0, 1.0))])
+    batch = _emb(spark, [(1, (1.0, 0.0)), (2, (1.0, 0.0)), (3, (0.0, -1.0))])
+    out = {r["vec_id"]: r for r in semantic_admit(index, batch, CENTS, 0.95).collect()}
+    assert out[1]["is_dup"] and out[1]["match_id"] == 100  # index witness wins? no:
+    # minimal witness id across index ∪ lower-id batch — for doc 1 the
+    # only witness is index 100 (no lower-id batch member matches).
+    assert out[2]["is_dup"] and out[2]["match_id"] == 1  # batch 1 < index 100
+    assert not out[3]["is_dup"] and out[3]["match_id"] == -1 and out[3]["cosine"] == 0.0
