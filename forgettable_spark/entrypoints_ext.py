@@ -728,6 +728,26 @@ def _codebook_for(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]
     return _CODEBOOKS[key]
 
 
+def _codebook_local_for(sf_dir: str, k: int) -> list[list[float]]:
+    """The sessionless arm of the _CODEBOOKS memo, shared by every
+    generated flat-codebook oracle: return the corpus' trained codebook,
+    training via pyarrow when no query has already trained it in this
+    process. Raises FileNotFoundError — the TYPED cold-fetch error the
+    oracle_sql callers degrade on (ADVICE r6) — when the corpus parquet
+    is absent."""
+    import os
+
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, k)
+    if key not in _CODEBOOKS:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(emb_path)
+        _CODEBOOKS[key] = cb.train_codebook_local(emb_path, k=k)
+    return _CODEBOOKS[key]
+
+
 def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over a TRAINED balanced codebook (k-means IVF) — the
     production refinement of the fixed quantizers: cells split where the
@@ -764,22 +784,10 @@ def _oracle_ann_kmeans(sf_dir: str) -> str:
     the memo if the query already trained there, else fresh and without
     a session (``train_codebook_local``: same sample order, same Lloyd
     kernel, bit-identical centroids — test-locked)."""
-    import os
-
     from forgettable_spark.extensions import codebook as cb
 
-    key = (sf_dir, KMEANS_CELLS)
-    if key not in _CODEBOOKS:
-        emb_path = os.path.join(sf_dir, "embeddings.parquet")
-        if not os.path.exists(emb_path):
-            # Cold fetch in an environment without the fallback corpus:
-            # raise a TYPED error the caller (oracle_sql) degrades to a
-            # rows-only check instead of breaking retrieval of ALL
-            # oracles (ADVICE r6).
-            raise FileNotFoundError(emb_path)
-        _CODEBOOKS[key] = cb.train_codebook_local(emb_path, k=KMEANS_CELLS)
     return cb.codebook_oracle_sql(
-        _CODEBOOKS[key],
+        _codebook_local_for(sf_dir, KMEANS_CELLS),
         k=ANN_K,
         n_probes=KMEANS_PROBES,
         max_bucket_size=KMEANS_CAP,
@@ -818,18 +826,12 @@ def _oracle_semantic_dedup(sf_dir: str) -> str:
     """Literal-codebook DuckDB twin of :func:`q_semantic_dedup` —
     generated per-corpus exactly like :func:`_oracle_ann_kmeans` (same
     memo, same sessionless fallback, same typed cold-fetch error)."""
-    import os
-
     from forgettable_spark.extensions import codebook as cb
 
-    key = (sf_dir, KMEANS_CELLS)
-    if key not in _CODEBOOKS:
-        emb_path = os.path.join(sf_dir, "embeddings.parquet")
-        if not os.path.exists(emb_path):
-            raise FileNotFoundError(emb_path)
-        _CODEBOOKS[key] = cb.train_codebook_local(emb_path, k=KMEANS_CELLS)
     return cb.semantic_dedup_oracle_sql(
-        _CODEBOOKS[key], threshold=SEMDEDUP_COSINE, max_cell_size=SEMDEDUP_CAP
+        _codebook_local_for(sf_dir, KMEANS_CELLS),
+        threshold=SEMDEDUP_COSINE,
+        max_cell_size=SEMDEDUP_CAP,
     )
 
 
@@ -942,21 +944,13 @@ def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_semantic_admit(sf_dir: str) -> str:
     """Generated literal-codebook twin (the `_oracle_semantic_dedup`
     device) of :func:`q_semantic_admit`."""
-    import os
-
     from forgettable_spark.extensions import codebook as cb
 
-    key = (sf_dir, KMEANS_CELLS)
-    if key not in _CODEBOOKS:
-        emb_path = os.path.join(sf_dir, "embeddings.parquet")
-        if not os.path.exists(emb_path):
-            raise FileNotFoundError(emb_path)
-        _CODEBOOKS[key] = cb.train_codebook_local(emb_path, k=KMEANS_CELLS)
     limit_sql = (
         f"SELECT LEAST({SEM_ADMIT_BATCH}, (COUNT(*) + 7) // 8) FROM embeddings"
     )
     return cb.semantic_admit_oracle_sql(
-        _CODEBOOKS[key],
+        _codebook_local_for(sf_dir, KMEANS_CELLS),
         threshold=SEMDEDUP_COSINE,
         batch_limit_sql=limit_sql,
         salt=INCR_SALT,

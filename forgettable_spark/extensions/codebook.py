@@ -293,22 +293,26 @@ _V_CTE_SQL = """v AS (
 )"""
 
 
-def _cap_cte_sql(max_bucket_size: int | None) -> tuple[str, str]:
-    """The optional ``capped`` CTE (the md5-of-id ROW_NUMBER window of
-    ``_sample_cells_to_cap``) appended after ``assigned``; returns
-    (CTE text or \"\", name of the corpus CTE downstream SQL reads)."""
+def _cap_cte_sql(
+    max_bucket_size: int | None, src: str = "assigned", name: str = "capped"
+) -> tuple[str, str]:
+    """The optional cell-cap CTE (the md5-of-id ROW_NUMBER window of
+    ``_sample_cells_to_cap``) appended after ``src`` with a leading
+    comma; returns (CTE text or \"\", name of the corpus CTE downstream
+    SQL reads). ONE definition for every oracle so the cap ordering can
+    never drift between the flat, two-level, and admission twins."""
     if max_bucket_size is None:
-        return "", "assigned"
+        return "", src
     return (
         f""",
-capped AS (
+{name} AS (
   SELECT vec_id, e, cell FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
-    FROM assigned
+    FROM {src}
   ) WHERE srn <= {max_bucket_size}
 )""",
-        "capped",
+        name,
     )
 
 
@@ -816,15 +820,7 @@ def semantic_admit_oracle_sql(
     ``batch_limit_sql`` as the LIMIT expression)."""
     prefix, _ = _assignment_cte_sql(centroids, None)
     dot_ab = "list_sum(list_transform(range(1, len(w.e) + 1), j -> w.e[j] * b.e[j]))"
-    cap = "" if max_cell_size is None else f"""
-idx AS (
-  SELECT vec_id, e, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
-    FROM idx0
-  ) WHERE srn <= {max_cell_size}
-),"""
-    idx_src = "idx0" if max_cell_size is None else "idx"
+    cap, idx_src = _cap_cte_sql(max_cell_size, src="idx0", name="idx")
     return f"""WITH {prefix},
 member AS (
   SELECT vec_id FROM embeddings
@@ -832,7 +828,7 @@ member AS (
   LIMIT ({batch_limit_sql})
 ),
 bat AS (SELECT a.* FROM assigned a JOIN member USING (vec_id)),
-idx0 AS (SELECT a.* FROM assigned a ANTI JOIN member USING (vec_id)),{cap}
+idx0 AS (SELECT a.* FROM assigned a ANTI JOIN member USING (vec_id)){cap},
 wit AS (
   SELECT vec_id, e, cell, 0 AS src FROM {idx_src}
   UNION ALL

@@ -213,12 +213,19 @@ def test_semantic_admit_witness_rules(spark):
     from forgettable_spark.extensions.codebook import semantic_admit
 
     # cell 0 (x-axis): index 100 ≈ batch 1 and 2; batch 1 also ≈ batch 2.
-    # cell 1 (y-axis): batch 3 alone — admitted.
+    # cell 1 (y-axis, score y−0.5 beats x−0.5 when y>x): batch 3 at
+    # (0.6, 0.8) shares the cell with index 101 but scores cosine 0.8 —
+    # below threshold, so admitted; batch 4 at (0.0, 1.0) is an exact
+    # dup of index 101, proving index witnesses work in BOTH cells.
     index = _emb(spark, [(100, (1.0, 0.0)), (101, (0.0, 1.0))])
-    batch = _emb(spark, [(1, (1.0, 0.0)), (2, (1.0, 0.0)), (3, (0.0, -1.0))])
+    batch = _emb(
+        spark,
+        [(1, (1.0, 0.0)), (2, (1.0, 0.0)), (3, (0.6, 0.8)), (4, (0.0, 1.0))],
+    )
     out = {r["vec_id"]: r for r in semantic_admit(index, batch, CENTS, 0.95).collect()}
-    assert out[1]["is_dup"] and out[1]["match_id"] == 100  # index witness wins? no:
-    # minimal witness id across index ∪ lower-id batch — for doc 1 the
-    # only witness is index 100 (no lower-id batch member matches).
-    assert out[2]["is_dup"] and out[2]["match_id"] == 1  # batch 1 < index 100
+    # doc 1's only witness is index 100 (no lower-id batch member).
+    assert out[1]["is_dup"] and out[1]["match_id"] == 100
+    # doc 2 has two witnesses (index 100, batch 1) — minimal id wins.
+    assert out[2]["is_dup"] and out[2]["match_id"] == 1
     assert not out[3]["is_dup"] and out[3]["match_id"] == -1 and out[3]["cosine"] == 0.0
+    assert out[4]["is_dup"] and out[4]["match_id"] == 101
