@@ -229,3 +229,85 @@ def test_semantic_admit_witness_rules(spark):
     assert out[2]["is_dup"] and out[2]["match_id"] == 1
     assert not out[3]["is_dup"] and out[3]["match_id"] == -1 and out[3]["cosine"] == 0.0
     assert out[4]["is_dup"] and out[4]["match_id"] == 101
+
+
+# Property tests ---------------------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _mixture_case(draw):
+    n_src = draw(st.integers(min_value=1, max_value=5))
+    counts = {
+        f"s{i}": draw(st.integers(min_value=1, max_value=40)) for i in range(n_src)
+    }
+    # target over a nonempty subset, weights normalized driver-side
+    subset = draw(
+        st.lists(
+            st.sampled_from(sorted(counts)), min_size=1, max_size=n_src, unique=True
+        )
+    )
+    raw = {s: draw(st.integers(min_value=1, max_value=9)) for s in subset}
+    tot = sum(raw.values())
+    return counts, {s: w / tot for s, w in raw.items()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(_mixture_case())
+def test_mixture_plan_invariants(spark, case):
+    """For ANY counts/targets: keep_n never exceeds availability, the
+    binding source keeps everything (max retention), and every kept
+    source's achieved share tracks its target within floor slack."""
+    counts, targets = case
+    plan = {
+        r["source"]: r for r in mixture_plan(_docs(spark, counts), targets).collect()
+    }
+    big_t = min(counts[s] / p for s, p in targets.items())
+    total = sum(r["keep_n"] for r in plan.values())
+    for s, r in plan.items():
+        assert 0 <= r["keep_n"] <= counts[s]
+        if r["target_share"] == 0.0:
+            assert r["keep_n"] == 0
+    binding = min(targets, key=lambda s: counts[s] / targets[s])
+    assert plan[binding]["keep_n"] == counts[binding]
+    if total > 0:
+        for s, p in targets.items():
+            # floor() can shave at most 1 doc per source off the exact
+            # p·T allocation, so each achieved share sits within
+            # len(targets)/total of its target.
+            assert abs(plan[s]["achieved_share"] - p) <= len(targets) / total
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99),  # doc id
+            st.integers(min_value=0, max_value=3),  # component
+            st.integers(min_value=0, max_value=5),  # score bucket
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_canonical_by_score_invariants(spark, rows):
+    """The canonical is always a member of its own component carrying
+    the component-max score with the smallest id among max carriers,
+    and exactly one member per component keeps."""
+    members = spark.createDataFrame(
+        [(i, c, s / 4.0) for i, c, s in rows],
+        "doc_id long, component long, score double",
+    )
+    out = canonical_by_score(members, "score").collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, rs in by_comp.items():
+        best = max(rs, key=lambda r: (r["score"], -r["doc_id"]))
+        assert all(r["canonical_id"] == best["doc_id"] for r in rs)
+        assert sum(r["keep"] for r in rs) == 1
+        assert next(r for r in rs if r["keep"])["doc_id"] == best["doc_id"]
