@@ -1,0 +1,213 @@
+"""Streaming embedding admission (`streaming/semantic_admit.py`): the
+text admission loop's guarantees restated for vectors — two-batch flow,
+replay idempotency, batch-operator parity, fold consolidation, storage
+hygiene."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from forgettable_spark.streaming.semantic_admit import (
+    INDEX_SCHEMA,
+    semantic_admission_stream,
+    semantic_admit_batch,
+)
+
+#: Two unit centroids in 4-d: cell 0 = x-axis, cell 1 = y-axis (the
+#: test_mixture_canonical_semantic device, one dimension wider so the
+#: sub-threshold vector has somewhere to point).
+CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+VX = (1.0, 0.0, 0.0, 0.0)  # cell 0
+VY = (0.0, 1.0, 0.0, 0.0)  # cell 1
+VZ = (0.6, 0.0, 0.8, 0.0)  # cell 0, cosine 0.6 vs VX — sub-threshold
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="forget_semadmit_")
+    yield {
+        "index": f"{d}/index",
+        "verdicts": f"{d}/verdicts",
+        "ckpt": f"{d}/ckpt",
+        "src": f"{d}/src",
+        "root": d,
+    }
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_vecs(path: str, name: str, rows, mtime_offset: float = 0.0) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [list(r[1]) for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    fp = os.path.join(path, name)
+    pq.write_table(table, fp)
+    mt = time.time() + mtime_offset
+    os.utime(fp, (mt, mt))
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _verdicts(spark, dirs):
+    return {
+        r["vec_id"]: r.asDict()
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dirs["verdicts"])
+        .collect()
+    }
+
+
+def _index_ids(spark, dirs):
+    return sorted(
+        r["vec_id"]
+        for r in spark.read.schema(INDEX_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(dirs["index"])
+        .collect()
+    )
+
+
+def test_semantic_admission_stream_two_batches(spark, dirs):
+    """Batch 1: 1 and 2 admitted, 3 (≈1, higher id) flagged within-batch.
+    Batch 2: 10 (≈2, earlier batch) flagged against the index, 11
+    (sub-threshold same-cell) admitted. Index ends with the admitted."""
+    _write_vecs(dirs["src"], "b1.parquet", [(1, VX), (2, VY), (3, VX)])
+    _write_vecs(dirs["src"], "b2.parquet", [(10, VY), (11, VZ)], mtime_offset=5)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["src"])
+    )
+    q = semantic_admission_stream(
+        stream,
+        dirs["index"],
+        dirs["verdicts"],
+        dirs["ckpt"],
+        CENTS,
+        threshold=0.95,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    v = _verdicts(spark, dirs)
+    assert set(v) == {1, 2, 3, 10, 11}
+    assert not v[1]["is_dup"] and not v[2]["is_dup"] and not v[11]["is_dup"]
+    assert v[3]["is_dup"] and v[3]["match_id"] == 1  # within-batch, lower id
+    assert v[10]["is_dup"] and v[10]["match_id"] == 2  # against the index
+    assert v[11]["match_id"] == -1 and v[11]["cosine"] == 0.0
+    assert _index_ids(spark, dirs) == [1, 2, 11]
+
+
+def test_semantic_admit_batch_replay_is_idempotent(spark, dirs):
+    """Re-running a batch id rewrites its own partitions to the same
+    rows: the replay reads exclude the first attempt's output, so the
+    verdicts (and the admitted set) cannot change."""
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(1, VX), (2, VY)]), 0,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+
+    def run():
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(10, VX), (11, VZ)]), 1,
+            dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+        )
+        return (_verdicts(spark, dirs), _index_ids(spark, dirs))
+
+    first = run()
+    replay = run()
+    assert first == replay
+    v, idx = first
+    assert v[10]["is_dup"] and v[10]["match_id"] == 1
+    assert not v[11]["is_dup"]
+    assert idx == [1, 2, 11]
+
+
+def test_semantic_admission_matches_batch_operator(spark, dirs):
+    """Two streamed batches verdict-identically to running the batch
+    `semantic_admit` operator sequentially over the same splits."""
+    from forgettable_spark.extensions.codebook import semantic_admit
+
+    b1 = [(1, VX), (2, VY), (3, VX)]
+    b2 = [(10, VY), (11, VZ)]
+    semantic_admit_batch(
+        spark, _vec_df(spark, b1), 0, dirs["index"], dirs["verdicts"],
+        CENTS, threshold=0.95,
+    )
+    semantic_admit_batch(
+        spark, _vec_df(spark, b2), 1, dirs["index"], dirs["verdicts"],
+        CENTS, threshold=0.95,
+    )
+    streamed = {
+        k: (r["is_dup"], r["match_id"], r["cosine"])
+        for k, r in _verdicts(spark, dirs).items()
+    }
+
+    empty = spark.createDataFrame([], INDEX_SCHEMA)
+    v1 = semantic_admit(empty, _vec_df(spark, b1), CENTS, 0.95).collect()
+    admitted1 = _vec_df(spark, [r for r in b1 if not streamed[r[0]][0]])
+    v2 = semantic_admit(admitted1, _vec_df(spark, b2), CENTS, 0.95).collect()
+    batch_mode = {
+        r["vec_id"]: (r["is_dup"], r["match_id"], r["cosine"]) for r in v1 + v2
+    }
+    assert streamed == batch_mode
+
+
+def test_semantic_fold_bounds_directories_and_keeps_dedup(spark, dirs):
+    """With fold_every=2 the index consolidates, and a later batch still
+    deduplicates against pre-fold admissions."""
+    for bid, rows in enumerate([[(1, VX)], [(2, VY)], [(3, VZ)]]):
+        semantic_admit_batch(
+            spark, _vec_df(spark, rows), bid, dirs["index"], dirs["verdicts"],
+            CENTS, threshold=0.95, fold_every=2,
+        )
+    entries = sorted(os.listdir(dirs["index"]))
+    assert any(e.startswith("fold-") for e in entries)
+    assert sum(e.startswith("batch-") for e in entries) <= 2
+    # batch 3: dup of the FOLDED batch-0 admission
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(30, VX)]), 3, dirs["index"], dirs["verdicts"],
+        CENTS, threshold=0.95, fold_every=2,
+    )
+    v = _verdicts(spark, dirs)
+    assert v[30]["is_dup"] and v[30]["match_id"] == 1
+    assert sorted(_index_ids(spark, dirs)) == [1, 2, 3]
+
+
+def test_semantic_admit_batch_leaves_no_storage(spark, dirs):
+    """The batch and verdict checkpoints are swept at scope exit — the
+    admission loop's storage-hygiene invariant."""
+    spark.catalog.clearCache()
+    before = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(1, VX), (2, VY)]), 0,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    after = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert after == before
