@@ -756,15 +756,49 @@ def semantic_admit(
     (two-level via :func:`with_two_level_cell` composes the same way);
     the only joins are batch×witness cell equi-joins, batch-side
     broadcastable, index never re-shuffled beyond its one cap window.
+    A STORED index with precomputed (cell, n) columns — the streaming
+    loop's shape, which must not re-fold the whole index per trigger —
+    enters through :func:`semantic_admit_assigned` instead.
     """
-    idx = index.select(
+    return semantic_admit_assigned(
+        assign_cells(index, centroids, id_col=id_col, vec_col=vec_col),
+        assign_cells(batch, centroids, id_col=id_col, vec_col=vec_col),
+        threshold,
+        max_cell_size=max_cell_size,
+        broadcast_batch=broadcast_batch,
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, _v float64, cell, n) — the assigned shape
+    :func:`semantic_admit_assigned` consumes. ``cell`` and ``n`` are
+    pure row-local functions of the vector (given fixed centroid
+    literals), so a caller may persist them alongside the vectors and
+    rebuild this frame from storage bit-identically."""
+    c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
     ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    return c.withColumn("n", norm(F.col("_v")))
+
+
+def semantic_admit_assigned(
+    idx: DataFrame,
+    bat: DataFrame,
+    threshold: float,
+    max_cell_size: int | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """:func:`semantic_admit` over PRE-ASSIGNED frames (the
+    :func:`assign_cells` shape): no per-call codebook folds on the index
+    side, so a stored index with persisted (cell, n) pays only its scan
+    + cap window per admission trigger."""
     if max_cell_size is not None:
         idx = _sample_cells_to_cap(idx, max_cell_size, id_col="vec_id")
-    bat = batch.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
     wit = idx.withColumn("_src", F.lit(0)).unionByName(
         bat.withColumn("_src", F.lit(1))
     )
@@ -772,11 +806,11 @@ def semantic_admit(
         F.col("vec_id").alias("match_id"),
         "cell",
         F.col("_v").alias("_wv"),
-        norm(F.col("_v")).alias("_wn"),
+        F.col("n").alias("_wn"),
         "_src",
     )
-    tgt = bat.select("vec_id", "cell", F.col("_v").alias("_bv")).withColumn(
-        "_bn", norm(F.col("_bv"))
+    tgt = bat.select(
+        "vec_id", "cell", F.col("_v").alias("_bv"), F.col("n").alias("_bn")
     )
     if broadcast_batch:
         tgt = F.broadcast(tgt)

@@ -15,7 +15,9 @@ Per micro-batch:
    members, minimal-witness match ids, the text family's
    (is_dup, match_id, cosine) sentinels,
 3. write verdicts (+``batch_id``) to ``verdict_dir/batch-<id>`` and the
-   ADMITTED vectors to ``index_dir/batch-<id>``, both OVERWRITE — a
+   ADMITTED vectors — WITH their precomputed (cell, n) assignment
+   columns, the stored-sketch posture — to ``index_dir/batch-<id>``,
+   both OVERWRITE — a
    replayed micro-batch (checkpoint recovery) rewrites its own
    partitions byte-identically, and its reads exclude them, so replay
    sees exactly the state the first attempt saw,
@@ -35,7 +37,9 @@ At 100 TB: per-batch cost is the index's assignment scan + cap window
 plus a bounded batch×witness cell join (SCALING.md r9-late: a fixed
 200-vector batch against a 200k-vector index runs 4.9 s steady on
 local[32], sub-linear up the decade); the stored index is a narrow
-(vec_id, embedding) parquet table the fold keeps consolidated; nothing
+(vec_id, embedding, cell, n) parquet table the fold keeps consolidated
+— per trigger it pays only its scan + cap window, never a codebook
+re-fold (assignment happens exactly once, at admission); nothing
 collects to the driver.
 """
 
@@ -48,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from forgettable_spark.extensions import codebook as cb
 from forgettable_spark.functions.cache import released_scope
 from forgettable_spark.streaming.admit import (
     FOLD_EVERY,
@@ -56,14 +61,21 @@ from forgettable_spark.streaming.admit import (
     _table_parts,
 )
 
-#: The stored index's narrow schema — the float32 shape the embeddings
-#: source tables carry (a double input stream is cast on ingest, so the
-#: index and a batch-mode ``semantic_admit`` over the same vectors see
-#: identical bits).
+#: The stored index's schema: float32 vectors (the embeddings source
+#: shape — a double input stream is cast on ingest, so the index and a
+#: batch-mode ``semantic_admit`` over the same vectors see identical
+#: bits) plus the PRECOMPUTED assignment columns. ``cell`` and ``n``
+#: are pure row-local functions of (vector, codebook literals), so
+#: storing them is the stored-sketch posture of the text loop: per
+#: trigger the index pays only its scan + cap window, never the
+#: O(index·k·dim) codebook re-fold (the cell column goes stale only if
+#: the MODEL changes, which is a rebuild event, not a trigger event).
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("cell", T.LongType(), True),
+        T.StructField("n", T.DoubleType(), True),
     ]
 )
 
@@ -87,19 +99,30 @@ def semantic_admit_batch(
         F.col(vec_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
     )
     with released_scope(spark):
-        # One trigger read: the checkpointed frame feeds the verdict
-        # computation AND the admitted-index write; scope exit sweeps it.
+        # Assign the batch ONCE (codebook folds + norm), checkpoint the
+        # assigned shape: it feeds the verdict computation AND the
+        # admitted-index write (which persists the assignment — the
+        # whole point of the stored-sketch posture); scope exit sweeps.
+        batch = cb.assign_cells(batch, centroids).withColumn(
+            "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
+        )
         batch = batch.localCheckpoint(eager=True)
-        index = _read_or_empty(spark, index_dir, INDEX_SCHEMA, exclude_batch=batch_id)
-        from forgettable_spark.extensions import codebook as cb
-
+        idx = _read_or_empty(spark, index_dir, INDEX_SCHEMA, exclude_batch=batch_id)
+        # Rebuild the assigned frame FROM STORAGE: _v re-widens from the
+        # stored float32 bits, (cell, n) read back as written — no
+        # codebook fold ever touches the index after admission.
+        idx = idx.select(
+            "vec_id",
+            F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("_v"),
+            "cell",
+            "n",
+        )
         # The batch is a production micro-trigger — bounded by
         # construction — so the batch-side broadcast is honest here
         # (the semantic_admit guard's documented opt-in condition).
-        verdicts = cb.semantic_admit(
-            index,
-            batch,
-            centroids,
+        verdicts = cb.semantic_admit_assigned(
+            idx,
+            batch.select("vec_id", "_v", "cell", "n"),
             threshold=threshold,
             max_cell_size=max_cell_size,
             broadcast_batch=True,
@@ -110,9 +133,9 @@ def semantic_admit_batch(
         admitted = batch.join(
             verdicts.filter(~F.col("is_dup")).select("vec_id"), "vec_id", "left_semi"
         )
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch-{batch_id}")
-        )
+        admitted.select("vec_id", "embedding", "cell", "n").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch-{batch_id}"))
     if fold_every:
         # Same self-healing live-count gate as the text loop: fold when
         # the index's own live batch-directory count reaches the bound,
