@@ -2010,8 +2010,10 @@ def _mixture_plan_ctes() -> str:
     return f"""t(source, share) AS (VALUES {vals}),
 c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
 j AS (
-  SELECT c.source, c.n_docs, COALESCE(t.share, 0e0) AS target_share
-  FROM c LEFT JOIN t USING (source)
+  SELECT COALESCE(c.source, t.source) AS source,
+         COALESCE(c.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+         COALESCE(t.share, 0e0) AS target_share
+  FROM c FULL OUTER JOIN t ON c.source = t.source
 ),
 m AS (
   SELECT COALESCE(MIN(CAST(n_docs AS DOUBLE) / target_share), 0e0) AS t

@@ -179,10 +179,16 @@ def mixture_plan(
     ``T = min_s(n_s / p_s)`` (the scarcest source binds); each source
     keeps ``min(n_s, floor(p_s · T))``. Sources absent from ``targets``
     get share 0 and keep nothing — they're reported, not silently
-    dropped. Output is O(sources): (source, n_docs, target_share,
-    keep_n, achieved_share) — a PLAN, driver-safe at any corpus scale;
-    materializing it is one ``sample_per_group``-style rank filter with
-    ``keep_n`` as the per-source cap.
+    dropped. Conversely a TARGET source absent from the corpus gets a
+    report row with ``n_docs = 0`` and PARTICIPATES in the min as
+    ``n_s = 0`` — so ``T = 0`` and the plan keeps nothing (r10, ADVICE
+    r9): no nonempty corpus can honor a share for a source that has no
+    rows, and a silently-short plan whose achieved shares cannot match
+    the recipe is worse than a loud all-zero one (the zero row names the
+    missing/misspelled source). Output is O(sources): (source, n_docs,
+    target_share, keep_n, achieved_share) — a PLAN, driver-safe at any
+    corpus scale; materializing it is one ``sample_per_group``-style
+    rank filter with ``keep_n`` as the per-source cap.
 
     Scale posture: one partial-aggregated groupBy(source) plus two
     1-row broadcast cross-joins; nothing row-level ever shuffles. The
@@ -192,12 +198,18 @@ def mixture_plan(
     """
     if not targets:
         raise ValueError("mixture_plan: targets must name at least one source")
-    tgt_map = F.create_map(
-        *[F.lit(x) for key in sorted(targets) for x in (key, float(targets[key]))]
+    # Full-outer against the O(sources) literal recipe so a target
+    # source with NO corpus rows still gets its (n_docs=0) report row
+    # and its 0/p_s term in the min below (docstring: T collapses to 0).
+    tgt = docs.sparkSession.createDataFrame(
+        [(key, float(targets[key])) for key in sorted(targets)],
+        f"{group_col} string, target_share double",
     )
     counts = docs.groupBy(group_col).agg(F.count("*").cast("bigint").alias("n_docs"))
-    j = counts.withColumn(
-        "target_share", F.coalesce(tgt_map[F.col(group_col)], F.lit(0.0))
+    j = counts.join(tgt, group_col, "full_outer").select(
+        group_col,
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("bigint")).alias("n_docs"),
+        F.coalesce(F.col("target_share"), F.lit(0.0)).alias("target_share"),
     )
     t = j.filter(F.col("target_share") > 0).agg(
         F.coalesce(

@@ -57,6 +57,7 @@ from forgettable_spark.functions.cache import released_scope
 from forgettable_spark.streaming.admit import (
     FOLD_EVERY,
     _fold,
+    _loop_width,
     _read_or_empty,
     _table_parts,
 )
@@ -93,49 +94,105 @@ def semantic_admit_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Run one micro-batch of embedding admission (see module doc)."""
+    """Run one micro-batch of embedding admission (see module doc).
+
+    Conf scoping: like ``admit_batch``, the AQE / shuffle-width pinning
+    below mutates ``spark``'s SQLConf for the batch's duration. Via
+    :func:`semantic_admission_stream` that session is the stream's
+    private ``cloneSession()`` so nothing else observes it; DIRECT
+    callers handing in a shared interactive session are its single
+    writer for the call — pass a dedicated ``spark.newSession()``-backed
+    batch if that constraint cannot hold (same contract as the text
+    loop, tests/test_streaming_admit.py::test_stream_conf_isolated_from_parent).
+    """
     batch = batch.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
     )
-    with released_scope(spark):
-        # Assign the batch ONCE (codebook folds + norm), checkpoint the
-        # assigned shape: it feeds the verdict computation AND the
-        # admitted-index write (which persists the assignment — the
-        # whole point of the stored-sketch posture); scope exit sweeps.
-        batch = cb.assign_cells(batch, centroids).withColumn(
-            "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
-        )
-        batch = batch.localCheckpoint(eager=True)
-        idx = _read_or_empty(spark, index_dir, INDEX_SCHEMA, exclude_batch=batch_id)
-        # Rebuild the assigned frame FROM STORAGE: _v re-widens from the
-        # stored float32 bits, (cell, n) read back as written — no
-        # codebook fold ever touches the index after admission.
-        idx = idx.select(
-            "vec_id",
-            F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("_v"),
-            "cell",
-            "n",
-        )
-        # The batch is a production micro-trigger — bounded by
-        # construction — so the batch-side broadcast is honest here
-        # (the semantic_admit guard's documented opt-in condition).
-        verdicts = cb.semantic_admit_assigned(
-            idx,
-            batch.select("vec_id", "_v", "cell", "n"),
-            threshold=threshold,
-            max_cell_size=max_cell_size,
-            broadcast_batch=True,
-        ).localCheckpoint(eager=True)
-        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(verdict_dir, f"batch-{batch_id}"))
-        admitted = batch.join(
-            verdicts.filter(~F.col("is_dup")).select("vec_id"), "vec_id", "left_semi"
-        )
-        admitted.select("vec_id", "embedding", "cell", "n").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, f"batch-{batch_id}"))
+    # AQE off + narrow shuffle width for the batch's queries: a
+    # micro-trigger is job-scheduling-bound, and the default 200-way
+    # shuffle on the cap window / verdict joins is pure scheduling cost
+    # (the text loop's measurement, admit.py:391-406). Width scales with
+    # the batch via the shared _loop_width table. Restored in finally.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with released_scope(spark):
+            # Assign the batch ONCE (codebook folds + norm), checkpoint
+            # the assigned shape: it feeds the verdict computation AND
+            # the admitted-index write (which persists the assignment —
+            # the whole point of the stored-sketch posture); scope exit
+            # sweeps.
+            batch = cb.assign_cells(batch, centroids).withColumn(
+                "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
+            )
+            batch = batch.localCheckpoint(eager=True)
+            # One count over the checkpointed blocks: an EMPTY trigger
+            # must not run the verdict job or mint empty batch-<id>
+            # directories in index_dir/verdict_dir that every later
+            # trigger would list and read until a fold (the text loop's
+            # n_batch == 0 gate, admit.py:414).
+            n_batch = batch.count()
+            if n_batch == 0:
+                return
+            width = _loop_width(n_batch)
+            if width != 8:
+                spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            idx = _read_or_empty(spark, index_dir, INDEX_SCHEMA, exclude_batch=batch_id)
+            # Rebuild the assigned frame FROM STORAGE: _v re-widens from
+            # the stored float32 bits, (cell, n) read back as written —
+            # no codebook fold ever touches the index after admission.
+            idx = idx.select(
+                "vec_id",
+                F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("_v"),
+                "cell",
+                "n",
+            )
+            # The batch is a production micro-trigger — bounded by
+            # construction — so the batch-side broadcast is honest here
+            # (the semantic_admit guard's documented opt-in condition).
+            verdicts = cb.semantic_admit_assigned(
+                idx,
+                batch.select("vec_id", "_v", "cell", "n"),
+                threshold=threshold,
+                max_cell_size=max_cell_size,
+                broadcast_batch=True,
+            ).localCheckpoint(eager=True)
+            verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(verdict_dir, f"batch-{batch_id}"))
+            admitted = batch.join(
+                verdicts.filter(~F.col("is_dup")).select("vec_id"),
+                "vec_id",
+                "left_semi",
+            )
+            admitted.select("vec_id", "embedding", "cell", "n").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(index_dir, f"batch-{batch_id}"))
+            # The layout's liveness gate is the _SUCCESS marker
+            # (_table_parts): a committer configured with
+            # mapreduce.fileoutputcommitter.marksuccessfuljobs=false
+            # would leave every batch/fold dir invisible — the stored
+            # index would always read empty and the loop would silently
+            # admit every duplicate forever. Fail the first batch loudly
+            # instead (admit_batch's device, admit.py:745-766).
+            if not os.path.isfile(
+                os.path.join(verdict_dir, f"batch-{batch_id}", "_SUCCESS")
+            ):
+                raise RuntimeError(
+                    "semantic_admit_batch wrote a batch directory without a "
+                    "_SUCCESS marker — this deployment disables "
+                    "mapreduce.fileoutputcommitter.marksuccessfuljobs, which "
+                    "this layout requires (liveness gating of batch/fold "
+                    "dirs). Re-enable it for the admission loop's session, "
+                    "e.g. spark.hadoop.mapreduce.fileoutputcommitter."
+                    "marksuccessfuljobs=true at session build."
+                )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if fold_every:
         # Same self-healing live-count gate as the text loop: fold when
         # the index's own live batch-directory count reaches the bound,

@@ -103,6 +103,29 @@ def test_mixture_plan_no_matching_source_keeps_nothing(spark):
     docs = _docs(spark, {"a": 5})
     plan = mixture_plan(docs, {"zzz": 1.0}).collect()
     assert all(r["keep_n"] == 0 and r["achieved_share"] == 0.0 for r in plan)
+    # r10 (ADVICE r9): the absent target source gets its own report row
+    # instead of vanishing — the loud trace of the misspelling.
+    rows = {r["source"]: r for r in plan}
+    assert rows["zzz"]["n_docs"] == 0 and rows["zzz"]["target_share"] == 1.0
+
+
+def test_mixture_plan_missing_target_source_zeroes_plan(spark):
+    """A recipe naming a source the corpus lacks (ADVICE r9): the missing
+    source participates in the min as n_s=0, so T=0 and EVERY source
+    keeps nothing — loud, with the zero row naming the culprit — instead
+    of a silently-short plan whose achieved shares can't match the
+    recipe."""
+    docs = _docs(spark, {"a": 10, "b": 10})
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, {"a": 0.4, "b": 0.4, "missing": 0.2}
+        ).collect()
+    }
+    assert set(plan) == {"a", "b", "missing"}
+    assert plan["missing"]["n_docs"] == 0
+    assert plan["missing"]["target_share"] == pytest.approx(0.2)
+    assert all(r["keep_n"] == 0 for r in plan.values())
 
 
 def test_mixture_plan_empty_targets_raise(spark):

@@ -194,6 +194,67 @@ def test_semantic_fold_bounds_directories_and_keeps_dedup(spark, dirs):
     assert sorted(_index_ids(spark, dirs)) == [1, 2, 3]
 
 
+def test_semantic_empty_trigger_writes_nothing(spark, dirs):
+    """ADVICE r9: an empty micro-batch must not run the verdict job or
+    mint empty batch-<id> directories that every later trigger would
+    list and read (the text loop's n_batch == 0 gate)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    semantic_admit_batch(
+        spark, empty, 0, dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    assert not os.path.exists(os.path.join(dirs["index"], "batch-0"))
+    assert not os.path.exists(os.path.join(dirs["verdicts"], "batch-0"))
+    # And a nonempty follow-up batch still works against the clean layout.
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(1, VX)]), 1,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    assert _index_ids(spark, dirs) == [1]
+
+
+def test_semantic_admit_fails_loudly_without_success_markers(spark, dirs):
+    """ADVICE r9 (the text loop's ADVICE-r7 device): with the committer's
+    marksuccessfuljobs=false every batch dir is invisible to the
+    _SUCCESS-gated reads — the stored index would always read empty and
+    the loop would silently admit every duplicate forever. The FIRST
+    batch must fail with the remediation instead."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+            semantic_admit_batch(
+                spark, _vec_df(spark, [(1, VX)]), 0,
+                dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+            )
+    finally:
+        if prev is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev)
+
+
+def test_semantic_admit_batch_restores_conf(spark, dirs):
+    """ADVICE r9: the batch pins AQE off + a narrow shuffle width for its
+    queries (the micro-trigger is job-scheduling-bound) and must restore
+    both on exit — including the early empty-trigger return."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(1, VX), (2, VY)]), 0,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    semantic_admit_batch(
+        spark, empty, 1, dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+
+
 def test_semantic_admit_batch_leaves_no_storage(spark, dirs):
     """The batch and verdict checkpoints are swept at scope exit — the
     admission loop's storage-hygiene invariant."""
