@@ -554,12 +554,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "db_size": q_db_size,
         "live_distributions": q_live_distributions,
         "snapshot_state": q_snapshot_state,
-        "decay_proportional": q_decay_proportional,
         "replay_daily": q_replay_daily,
         "sessionize": q_sessionize,
         "get_dist_poisson": q_get_dist_poisson,
-        "incr_snapshot": q_incr_snapshot,
         "asof_attribution": q_asof_attribution,
+        # r10 rotation (VERDICT r9 #1): decay_proportional (green r1-r9,
+        # the proportional law stays exercised by get_dist_poisson's
+        # expected mode and the decay property tests), incr_snapshot
+        # (green r1-r9, the W1 write path stays locked by snapshot_state
+        # + the api/golden tests), db_size_users and get_dist_wipe_regime
+        # (green r8-r9, parameter twists of the registered db_size /
+        # get_dist_all) moved to the secondary registry, freeing rows for
+        # the four never-driver-seen late-r9 operators promoted in
+        # entrypoints_ext (semantic_admit, mixture_apply,
+        # semantic_dedup_two_level, hash_split).
         # r9 rotation (VERDICT r8 #2): the r7 promotions
         # get_field_compat_partial_z and get_dist_noprune — driver-green
         # r7-r8, each a parameter twist of a still-registered core query
@@ -574,8 +582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wipe regime of the default rate (get_dist_wipe_regime,
         # goforget/decay.go:17-19) which had never had a driver row.
         "get_dist_join_norm": q_get_dist_join_norm,
-        "db_size_users": q_db_size_users,
-        "get_dist_wipe_regime": q_get_dist_wipe_regime,
     }
     from forgettable_spark import entrypoints_ext, entrypoints_rel
 
@@ -720,6 +726,21 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``corpus_report`` — one-row observability rollup, kept green by
       ``batch_novelty`` + ``source_curation`` (green r5-r8).
 
+    r10 rotation (VERDICT r9 #1): the four stalest never-driver-seen
+    secondaries — the late-r9 flagship operators ``semantic_admit``,
+    ``mixture_apply``, ``semantic_dedup_two_level`` plus the long-demoted
+    ``hash_split`` — promoted for debut driver rows, demoting here:
+
+    - ``decay_proportional`` — the proportional decay law (green r1-r9;
+      the law stays driver-exercised through ``get_dist_poisson``'s
+      expected mode and locked by the decay property tests);
+    - ``incr_snapshot`` — the W1 write path (green r1-r9; stays locked
+      by the registered ``snapshot_state`` plus the api/golden tests);
+    - ``db_size_users`` — R4 on the user-keyed projection, a twist of
+      the registered ``db_size`` (green r8-r9);
+    - ``get_dist_wipe_regime`` — the e^-λ<1e-8 wipe regime of the
+      registered ``get_dist_all`` (green r8-r9).
+
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
     """
@@ -748,7 +769,6 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_capped": entrypoints_ext.q_dedup_simhash_capped,
         "doc_fingerprint": entrypoints_ext.q_doc_fingerprint,
         "token_counts": entrypoints_ext.q_token_counts,
-        "hash_split": entrypoints_ext.q_hash_split,
         "rel_cube_summary": entrypoints_rel.q_rel_cube_summary,
         "rel_pricing_summary": entrypoints_rel.q_rel_pricing_summary,
         "rel_top_customers": entrypoints_rel.q_rel_top_customers,
@@ -786,22 +806,22 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": entrypoints_ext.q_embedding_near_dup,
         "sample_per_group": entrypoints_ext.q_sample_per_group,
         "corpus_report": entrypoints_ext.q_corpus_report,
-        # NEW late r9, secondary from birth (the registry is at cap and
-        # the flat-codebook form is the registered debut): the two-level
-        # trained quantizer variant of semantic_dedup — k1·k2 cells at
-        # k1+k2 per-row fold cost, the corpus-scale assignment strategy
-        # (SCALING.md r9-late); generated literal-codebook oracle, same
-        # rigor as every secondary.
-        "semantic_dedup_two_level": entrypoints_ext.q_semantic_dedup_two_level,
-        # NEW late r9, secondary from birth: the materialize twin of the
-        # registered mixture_plan (the pack_sequences/pack_apply split)
-        # — exactly keep_n docs per source in deterministic md5 order.
-        "mixture_apply": entrypoints_ext.q_mixture_apply,
-        # NEW late r9, secondary from birth: embedding ADMISSION dedup —
-        # the dedup_incremental shape (count-bounded batch vs stored
-        # index, text-family verdict sentinels) on the semantic-dedup
-        # cell machinery.
-        "semantic_admit": entrypoints_ext.q_semantic_admit,
+        # r10 demotions (VERDICT r9 #1 rotation): four long-green
+        # primaries whose operators stay exercised by still-registered
+        # queries — decay_proportional (green r1-r9; the proportional
+        # law rides get_dist_poisson's expected mode and the decay
+        # property tests), incr_snapshot (green r1-r9; the W1 write path
+        # stays locked by snapshot_state + api/golden tests),
+        # db_size_users (green r8-r9; R4 on the user-keyed projection
+        # beside the registered db_size), get_dist_wipe_regime (green
+        # r8-r9; the e^-λ wipe regime of the registered get_dist_all).
+        # They displaced the four never-driver-seen late-r9 operators
+        # (semantic_admit, mixture_apply, semantic_dedup_two_level,
+        # hash_split — now registered in entrypoints_ext).
+        "decay_proportional": q_decay_proportional,
+        "incr_snapshot": q_incr_snapshot,
+        "db_size_users": q_db_size_users,
+        "get_dist_wipe_regime": q_get_dist_wipe_regime,
     }
 
 
@@ -831,17 +851,6 @@ FROM h WHERE ((now_us - epoch_us(t)) / 1e6) <= horizon_sec"""
     snapshot_state = f"""WITH {_state_cte(_EV_EVENT_TYPE)}
 SELECT distribution, bin, "count", epoch_us(t) AS t_us FROM state"""
 
-    # reuse the shared state contract; only the ev source differs (union of
-    # the standard projection and the literal increments)
-    ev_union = f"""{_EV_EVENT_TYPE}
-  UNION ALL
-  SELECT 'colors', x.bin, CAST(5 AS BIGINT),
-         make_timestamp(epoch_us((SELECT max(ts) FROM events)) + 1000000)
-  FROM (VALUES ('red'), ('blue')) x(bin)"""
-    incr_sql = f"""WITH {_state_cte(ev_union)}, {_decayed_cte(RATE_DEFAULT, True)}, {_NORM_CTE}
-SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm
-WHERE distribution = 'colors'"""
-
     from forgettable_spark import entrypoints_ext, entrypoints_rel
 
     out = {
@@ -851,22 +860,28 @@ WHERE distribution = 'colors'"""
         "db_size": "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS db_size FROM events",
         "live_distributions": live_dists,
         "snapshot_state": snapshot_state,
-        "decay_proportional": _oracle_get_dist(_EV_USER, RATE_PROPORTIONAL, False, "proportional"),
         "replay_daily": _oracle_replay(),
         "sessionize": ORACLE_SESSIONIZE,
         "get_dist_poisson": _oracle_get_dist_poisson(_EV_EVENT_TYPE, RATE_SLOW, POISSON_SEED),
-        "incr_snapshot": incr_sql,
         "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
         "get_dist_join_norm": _oracle_get_dist(_EV_EVENT_TYPE, RATE_SLOW, True, "linear"),
-        "db_size_users": (
-            "SELECT CAST(COUNT(DISTINCT 'u' || CAST(user_id % 1000 AS VARCHAR)) AS BIGINT)"
-            " AS db_size FROM events"
-        ),
-        "get_dist_wipe_regime": _oracle_get_dist(_EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"),
     }
     out.update(entrypoints_ext.oracle_sql(sf_dir))
     out.update(entrypoints_rel.oracle_sql())
     return out
+
+
+def _oracle_incr_snapshot() -> str:
+    """Reuses the shared state contract; only the ev source differs
+    (union of the standard projection and the literal increments)."""
+    ev_union = f"""{_EV_EVENT_TYPE}
+  UNION ALL
+  SELECT 'colors', x.bin, CAST(5 AS BIGINT),
+         make_timestamp(epoch_us((SELECT max(ts) FROM events)) + 1000000)
+  FROM (VALUES ('red'), ('blue')) x(bin)"""
+    return f"""WITH {_state_cte(ev_union)}, {_decayed_cte(RATE_DEFAULT, True)}, {_NORM_CTE}
+SELECT distribution, bin, "count", "Z", {_P_EXPR} FROM norm
+WHERE distribution = 'colors'"""
 
 
 def _oracle_get_field_compat() -> str:
@@ -912,7 +927,6 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dedup_simhash_capped": entrypoints_ext.ORACLE_DEDUP_SIMHASH_CAPPED,
         "doc_fingerprint": entrypoints_ext.ORACLE_DOC_FINGERPRINT,
         "token_counts": entrypoints_ext.ORACLE_TOKEN_COUNTS,
-        "hash_split": entrypoints_ext.ORACLE_HASH_SPLIT,
         "rel_cube_summary": entrypoints_rel.ORACLE_REL_CUBE,
         "rel_pricing_summary": entrypoints_rel.ORACLE_REL_PRICING,
         "rel_top_customers": entrypoints_rel.ORACLE_REL_TOP_CUSTOMERS,
@@ -932,18 +946,17 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "embedding_near_dup": entrypoints_ext.ORACLE_EMBEDDING_NEAR_DUP,
         "sample_per_group": entrypoints_ext.ORACLE_SAMPLE_PER_GROUP,
         "corpus_report": entrypoints_ext.ORACLE_CORPUS_REPORT,
-        "mixture_apply": entrypoints_ext._oracle_mixture_apply(),
+        # r10 demotions (oracles follow their queries)
+        "decay_proportional": _oracle_get_dist(
+            _EV_USER, RATE_PROPORTIONAL, False, "proportional"
+        ),
+        "incr_snapshot": _oracle_incr_snapshot(),
+        "db_size_users": (
+            "SELECT CAST(COUNT(DISTINCT 'u' || CAST(user_id % 1000 AS VARCHAR)) AS BIGINT)"
+            " AS db_size FROM events"
+        ),
+        "get_dist_wipe_regime": _oracle_get_dist(
+            _EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"
+        ),
     }
-    # semantic_dedup_two_level: generated per-corpus (literal two-level
-    # codebook); degrade to rows-only on a cold fetch without the
-    # fallback corpus, exactly like oracle_sql's kmeans block.
-    try:
-        out["semantic_dedup_two_level"] = entrypoints_ext._oracle_semantic_dedup_two_level(
-            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
-        )
-        out["semantic_admit"] = entrypoints_ext._oracle_semantic_admit(
-            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
-        )
-    except (OSError, ImportError):
-        pass
     return out

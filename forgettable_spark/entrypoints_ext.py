@@ -2732,6 +2732,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_canonicalize": q_dedup_canonicalize,
         "mixture_plan": q_mixture_plan,
+        # r10 rotation (VERDICT r9 #1): first driver rows for the four
+        # stalest never-driver-seen secondaries — the late-r9 flagship
+        # capability tier (embedding admission on the semantic-dedup cell
+        # machinery, the mixture plan's materialize twin, the two-level
+        # trained quantizer that is the corpus-scale assignment strategy)
+        # plus hash_split (salted-hash train/val/test assignment, demoted
+        # since mid-r5 and never driver-seen). Displaced to the secondary
+        # registry: decay_proportional, incr_snapshot, db_size_users,
+        # get_dist_wipe_regime (see entrypoints.secondary_queries).
+        "semantic_admit": q_semantic_admit,
+        "mixture_apply": q_mixture_apply,
+        "semantic_dedup_two_level": q_semantic_dedup_two_level,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2776,6 +2789,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # is generated below with ann_kmeans_topk's)
         "dedup_canonicalize": _oracle_dedup_canonicalize(),
         "mixture_plan": _oracle_mixture_plan(),
+        # r10 promotions (oracles follow their queries; the two
+        # generated codebook oracles join the try block below)
+        "mixture_apply": _oracle_mixture_apply(),
+        "hash_split": ORACLE_HASH_SPLIT,
     }
     # ann_kmeans_topk / semantic_dedup: k-means is iterative, so these
     # oracles are GENERATED per-corpus (literal trained codebook — ONE
@@ -2790,6 +2807,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     try:
         out["ann_kmeans_topk"] = _oracle_ann_kmeans(sf_dir or _KMEANS_ORACLE_DEFAULT_SF)
         out["semantic_dedup"] = _oracle_semantic_dedup(
+            sf_dir or _KMEANS_ORACLE_DEFAULT_SF
+        )
+        out["semantic_admit"] = _oracle_semantic_admit(
+            sf_dir or _KMEANS_ORACLE_DEFAULT_SF
+        )
+        out["semantic_dedup_two_level"] = _oracle_semantic_dedup_two_level(
             sf_dir or _KMEANS_ORACLE_DEFAULT_SF
         )
     except (OSError, ImportError):
