@@ -822,6 +822,14 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_snapshot": q_incr_snapshot,
         "db_size_users": q_db_size_users,
         "get_dist_wipe_regime": q_get_dist_wipe_regime,
+        # NEW r10, secondary from birth (registry at cap; its two-level
+        # base form is this round's registered debut): the
+        # signature-partitioned two-level quantizer — sign-LSH bits
+        # pre-partition (2^b cells at b formula folds, zero per-cell
+        # literals), the bounded trained codebook refines within each
+        # partition; the composition past the ~10⁴-cell codegen ceiling
+        # (SCALING.md r10). Generated literal-codebook oracle.
+        "semantic_dedup_partitioned": entrypoints_ext.q_semantic_dedup_partitioned,
     }
 
 
@@ -959,4 +967,15 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             _EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"
         ),
     }
+    # semantic_dedup_partitioned: generated per-corpus (literal two-level
+    # codebook + signature bits); degrade to rows-only on a cold fetch
+    # without the fallback corpus, exactly like oracle_sql's kmeans block.
+    try:
+        out["semantic_dedup_partitioned"] = (
+            entrypoints_ext._oracle_semantic_dedup_partitioned(
+                sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
+            )
+        )
+    except (OSError, ImportError):
+        pass
     return out

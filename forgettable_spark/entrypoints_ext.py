@@ -895,6 +895,70 @@ def _oracle_semantic_dedup_two_level(sf_dir: str) -> str:
     )
 
 
+#: Signature pre-partition width for the SECONDARY partitioned variant:
+#: 2 sign-LSH bits × the 4×2 two-level codebook = up to 32 composite
+#: cells at correctness scale — small enough that the tiny correctness
+#: corpora still produce non-empty drop sets (asserted in
+#: tests/test_mixture_canonical_semantic.py), while the corpus-scale
+#: configuration grows b toward log2(corpus / (k1·k2·cap)) with NO new
+#: plan literals (SCALING.md r10: the codegen-ceiling composition).
+SEMDEDUP_SIG_BITS = 2
+
+
+def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary: :func:`q_semantic_dedup` over the SIGNATURE-PARTITIONED
+    two-level quantizer (`codebook.semantic_dedup_partitioned`) — the
+    composition past the two-level codebook's ~10⁴-cell codegen ceiling:
+    sign-LSH bits pre-partition (2^b cells from b formula folds, zero
+    per-cell literals), the one bounded trained codebook refines within
+    every partition. run_released sweeps the assignment checkpoint."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
+    if key not in _TWO_LEVEL_CODEBOOKS:
+        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook(
+            emb, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
+        )
+    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    return run_released(
+        spark,
+        lambda: cb.semantic_dedup_partitioned(
+            emb,
+            coarse,
+            fines,
+            threshold=SEMDEDUP_COSINE,
+            n_sig_bits=SEMDEDUP_SIG_BITS,
+            max_cell_size=SEMDEDUP_CAP,
+        ),
+    )
+
+
+def _oracle_semantic_dedup_partitioned(sf_dir: str) -> str:
+    """Generated signature-partitioned twin (the
+    `_oracle_semantic_dedup_two_level` device, same codebook memo)."""
+    import os
+
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
+    if key not in _TWO_LEVEL_CODEBOOKS:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(emb_path)
+        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook_local(
+            emb_path, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
+        )
+    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    return cb.semantic_dedup_partitioned_oracle_sql(
+        coarse,
+        fines,
+        threshold=SEMDEDUP_COSINE,
+        n_sig_bits=SEMDEDUP_SIG_BITS,
+        max_cell_size=SEMDEDUP_CAP,
+    )
+
+
 #: semantic_admit batch bound: production embedding-ingest triggers are
 #: micro and COUNT-bounded (the dedup_incremental r8 lesson verbatim) —
 #: min(SEM_ADMIT_BATCH, ceil(n/8)) keeps the tiny correctness corpora's
@@ -1434,10 +1498,11 @@ def q_embedding_near_dup_hyperplane(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _hyperplane_bit_sql(i: int) -> str:
-    return (
-        "CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
-        f"j -> e[j] * ((({i} * 31 + j * 17) % 7) - 3))) >= 0 THEN 1 ELSE 0 END"
-    )
+    # ONE definition, shared with the engine module (r10): see
+    # similarity.hyperplane_bit_sql.
+    from forgettable_spark.extensions.similarity import hyperplane_bit_sql
+
+    return hyperplane_bit_sql(i)
 
 
 def _oracle_hyperplane() -> str:

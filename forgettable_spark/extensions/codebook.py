@@ -650,9 +650,22 @@ def semantic_dedup_two_level(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
     )
     c = with_two_level_cell(c, coarse, fines)
-    if materialize_assignment:
+    if materialize_assignment and not _plan_audit_active():
         c = c.localCheckpoint(eager=True)
     return _celled_pair_dedup(c, threshold, max_cell_size)
+
+
+def _plan_audit_active() -> bool:
+    """Whether the plan audit is sampling plans (functions.cache's
+    audit-mode flag): the eager assignment checkpoint would otherwise
+    EXECUTE at plan-build time and hand the audit a post-checkpoint
+    scan-of-blocks plan — the r9 PLANS.md blind spot where
+    semantic_dedup_two_level read 'local-only plan'. In audit mode the
+    checkpoint is skipped so the audited plan carries BOTH halves
+    (branchy assignment + pair scan); execution paths are unchanged."""
+    from forgettable_spark.functions import cache
+
+    return cache._AUDIT_MODE
 
 
 def two_level_assignment_cte_sql(
@@ -723,6 +736,125 @@ def semantic_dedup_two_level_oracle_sql(
     like :func:`semantic_dedup_oracle_sql`, with the two-level
     assignment CTEs in place of the flat ones."""
     prefix, corpus_src = two_level_assignment_cte_sql(coarse, fines, max_cell_size)
+    return _pair_scan_sql(prefix, corpus_src, threshold)
+
+
+# Signature-partitioned two-level quantizer ----------------------------------
+#
+# The composition SCALING.md's r9-late study names past the ~10⁴-cell
+# ceiling: the two-level quantizer's cell count is k1·k2, but its
+# one-time whole-stage-codegen cost grows with the k1·k2·dim centroid
+# LITERALS in the plan — measured linear (512 cells ≈ 40 s, ~2k cells
+# ≈ 119 s), so cell counts past ~10⁴ are codegen-infeasible. The
+# engine's sign-LSH signature cell (similarity.signature_cell) has the
+# opposite profile: 2^b cells from b O(dim) formula folds with NO
+# per-cell literals (the hyperplane weights are a closed-form expression
+# over a sequence, not a literal matrix). Composing them — signature
+# cell as the data-blind PRE-PARTITION, the one bounded trained
+# two-level codebook refining WITHIN every partition — yields
+# 2^b · k1·k2 cells at b + k1 + k2 folds per row and codegen bounded by
+# the k1·k2 literals alone. The recall trade is the banded-LSH one:
+# a pair is compared iff it agrees on all b signature bits AND the
+# trained cell; sign-LSH bit-collision probability is 1 − θ/π, so
+# high-cosine (near-dup) pairs survive with probability ≈ (1 − θ/π)^b
+# — the same knob every banded family here documents.
+
+
+def with_partitioned_cell(
+    df: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_sig_bits: int,
+    vec_col: str = "_v",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Adds the composite global cell id ``sig · n_fine_cells + two_level``
+    where ``sig`` is the ``n_sig_bits``-bit sign-LSH signature cell and
+    ``two_level`` the trained :func:`with_two_level_cell` id — exact
+    integer arithmetic, so the id is engine-portable. ``n_sig_bits=0``
+    degenerates to the plain two-level id (one signature partition)."""
+    from forgettable_spark.extensions.similarity import signature_cell
+
+    n_fine = sum(len(f) for f in fines)
+    df = df.withColumn("_sig", signature_cell(F.col(vec_col), n_sig_bits))
+    df = with_two_level_cell(df, coarse, fines, vec_col=vec_col, out_col="_tl")
+    return df.withColumn(
+        out_col,
+        (F.col("_sig") * F.lit(n_fine).cast("bigint") + F.col("_tl")).cast("bigint"),
+    ).drop("_sig", "_tl")
+
+
+def semantic_dedup_partitioned(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    n_sig_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    materialize_assignment: bool = True,
+) -> DataFrame:
+    """:func:`semantic_dedup` over the signature-partitioned two-level
+    quantizer (module note above): identical keep rule, output shape and
+    cap semantics; the cell id is the composite
+    ``sig · n_fine + two_level``. This is the corpus-scale configuration
+    past the two-level codebook's codegen ceiling — cell count grows
+    2^b-fold per signature bit at one extra O(dim) fold per row and NO
+    extra plan literals, so occupancy can track corpus/cells at any
+    scale with a FIXED-size trained codebook (SCALING.md r10)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = with_partitioned_cell(c, coarse, fines, n_sig_bits)
+    if materialize_assignment and not _plan_audit_active():
+        c = c.localCheckpoint(eager=True)
+    return _celled_pair_dedup(c, threshold, max_cell_size)
+
+
+def partitioned_assignment_cte_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_sig_bits: int,
+    max_bucket_size: int | None,
+) -> tuple[str, str]:
+    """Signature-partitioned twin of :func:`two_level_assignment_cte_sql`:
+    the same coarse/fine VALUES + argmax windows, with the ``assigned``
+    CTE's cell id composed as ``sig · n_fine + g`` (the sign-LSH bits
+    rendered by the shared ``similarity.hyperplane_bit_sql`` formula).
+    Returns (CTE text, corpus CTE name)."""
+    from forgettable_spark.extensions.similarity import hyperplane_bit_sql
+
+    base, _ = two_level_assignment_cte_sql(coarse, fines, None)
+    n_fine = sum(len(f) for f in fines)
+    if n_sig_bits > 0:
+        sig = " + ".join(
+            f"({hyperplane_bit_sql(i)}) * {1 << i}" for i in range(n_sig_bits)
+        )
+        composite = f"CAST(({sig}) * {n_fine} + g AS BIGINT)"
+    else:
+        composite = "CAST(g AS BIGINT)"
+    # Rewrite the assigned CTE's cell projection; the base text carries
+    # exactly one such projection (two_level_assignment_cte_sql's
+    # ``assigned``).
+    assert base.count("CAST(g AS BIGINT) AS cell") == 1
+    prefix = base.replace("CAST(g AS BIGINT) AS cell", f"{composite} AS cell")
+    cap_cte, corpus_src = _cap_cte_sql(max_bucket_size)
+    return prefix + cap_cte, corpus_src
+
+
+def semantic_dedup_partitioned_oracle_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    n_sig_bits: int,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_dedup_partitioned` — the shared
+    pair-scan tail over the signature-partitioned assignment CTEs."""
+    prefix, corpus_src = partitioned_assignment_cte_sql(
+        coarse, fines, n_sig_bits, max_cell_size
+    )
     return _pair_scan_sql(prefix, corpus_src, threshold)
 
 

@@ -463,6 +463,19 @@ def _hyperplane_weights(i: int, size: Column) -> Column:
     )
 
 
+def hyperplane_bit_sql(i: int, vec_expr: str = "e") -> str:
+    """The DuckDB twin of bit ``i`` of :func:`hyperplane_signature` /
+    :func:`signature_cell` over a double-list column ``vec_expr`` — the
+    ONE rendering of the ``((i·31 + j·17) mod 7) − 3`` weight formula,
+    shared by every signature oracle so the engine expression and its
+    SQL twin cannot drift."""
+    return (
+        f"CASE WHEN list_sum(list_transform(range(1, len({vec_expr}) + 1), "
+        f"j -> {vec_expr}[j] * ((({i} * 31 + j * 17) % 7) - 3))) >= 0 "
+        "THEN 1 ELSE 0 END"
+    )
+
+
 def hyperplane_signature(vec: Column) -> Column:
     """Sign-LSH signature: bit i = [dot(v, h_i) >= 0]. For unit-ish
     vectors, P[bit_a = bit_b] = 1 − θ(a,b)/π — the classic cosine

@@ -1,0 +1,118 @@
+"""Streaming embedding-admission throughput (SCALING.md rungs).
+
+Stages a corpus' embeddings as B single-file micro-batches and drives
+them through the production loop (`streaming/semantic_admit.py`:
+per-trigger assign → verdict vs the persistent cell-capped index →
+idempotent batch writes → live-count-gated folds), reporting end-to-end
+vectors/second — the batch-size decade the text loop's
+`stream_admission_throughput` line measures for documents.
+
+    SPARK_GRAFT_SF_DIR     source dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS       local[] parallelism (default 32)
+    SPARK_GRAFT_BATCHES    number of micro-batch files (default 10)
+
+Prints ONE JSON line:
+    {"metric": "semantic_admission_throughput", "vecs": N, "batches": B,
+     "value": vecs_per_sec, "unit": "vecs/sec", "n_admitted": A,
+     "n_dup": D, "sf_dir": ...}
+
+Timing covers the stream start through the last trigger (availableNow);
+codebook training and file staging are untimed setup, mirroring the
+text bench. Keep the box idle (bench.py's caveat).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+THRESHOLD = 0.38
+CAP = 64
+K = 8
+FOLD_EVERY = 4
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_batches = int(os.environ.get("SPARK_GRAFT_BATCHES", "10"))
+
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.session import get_spark
+    from forgettable_spark.sources import load_table
+    from forgettable_spark.streaming.semantic_admit import semantic_admission_stream
+
+    spark = get_spark(
+        app_name="forgettable-semantic-stream-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="semantic_stream_bench_")
+    src, ckpt = f"{work}/src", f"{work}/ckpt"
+    index_dir, verdict_dir = f"{work}/index", f"{work}/verdicts"
+    try:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n_vecs = emb.count()
+        centroids = cb.train_codebook(emb, k=K)  # untimed model setup
+        emb.repartition(n_batches).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = semantic_admission_stream(
+            stream,
+            index_dir,
+            verdict_dir,
+            ckpt,
+            centroids,
+            threshold=THRESHOLD,
+            available_now=True,
+            max_cell_size=CAP,
+            fold_every=FOLD_EVERY,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+
+        verdicts = spark.read.option("recursiveFileLookup", "true").parquet(
+            verdict_dir
+        )
+        n_dup = verdicts.filter("is_dup").count()
+        n_admitted = verdicts.filter("NOT is_dup").count()
+        print(
+            json.dumps(
+                {
+                    "metric": "semantic_admission_throughput",
+                    "vecs": n_vecs,
+                    "batches": n_batches,
+                    "value": round(n_vecs / wall, 1),
+                    "unit": "vecs/sec",
+                    "wall_s": round(wall, 2),
+                    "n_admitted": n_admitted,
+                    "n_dup": n_dup,
+                    "sf_dir": sf_dir,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

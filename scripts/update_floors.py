@@ -35,6 +35,8 @@ def _timings(path: str) -> dict[str, float]:
         rec = json.load(fh)
     rec = rec.get("bench_detail", rec)  # a saved raw detail stdout line
     parsed = rec.get("parsed", rec)
+    if parsed is None:  # a driver record whose final line failed to parse (r8)
+        return {}
     if parsed.get("sf") != 0.1:
         return {}
     return parsed.get("queries", {})

@@ -211,6 +211,72 @@ def test_two_level_global_cell_ids_are_offset_consistent(spark):
     assert all(0 <= r["cell"] < total for r in cells)
 
 
+def test_partitioned_zero_sig_bits_equals_two_level(spark):
+    """With b=0 there is ONE signature partition, so the composite cell
+    id equals the two-level id and the partitioned dedup must agree
+    bit-for-bit with `semantic_dedup_two_level` end to end."""
+    from forgettable_spark.extensions.codebook import (
+        semantic_dedup_partitioned,
+        semantic_dedup_two_level,
+        train_two_level_codebook,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = train_two_level_codebook(emb, k1=4, k2=2)
+    a = sorted(
+        map(
+            tuple,
+            semantic_dedup_two_level(
+                emb, coarse, fines, 0.38, max_cell_size=64
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup_partitioned(
+                emb, coarse, fines, 0.38, n_sig_bits=0, max_cell_size=64
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_partitioned_sig_bits_refine_cells_and_keep_drops(spark):
+    """The registered secondary config (b=2 over the 4×2 codebook) must
+    (1) still find duplicates at correctness scale (non-vacuous oracle),
+    (2) produce a drop set that is a SUBSET of the unpartitioned
+    two-level one (extra signature bits only ever split cells, never
+    merge them — pairs can only be lost, and witnesses can only grow
+    ids, so we compare dropped vec_ids, not witnesses), and (3) emit
+    composite cell ids consistent with sig·n_fine+two_level."""
+    from forgettable_spark.extensions.codebook import (
+        semantic_dedup_partitioned,
+        semantic_dedup_two_level,
+        train_two_level_codebook,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = train_two_level_codebook(emb, k1=4, k2=2)
+    n_fine = sum(len(f) for f in fines)
+    # No cap on either side: the cap window ranks by md5-of-id WITHIN a
+    # cell, so splitting cells changes who caps out and the subset claim
+    # would not hold; uncapped, it must.
+    base = semantic_dedup_two_level(emb, coarse, fines, 0.38).collect()
+    part = semantic_dedup_partitioned(
+        emb, coarse, fines, 0.38, n_sig_bits=2
+    ).collect()
+    assert len(part) > 0
+    assert {r["vec_id"] for r in part} <= {r["vec_id"] for r in base}
+    assert all(0 <= r["cell"] < (1 << 2) * n_fine for r in part)
+
+
 def test_mixture_apply_honors_plan_counts(spark):
     """The materialization keeps EXACTLY keep_n docs per source, and the
     kept set is the md5-order prefix (nested: growing a share only adds)."""

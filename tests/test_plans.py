@@ -266,3 +266,52 @@ def test_python_stages_closed_set(spark):
             flagged.add(name)
     spark.catalog.clearCache()
     assert flagged == PYTHON_STAGE_ALLOWLIST
+
+
+def test_two_level_assignment_folds_are_k1_plus_one(spark):
+    """The two-level quantizer's economics (VERDICT r9 #3): the coarse
+    fold must bind as its OWN column so the k1 lazy CASE branches each
+    evaluate only their fine codebook — k1+1 `aggregate(` folds in the
+    optimized assignment plan. If CollapseProject ever inlined the
+    non-cheap coarse fold into the CASE conditions, the count would
+    jump toward k1·(k1+1) and the k1+k2 per-row cost claim would be
+    silently false."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark.extensions.codebook import (
+        train_two_level_codebook,
+        with_two_level_cell,
+    )
+    from forgettable_spark.extensions.similarity import as_double
+    from forgettable_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k1 = 4
+    coarse, fines = train_two_level_codebook(emb, k1=k1, k2=2)
+    assigned = with_two_level_cell(
+        emb.select(as_double(F.col("embedding")).alias("_v")), coarse, fines
+    )
+    plan = assigned._jdf.queryExecution().optimizedPlan().toString()
+    folds = plan.count("aggregate(")
+    assert folds == k1 + 1, f"expected {k1 + 1} aggregate folds, got {folds}"
+
+
+def test_two_level_audit_sees_both_plan_halves(spark):
+    """The r9 PLANS.md blind spot (VERDICT r9 #5): under plan_audit_mode
+    the eager assignment checkpoint is skipped, so the audited plan of
+    the registered two-level query carries the parquet scan AND the
+    branchy assignment folds — not a post-checkpoint scan-of-blocks
+    that summarize() reports as 'local-only plan'."""
+    from scripts.audit_plans import summarize
+    from forgettable_spark.functions.cache import plan_audit_mode
+
+    spark.catalog.clearCache()
+    with plan_audit_mode():
+        plan = _formatted_plan(
+            ep.queries()["semantic_dedup_two_level"](spark, SF_SMOKE)
+        )
+    spark.catalog.clearCache()
+    s = summarize(plan)
+    assert not s["local"], "audit still sees a post-checkpoint local plan"
+    assert "Scan parquet" in plan
+    assert plan.count("aggregate(") > 0
