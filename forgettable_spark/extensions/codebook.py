@@ -918,6 +918,30 @@ def assign_cells(
     return c.withColumn("n", norm(F.col("_v")))
 
 
+def assign_cells_partitioned(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_sig_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`assign_cells` over the signature-partitioned two-level
+    quantizer — the SAME (vec_id, _v, cell, n) contract, so it drops
+    into :func:`semantic_admit_assigned` and the streaming admission
+    loop unchanged. This is the admission-side consequence of the r10
+    composition: the loop's within-batch verdict term is O(batch²/cells)
+    (every same-cell batch pair is scored), so cell count must scale
+    with the TRIGGER size exactly as dedup's must scale with the corpus
+    — and composite cells grow 2^b-fold with zero extra plan literals
+    (SCALING.md r10)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = with_partitioned_cell(c, coarse, fines, n_sig_bits)
+    return c.withColumn("n", norm(F.col("_v")))
+
+
 def semantic_admit_assigned(
     idx: DataFrame,
     bat: DataFrame,

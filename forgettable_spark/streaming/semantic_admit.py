@@ -33,14 +33,18 @@ retraining on drift is an offline decision, the loop itself never
 trains; ``with_two_level_cell``-based codebooks compose through the
 same ``semantic_admit`` machinery when cell counts must grow).
 
-At 100 TB: per-batch cost is the index's assignment scan + cap window
-plus a bounded batch×witness cell join (SCALING.md r9-late: a fixed
-200-vector batch against a 200k-vector index runs 4.9 s steady on
-local[32], sub-linear up the decade); the stored index is a narrow
+At 100 TB: per-batch cost is the index's scan + cap window plus the
+batch×witness cell join, whose WITHIN-BATCH half is O(batch²/cells) —
+so cell count must scale with the trigger size (r10: a 20k-vector
+trigger at flat k=8 is ~50M scored pairs and the loop crawls; with the
+``assigner`` hook and ``assign_cells_partitioned``'s composite cells
+the measured decade reads 87→395→1,080→1,793 vecs/s at
+200→60k-vector triggers, SCALING.md r10). The stored index is a narrow
 (vec_id, embedding, cell, n) parquet table the fold keeps consolidated
 — per trigger it pays only its scan + cap window, never a codebook
-re-fold (assignment happens exactly once, at admission); nothing
-collects to the driver.
+re-fold (assignment happens exactly once, at admission; measured
+flat-to-falling per-trigger cost across a 10× index growth at fixed
+triggers); nothing collects to the driver.
 """
 
 from __future__ import annotations
@@ -93,8 +97,21 @@ def semantic_admit_batch(
     fold_every: int | None = FOLD_EVERY,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner=None,
 ) -> None:
     """Run one micro-batch of embedding admission (see module doc).
+
+    ``assigner``: optional ``(vec_id, embedding) frame → (vec_id, _v,
+    cell, n)`` callable replacing the default flat
+    ``codebook.assign_cells(…, centroids)`` — the cells-∝-trigger-size
+    lever (r10): the within-batch verdict term is O(batch²/cells), so
+    large triggers need more cells than a flat literal codebook can
+    compile; pass ``lambda df: codebook.assign_cells_partitioned(df,
+    coarse, fines, b)`` to grow cells 2^b-fold at zero extra plan
+    literals. The stored index is assignment-agnostic (it persists
+    whatever ``cell`` the assigner computed), but ALL batches of one
+    index must use the same assigner — a cell id is only comparable to
+    ids minted by the same quantizer.
 
     Conf scoping: like ``admit_batch``, the AQE / shuffle-width pinning
     below mutates ``spark``'s SQLConf for the batch's duration. Via
@@ -125,7 +142,8 @@ def semantic_admit_batch(
             # the admitted-index write (which persists the assignment —
             # the whole point of the stored-sketch posture); scope exit
             # sweeps.
-            batch = cb.assign_cells(batch, centroids).withColumn(
+            assign = assigner or (lambda df: cb.assign_cells(df, centroids))
+            batch = assign(batch).withColumn(
                 "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
             )
             batch = batch.localCheckpoint(eager=True)
@@ -218,11 +236,14 @@ def semantic_admission_stream(
     fold_every: int | None = FOLD_EVERY,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner=None,
 ) -> StreamingQuery:
     """Wire a vector stream into the per-batch embedding-admission loop.
     Returns the started query; exactly-once anchored by the checkpoint +
     the idempotent ``batch-<id>`` overwrites (the ``admission_stream``
-    contract)."""
+    contract). ``assigner`` as in :func:`semantic_admit_batch` (must be
+    stable across the stream's lifetime — it defines the index's cell
+    space)."""
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         semantic_admit_batch(
@@ -237,6 +258,7 @@ def semantic_admission_stream(
             fold_every=fold_every,
             id_col=id_col,
             vec_col=vec_col,
+            assigner=assigner,
         )
 
     writer = (

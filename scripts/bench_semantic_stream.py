@@ -10,10 +10,19 @@ vectors/second — the batch-size decade the text loop's
     SPARK_GRAFT_SF_DIR     source dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS       local[] parallelism (default 32)
     SPARK_GRAFT_BATCHES    number of micro-batch files (default 10)
+    SPARK_GRAFT_SIG_BITS   signature pre-partition bits (default 0 =
+                           flat k=8 codebook). The within-batch verdict
+                           term is O(batch²/cells): at k=8 a 20k-vector
+                           trigger scores ~50M pairs and the loop
+                           crawls (measured r10) — large triggers need
+                           cells ∝ batch, which only the composite
+                           assignment reaches (8×8 two-level × 2^b
+                           signature partitions, zero extra literals).
 
 Prints ONE JSON line:
     {"metric": "semantic_admission_throughput", "vecs": N, "batches": B,
-     "value": vecs_per_sec, "unit": "vecs/sec", "n_admitted": A,
+     "value": vecs_per_sec, "unit": "vecs/sec",
+                    "sig_bits": sig_bits, "n_admitted": A,
      "n_dup": D, "sf_dir": ...}
 
 Timing covers the stream start through the last trigger (availableNow);
@@ -65,7 +74,16 @@ def main() -> None:
     try:
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         n_vecs = emb.count()
-        centroids = cb.train_codebook(emb, k=K)  # untimed model setup
+        sig_bits = int(os.environ.get("SPARK_GRAFT_SIG_BITS", "0"))
+        if sig_bits:
+            coarse, fines = cb.train_two_level_codebook(emb, k1=K, k2=K)
+            centroids = coarse  # unused by the assigner; loop signature
+            assigner = lambda df: cb.assign_cells_partitioned(  # noqa: E731
+                df, coarse, fines, sig_bits
+            )
+        else:
+            centroids = cb.train_codebook(emb, k=K)  # untimed model setup
+            assigner = None
         emb.repartition(n_batches).write.mode("overwrite").parquet(src)
 
         stream = (
@@ -84,6 +102,7 @@ def main() -> None:
             available_now=True,
             max_cell_size=CAP,
             fold_every=FOLD_EVERY,
+            assigner=assigner,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
@@ -101,6 +120,7 @@ def main() -> None:
                     "batches": n_batches,
                     "value": round(n_vecs / wall, 1),
                     "unit": "vecs/sec",
+                    "sig_bits": sig_bits,
                     "wall_s": round(wall, 2),
                     "n_admitted": n_admitted,
                     "n_dup": n_dup,

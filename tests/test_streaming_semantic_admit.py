@@ -194,6 +194,61 @@ def test_semantic_fold_bounds_directories_and_keeps_dedup(spark, dirs):
     assert sorted(_index_ids(spark, dirs)) == [1, 2, 3]
 
 
+def test_semantic_admit_custom_assigner_matches_batch_operator(spark, dirs):
+    """r10 cells-∝-trigger lever: a partitioned assigner plugged into the
+    loop must (1) verdict-match the batch operator run over the SAME
+    assignment, and (2) persist the assigner's composite cell ids in the
+    stored index (the index is assignment-agnostic)."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse = [list(c) for c in CENTS]
+    fines = [[list(CENTS[0])], [list(CENTS[1])]]
+    bits = 2
+    assigner = lambda df: cb.assign_cells_partitioned(  # noqa: E731
+        df, coarse, fines, bits
+    )
+    b1 = [(1, VX), (2, VY), (3, VX)]
+    b2 = [(10, VY), (11, VZ)]
+    for bid, rows in enumerate([b1, b2]):
+        semantic_admit_batch(
+            spark, _vec_df(spark, rows), bid, dirs["index"], dirs["verdicts"],
+            CENTS, threshold=0.95, assigner=assigner,
+        )
+    streamed = {
+        k: (r["is_dup"], r["match_id"], r["cosine"])
+        for k, r in _verdicts(spark, dirs).items()
+    }
+    empty = spark.createDataFrame([], INDEX_SCHEMA).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v"), "cell", "n"
+    )
+    # batch-mode replay: same assigner on both sides, sequential batches
+    v1 = cb.semantic_admit_assigned(
+        empty, assigner(_vec_df(spark, b1)), threshold=0.95
+    ).collect()
+    admitted1 = assigner(
+        _vec_df(spark, [r for r in b1 if not streamed[r[0]][0]])
+    )
+    v2 = cb.semantic_admit_assigned(
+        admitted1, assigner(_vec_df(spark, b2)), threshold=0.95
+    ).collect()
+    batch_mode = {
+        r["vec_id"]: (r["is_dup"], r["match_id"], r["cosine"]) for r in v1 + v2
+    }
+    assert streamed == batch_mode
+    # stored index carries the COMPOSITE ids the assigner minted
+    idx = spark.read.schema(INDEX_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(dirs["index"]).collect()
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in assigner(_vec_df(spark, b1 + b2)).collect()
+    }
+    assert len(idx) > 0
+    assert all(r["cell"] == want[r["vec_id"]] for r in idx)
+
+
 def test_semantic_empty_trigger_writes_nothing(spark, dirs):
     """ADVICE r9: an empty micro-batch must not run the verdict job or
     mint empty batch-<id> directories that every later trigger would
