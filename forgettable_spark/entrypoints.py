@@ -830,6 +830,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition; the composition past the ~10⁴-cell codegen ceiling
         # (SCALING.md r10). Generated literal-codebook oracle.
         "semantic_dedup_partitioned": entrypoints_ext.q_semantic_dedup_partitioned,
+        # NEW r10, secondary from birth (registry at cap): kNN
+        # majority-vote labeling over the trained codebook cells — the
+        # annotation step of a training-data pipeline (propagate labels
+        # from the labeled corpus slice to unlabeled vectors; first
+        # consumer of embeddings.label). Generated literal-codebook
+        # oracle.
+        "knn_label": entrypoints_ext.q_knn_label,
     }
 
 
@@ -975,6 +982,9 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             entrypoints_ext._oracle_semantic_dedup_partitioned(
                 sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
             )
+        )
+        out["knn_label"] = entrypoints_ext._oracle_knn_label(
+            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
         )
     except (OSError, ImportError):
         pass

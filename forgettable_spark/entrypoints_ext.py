@@ -895,6 +895,50 @@ def _oracle_semantic_dedup_two_level(sf_dir: str) -> str:
     )
 
 
+#: knn_label config: the SAME memoized k=8 codebook as the ANN/semantic
+#: family; k=10 neighbors with multi-probe 2 and the kmeans cap, and the
+#: labeled/unlabeled split on the ANN query device (queries = vec_id %
+#: 25 == 0 — 4% unlabeled, the rest labeled) so the operator composes
+#: with the existing ANN constants rather than minting new knobs.
+KNN_K = 10
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary: kNN majority-vote labeling (`codebook.knn_label`) —
+    the annotation step of a training-data pipeline: propagate labels
+    from the labeled corpus slice to the unlabeled query slice by the
+    majority label of each query's k nearest cosine neighbors, candidate
+    generation bounded by the trained-codebook cell join (multi-probe +
+    cap, the `ann_kmeans_topk` machinery). First consumer of the
+    embeddings table's `label` column."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+    return cb.knn_label(
+        emb.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
+        _queries_subset(emb),
+        cents,
+        k=KNN_K,
+        n_probes=KMEANS_PROBES,
+        max_bucket_size=KMEANS_CAP,
+    )
+
+
+def _oracle_knn_label(sf_dir: str) -> str:
+    """Generated literal-codebook twin (the `_oracle_ann_kmeans`
+    device) of :func:`q_knn_label`."""
+    from forgettable_spark.extensions import codebook as cb
+
+    return cb.knn_label_oracle_sql(
+        _codebook_local_for(sf_dir, KMEANS_CELLS),
+        k=KNN_K,
+        n_probes=KMEANS_PROBES,
+        max_bucket_size=KMEANS_CAP,
+        query_mod=ANN_QUERY_MOD,
+    )
+
+
 #: Signature pre-partition width for the SECONDARY partitioned variant:
 #: 2 sign-LSH bits × the 4×2 two-level codebook = up to 32 composite
 #: cells at correctness scale — small enough that the tiny correctness

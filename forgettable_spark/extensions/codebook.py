@@ -739,6 +739,139 @@ def semantic_dedup_two_level_oracle_sql(
     return _pair_scan_sql(prefix, corpus_src, threshold)
 
 
+def knn_label(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_probes: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """kNN majority-vote labeling over the trained codebook — the
+    annotation step of a training-data pipeline: propagate labels from a
+    LABELED corpus to unlabeled queries by the majority label of each
+    query's k nearest (cosine) labeled neighbors, candidates bounded by
+    the same cell equi-join as every ANN query here (multi-probe widens
+    recall; over-full cells deterministically cap). One row per query:
+    (vec_id, pred_label, votes, k_used) where ``votes`` counts the
+    winning label among the ≤k neighbors actually found and ties break
+    to the SMALLEST label (engine-mirrored determinism).
+
+    Scale posture: the label rides the corpus side THROUGH the cell
+    join, so no second join touches the corpus; the vote is one
+    partial-aggregated groupBy on (query, label) followed by a per-query
+    argmax — both ride the rank window's existing query_id exchange.
+    Same 100 TB shape as :func:`kmeans_ann_topk`.
+
+    Reference scope: brief-commissioned LLM-pipeline operator (the
+    reference engine has no embedding surface).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+        F.col(label_col).cast("int").alias("_lab"),
+    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    if max_bucket_size is not None:
+        c = _sample_cells_to_cap(c, max_bucket_size)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", norm(F.col("_qv")))
+    if n_probes <= 1:
+        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+    else:
+        q = q.withColumn(
+            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+        )
+    c = c.withColumn("_cn", norm(F.col("_cv")))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    votes = topk.groupBy("query_id", "_lab").agg(F.count("*").alias("votes"))
+    best = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("votes").alias("v"), (-F.col("_lab")).alias("nl"))
+        ).alias("_b"),
+        F.sum("votes").cast("bigint").alias("k_used"),
+    )
+    return best.select(
+        F.col("query_id").alias("vec_id"),
+        (-F.col("_b")["nl"]).cast("int").alias("pred_label"),
+        F.col("_b")["v"].alias("votes"),
+        "k_used",
+    )
+
+
+def knn_label_oracle_sql(
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 1,
+    max_bucket_size: int | None = None,
+    query_mod: int = 25,
+) -> str:
+    """The DuckDB twin of :func:`knn_label` over the pre-registered
+    ``embeddings`` view, with the labeled/unlabeled split mirrored from
+    the registered query's ``vec_id % query_mod`` device (queries = the
+    sampled rows, corpus = the rest, labels joined from the view). The
+    cap window applies to the LABELED side only, after the split —
+    exactly where :func:`knn_label` applies it."""
+    cos = (
+        "({d}) / ((sqrt({na})) * (sqrt({nb})))".format(
+            d="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * e[j]))",
+            na="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * qv[j]))",
+            nb="list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * e[j]))",
+        )
+    )
+    prefix, _ = _assignment_cte_sql(centroids, None)
+    cap_cte, lab_src = _cap_cte_sql(max_bucket_size, src="lab0", name="lab")
+    # lab0/lab carry the label through the cap (the cap window orders by
+    # (md5(id), id) only, so the extra column is inert).
+    cap_cte = cap_cte.replace("SELECT vec_id, e, cell FROM (", "SELECT vec_id, e, cell, label FROM (")
+    return f"""WITH {prefix},
+lab0 AS (
+  SELECT a.vec_id, a.e, a.cell, CAST(emb.label AS INTEGER) AS label
+  FROM assigned a JOIN embeddings emb USING (vec_id)
+  WHERE a.vec_id % {query_mod} != 0
+){cap_cte},
+q AS (
+  SELECT vec_id AS query_id, e AS qv, CAST(ci AS BIGINT) AS cell
+  FROM ranked WHERE vec_id % {query_mod} = 0 AND crn <= {n_probes}
+),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id, s.label, {cos} AS cosine
+  FROM q JOIN {lab_src} s USING (cell) WHERE query_id != s.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+votes AS (
+  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM topk GROUP BY query_id, label
+)
+SELECT query_id AS vec_id, CAST(label AS INTEGER) AS pred_label, votes,
+       CAST(k_used AS BIGINT) AS k_used
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vrn,
+    SUM(votes) OVER (PARTITION BY query_id) AS k_used
+  FROM votes
+) WHERE vrn = 1"""
+
+
 # Signature-partitioned two-level quantizer ----------------------------------
 #
 # The composition SCALING.md's r9-late study names past the ~10⁴-cell

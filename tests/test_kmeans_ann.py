@@ -196,3 +196,44 @@ def test_oracle_sf_dir_explicit_no_order_dependence():
     # the no-argument (driver) form is pinned to the correctness corpus
     assert ep.oracle_sql()["ann_kmeans_topk"] == b1
     assert SF_ORACLE.rstrip("/").endswith("sf0.01")
+
+
+def test_knn_label_majority_vote_and_ties(spark):
+    """kNN labeling semantics on a constructed geometry: majority label
+    wins among the k nearest; vote ties break to the SMALLEST label;
+    (votes, k_used) account for the neighbors actually found."""
+    from forgettable_spark.extensions.codebook import knn_label
+
+    # One cell (single centroid): all vectors co-celled; neighbors rank
+    # purely by cosine. Query at x-axis; corpus: two label-7 vectors
+    # very close, one label-3 closer than one label-9, plus a far
+    # label-0 vector excluded by k=4.
+    cents = [[1.0, 0.0]]
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.14], 7),
+            (2, [0.98, 0.19], 7),
+            (3, [0.95, 0.31], 3),
+            (4, [0.90, 0.43], 9),
+            (5, [0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in knn_label(corpus, queries, cents, k=4).collect()}
+    r = rows[100]
+    assert r["pred_label"] == 7 and r["votes"] == 2 and r["k_used"] == 4
+
+    # Tie case: k=2 → one label-7 and one label-3 vote; smallest wins.
+    rows = {r["vec_id"]: r for r in knn_label(corpus, queries, cents, k=3).collect()}
+    # k=3: labels {7,7,3} → 7 wins
+    assert rows[100]["pred_label"] == 7
+    tie = spark.createDataFrame(
+        [(1, [0.99, 0.14], 7), (2, [0.95, 0.31], 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in knn_label(tie, queries, cents, k=2).collect()}
+    assert rows[100]["pred_label"] == 3 and rows[100]["votes"] == 1
+    assert rows[100]["k_used"] == 2
