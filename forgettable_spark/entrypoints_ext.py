@@ -2117,12 +2117,16 @@ def _mixture_plan_ctes() -> str:
         f"('{s}', {_sql_double(share)})" for s, share in sorted(MIXTURE_TARGETS.items())
     )
     return f"""t(source, share) AS (VALUES {vals}),
-c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+c AS (
+  SELECT source, CAST(SUM(w) AS BIGINT) AS n_docs FROM (
+    SELECT source, 1 AS w FROM documents
+    UNION ALL
+    SELECT source, 0 AS w FROM t
+  ) GROUP BY source
+),
 j AS (
-  SELECT COALESCE(c.source, t.source) AS source,
-         COALESCE(c.n_docs, CAST(0 AS BIGINT)) AS n_docs,
-         COALESCE(t.share, 0e0) AS target_share
-  FROM c FULL OUTER JOIN t ON c.source = t.source
+  SELECT c.source, c.n_docs, COALESCE(t.share, 0e0) AS target_share
+  FROM c LEFT JOIN t USING (source)
 ),
 m AS (
   SELECT COALESCE(MIN(CAST(n_docs AS DOUBLE) / target_share), 0e0) AS t
