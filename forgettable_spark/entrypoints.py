@@ -837,6 +837,12 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # consumer of embeddings.label). Generated literal-codebook
         # oracle.
         "knn_label": entrypoints_ext.q_knn_label,
+        # NEW r10, secondary from birth (registry at cap):
+        # prototypicality-based data pruning (Sorscher et al. 2022) —
+        # keep the least-prototypical fraction per trained cell, the
+        # embedding-side counterpart of the rule-based quality_filter
+        # family. Generated literal-codebook oracle.
+        "prototype_prune": entrypoints_ext.q_prototype_prune,
     }
 
 
@@ -984,6 +990,9 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             )
         )
         out["knn_label"] = entrypoints_ext._oracle_knn_label(
+            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
+        )
+        out["prototype_prune"] = entrypoints_ext._oracle_prototype_prune(
             sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
         )
     except (OSError, ImportError):

@@ -895,6 +895,38 @@ def _oracle_semantic_dedup_two_level(sf_dir: str) -> str:
     )
 
 
+#: prototype_prune keep fraction: 0.7 keeps the hardest 70% per cell —
+#: inside the regime where the paper's metric beats random — and at the
+#: correctness corpora every cell has both kept and dropped members, so
+#: the rank boundary (ceil semantics + tie rule) is hash-verified.
+PROTO_KEEP_FRAC = 0.7
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary: prototypicality-based data pruning
+    (`codebook.prototype_prune`, Sorscher et al. 2022): score vectors by
+    cosine to their own trained-codebook centroid and keep the
+    least-prototypical 70% per cell (easy-example pruning, the
+    large-corpus regime of the paper) — the embedding-side counterpart
+    of the rule-based `quality_filter` family, over the SAME memoized
+    k=8 codebook as the ANN/semantic queries."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+    return cb.prototype_prune(emb, cents, keep_frac=PROTO_KEEP_FRAC)
+
+
+def _oracle_prototype_prune(sf_dir: str) -> str:
+    """Generated literal-codebook twin (the `_oracle_ann_kmeans`
+    device) of :func:`q_prototype_prune`."""
+    from forgettable_spark.extensions import codebook as cb
+
+    return cb.prototype_prune_oracle_sql(
+        _codebook_local_for(sf_dir, KMEANS_CELLS), keep_frac=PROTO_KEEP_FRAC
+    )
+
+
 #: knn_label config: the SAME memoized k=8 codebook as the ANN/semantic
 #: family; k=10 neighbors with multi-probe 2 and the kmeans cap, and the
 #: labeled/unlabeled split on the ANN query device (queries = vec_id %

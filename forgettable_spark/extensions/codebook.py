@@ -812,6 +812,94 @@ def knn_label(
     )
 
 
+def prototype_prune(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    keep_frac: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws", arXiv:2206.14486): score every vector
+    by cosine to its OWN trained-codebook centroid (the self-supervised
+    prototypicality metric), then per cell KEEP the ``keep_frac``
+    least-prototypical members — for large corpora, pruning easy
+    (prototypical) examples beats random and beats pruning hard ones,
+    the paper's headline result. Output is one row per vector:
+    (vec_id, cell, proto_score, keep) with ``keep`` = rank-by-ascending
+    proto_score ≤ ceil(keep_frac · cell size) (ties → lowest id, the
+    engine's deterministic rule; ceil so every non-empty cell keeps at
+    least one member — no region of embedding space is dropped
+    entirely, the coverage guarantee cluster-balanced pruning exists
+    for).
+
+    Scale posture: assignment + the cosine to the selected centroid are
+    row-local literal-codebook expressions in the scan stage; the only
+    shuffle is ONE window exchange on (cell), narrow (id, cell, score)
+    rows; balanced trained cells bound the per-partition sort.
+
+    Reference scope: brief-commissioned LLM-pipeline operator (the
+    reference engine has no embedding surface).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    # cosine(v, centroid[cell]): one element_at into the literal
+    # codebook picks the assigned centroid's vector; norms fold per row.
+    cb = _codebook_lit(centroids)
+    cvec = F.element_at(cb, (F.col("cell") + 1).cast("int"))["c"]
+    c = c.withColumn(
+        "proto_score",
+        dot(F.col("_v"), cvec) / (norm(F.col("_v")) * norm(cvec)),
+    )
+    w = Window.partitionBy("cell").orderBy(F.asc("proto_score"), F.asc("vec_id"))
+    wn = Window.partitionBy("cell")
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .select(
+            "vec_id",
+            "cell",
+            "proto_score",
+            (
+                F.col("_rn")
+                <= F.ceil(F.lit(float(keep_frac)) * F.col("_n")).cast("bigint")
+            ).alias("keep"),
+        )
+    )
+
+
+def prototype_prune_oracle_sql(
+    centroids: list[list[float]],
+    keep_frac: float,
+) -> str:
+    """The DuckDB twin of :func:`prototype_prune` — the shared
+    assignment CTEs, cosine to the assigned centroid picked from the
+    codebook VALUES table, and the mirrored (proto ASC, id ASC) rank
+    against ceil(keep_frac · cell size)."""
+    prefix, _ = _assignment_cte_sql(centroids, None)
+    cos = (
+        "({d}) / ((sqrt({na})) * (sqrt({nb})))".format(
+            d="list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * c[j]))",
+            na="list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * e[j]))",
+            nb="list_sum(list_transform(range(1, len(c) + 1), j -> c[j] * c[j]))",
+        )
+    )
+    return f"""WITH {prefix},
+scored2 AS (
+  SELECT a.vec_id, a.cell, {cos} AS proto_score
+  FROM assigned a JOIN cb ON cb.ci = a.cell
+)
+SELECT vec_id, cell, proto_score,
+       rn <= CAST(CEIL({_sql_double(float(keep_frac))} * n) AS BIGINT) AS keep
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cell ORDER BY proto_score ASC, vec_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY cell) AS n
+  FROM scored2
+)"""
+
+
 def knn_label_oracle_sql(
     centroids: list[list[float]],
     k: int = 10,
