@@ -843,6 +843,10 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding-side counterpart of the rule-based quality_filter
         # family. Generated literal-codebook oracle.
         "prototype_prune": entrypoints_ext.q_prototype_prune,
+        # NEW r10, secondary from birth: the labeling operator's own
+        # accuracy gauge vs held-out true labels (the ann_recall
+        # pattern). Generated oracle wraps the knn_label twin.
+        "knn_label_accuracy": entrypoints_ext.q_knn_label_accuracy,
     }
 
 
@@ -993,6 +997,9 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
         )
         out["prototype_prune"] = entrypoints_ext._oracle_prototype_prune(
+            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
+        )
+        out["knn_label_accuracy"] = entrypoints_ext._oracle_knn_label_accuracy(
             sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
         )
     except (OSError, ImportError):

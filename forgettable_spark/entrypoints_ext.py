@@ -971,6 +971,60 @@ def _oracle_knn_label(sf_dir: str) -> str:
     )
 
 
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary: the labeling operator's own quality gauge (the
+    `ann_recall` pattern): run `knn_label` over the labeled/unlabeled
+    split and score predictions against the held-out TRUE labels of the
+    query slice. One row: (n_queries, n_predicted, n_correct, accuracy)
+    — n_predicted < n_queries when a query's probed cells held no
+    labeled neighbor (abstention, counted, not hidden)."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+    pred = cb.knn_label(
+        emb.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
+        _queries_subset(emb),
+        cents,
+        k=KNN_K,
+        n_probes=KMEANS_PROBES,
+        max_bucket_size=KMEANS_CAP,
+    )
+    truth = _queries_subset(emb).select(
+        "vec_id", F.col("label").cast("int").alias("_true")
+    )
+    joined = truth.join(pred, "vec_id", "left")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.count("pred_label").cast("bigint").alias("n_predicted"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0)
+        ).cast("bigint").alias("n_correct"),
+        (
+            F.sum(F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0))
+            / F.count("*")
+        ).cast("double").alias("accuracy"),
+    )
+
+
+def _oracle_knn_label_accuracy(sf_dir: str) -> str:
+    """Generated twin: the full knn_label oracle as a subquery, scored
+    against the query slice's true labels."""
+    knn = _oracle_knn_label(sf_dir)
+    return f"""WITH truth AS (
+  SELECT vec_id, CAST(label AS INTEGER) AS t
+  FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+p AS ({knn})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(p.pred_label) AS BIGINT) AS n_predicted,
+       CAST(SUM(CASE WHEN p.pred_label = truth.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN p.pred_label = truth.t THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy
+FROM truth LEFT JOIN p USING (vec_id)"""
+
+
 #: Signature pre-partition width for the SECONDARY partitioned variant:
 #: 2 sign-LSH bits × the 4×2 two-level codebook = up to 32 composite
 #: cells at correctness scale — small enough that the tiny correctness
