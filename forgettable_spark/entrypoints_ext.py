@@ -849,6 +849,40 @@ SEMDEDUP_K2 = 2
 _TWO_LEVEL_CODEBOOKS: dict[tuple[str, int, int], tuple[list, list]] = {}
 
 
+def _two_level_codebook_for(
+    spark: SparkSession, sf_dir: str, k1: int = SEMDEDUP_K1, k2: int = SEMDEDUP_K2
+) -> tuple[list, list]:
+    """Get-or-train the memoized two-level codebook (the `_codebook_for`
+    device) — ONE definition for every Spark-side consumer."""
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, k1, k2)
+    if key not in _TWO_LEVEL_CODEBOOKS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook(emb, k1=k1, k2=k2)
+    return _TWO_LEVEL_CODEBOOKS[key]
+
+
+def _two_level_codebook_local_for(
+    sf_dir: str, k1: int = SEMDEDUP_K1, k2: int = SEMDEDUP_K2
+) -> tuple[list, list]:
+    """Sessionless twin (`_codebook_local_for` device) sharing the same
+    memo — oracle generation must see the identical codebook."""
+    import os
+
+    from forgettable_spark.extensions import codebook as cb
+
+    key = (sf_dir, k1, k2)
+    if key not in _TWO_LEVEL_CODEBOOKS:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(emb_path)
+        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook_local(
+            emb_path, k1=k1, k2=k2
+        )
+    return _TWO_LEVEL_CODEBOOKS[key]
+
+
 def q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary: :func:`q_semantic_dedup` over the TWO-LEVEL trained
     quantizer (`codebook.semantic_dedup_two_level`) — the corpus-scale
@@ -857,12 +891,7 @@ def q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from forgettable_spark.extensions import codebook as cb
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
-    if key not in _TWO_LEVEL_CODEBOOKS:
-        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook(
-            emb, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
-        )
-    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    coarse, fines = _two_level_codebook_for(spark, sf_dir)
     return run_released(
         spark,
         lambda: cb.semantic_dedup_two_level(
@@ -877,19 +906,9 @@ def q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_semantic_dedup_two_level(sf_dir: str) -> str:
     """Generated two-level twin (the `_oracle_semantic_dedup` device)."""
-    import os
-
     from forgettable_spark.extensions import codebook as cb
 
-    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
-    if key not in _TWO_LEVEL_CODEBOOKS:
-        emb_path = os.path.join(sf_dir, "embeddings.parquet")
-        if not os.path.exists(emb_path):
-            raise FileNotFoundError(emb_path)
-        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook_local(
-            emb_path, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
-        )
-    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    coarse, fines = _two_level_codebook_local_for(sf_dir)
     return cb.semantic_dedup_two_level_oracle_sql(
         coarse, fines, threshold=SEMDEDUP_COSINE, max_cell_size=SEMDEDUP_CAP
     )
@@ -978,18 +997,11 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     query slice. One row: (n_queries, n_predicted, n_correct, accuracy)
     — n_predicted < n_queries when a query's probed cells held no
     labeled neighbor (abstention, counted, not hidden)."""
-    from forgettable_spark.extensions import codebook as cb
-
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
-    pred = cb.knn_label(
-        emb.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
-        _queries_subset(emb),
-        cents,
-        k=KNN_K,
-        n_probes=KMEANS_PROBES,
-        max_bucket_size=KMEANS_CAP,
-    )
+    # Score exactly the registered operator — any config drift between
+    # the gauge and q_knn_label is impossible by construction (review
+    # r10; the oracle twin already wraps _oracle_knn_label the same way).
+    pred = q_knn_label(spark, sf_dir)
     truth = _queries_subset(emb).select(
         "vec_id", F.col("label").cast("int").alias("_true")
     )
@@ -1045,12 +1057,7 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from forgettable_spark.extensions import codebook as cb
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
-    if key not in _TWO_LEVEL_CODEBOOKS:
-        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook(
-            emb, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
-        )
-    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    coarse, fines = _two_level_codebook_for(spark, sf_dir)
     return run_released(
         spark,
         lambda: cb.semantic_dedup_partitioned(
@@ -1067,19 +1074,9 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_semantic_dedup_partitioned(sf_dir: str) -> str:
     """Generated signature-partitioned twin (the
     `_oracle_semantic_dedup_two_level` device, same codebook memo)."""
-    import os
-
     from forgettable_spark.extensions import codebook as cb
 
-    key = (sf_dir, SEMDEDUP_K1, SEMDEDUP_K2)
-    if key not in _TWO_LEVEL_CODEBOOKS:
-        emb_path = os.path.join(sf_dir, "embeddings.parquet")
-        if not os.path.exists(emb_path):
-            raise FileNotFoundError(emb_path)
-        _TWO_LEVEL_CODEBOOKS[key] = cb.train_two_level_codebook_local(
-            emb_path, k1=SEMDEDUP_K1, k2=SEMDEDUP_K2
-        )
-    coarse, fines = _TWO_LEVEL_CODEBOOKS[key]
+    coarse, fines = _two_level_codebook_local_for(sf_dir)
     return cb.semantic_dedup_partitioned_oracle_sql(
         coarse,
         fines,

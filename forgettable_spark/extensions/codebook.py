@@ -923,8 +923,16 @@ def knn_label_oracle_sql(
     prefix, _ = _assignment_cte_sql(centroids, None)
     cap_cte, lab_src = _cap_cte_sql(max_bucket_size, src="lab0", name="lab")
     # lab0/lab carry the label through the cap (the cap window orders by
-    # (md5(id), id) only, so the extra column is inert).
-    cap_cte = cap_cte.replace("SELECT vec_id, e, cell FROM (", "SELECT vec_id, e, cell, label FROM (")
+    # (md5(id), id) only, so the extra column is inert). Guarded rewrite
+    # (review r10): a silent no-op here would drop `label` from the
+    # capped CTE and fail later with an opaque binder error.
+    _cap_proj = "SELECT vec_id, e, cell FROM ("
+    if cap_cte and cap_cte.count(_cap_proj) != 1:
+        raise RuntimeError(
+            "knn_label_oracle_sql: _cap_cte_sql's projection text changed — "
+            "update the label-carrying rewrite to match"
+        )
+    cap_cte = cap_cte.replace(_cap_proj, "SELECT vec_id, e, cell, label FROM (")
     return f"""WITH {prefix},
 lab0 AS (
   SELECT a.vec_id, a.e, a.cell, CAST(emb.label AS INTEGER) AS label
@@ -1057,8 +1065,13 @@ def partitioned_assignment_cte_sql(
         composite = "CAST(g AS BIGINT)"
     # Rewrite the assigned CTE's cell projection; the base text carries
     # exactly one such projection (two_level_assignment_cte_sql's
-    # ``assigned``).
-    assert base.count("CAST(g AS BIGINT) AS cell") == 1
+    # ``assigned``). Explicit raise, not assert — the guard must survive
+    # python -O (review r10).
+    if base.count("CAST(g AS BIGINT) AS cell") != 1:
+        raise RuntimeError(
+            "partitioned_assignment_cte_sql: two_level_assignment_cte_sql's "
+            "cell projection text changed — update the composite rewrite"
+        )
     prefix = base.replace("CAST(g AS BIGINT) AS cell", f"{composite} AS cell")
     cap_cte, corpus_src = _cap_cte_sql(max_bucket_size)
     return prefix + cap_cte, corpus_src

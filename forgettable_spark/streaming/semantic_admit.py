@@ -91,7 +91,7 @@ def semantic_admit_batch(
     batch_id: int,
     index_dir: str,
     verdict_dir: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     threshold: float,
     max_cell_size: int | None = None,
     fold_every: int | None = FOLD_EVERY,
@@ -103,8 +103,10 @@ def semantic_admit_batch(
 
     ``assigner``: optional ``(vec_id, embedding) frame → (vec_id, _v,
     cell, n)`` callable replacing the default flat
-    ``codebook.assign_cells(…, centroids)`` — the cells-∝-trigger-size
-    lever (r10): the within-batch verdict term is O(batch²/cells), so
+    ``codebook.assign_cells(…, centroids)`` — pass EXACTLY one of
+    ``centroids`` / ``assigner`` (``centroids=None`` with an assigner;
+    an ignored codebook beside an assigner would invite a silent
+    quantizer mismatch). The cells-∝-trigger-size lever (r10): the within-batch verdict term is O(batch²/cells), so
     large triggers need more cells than a flat literal codebook can
     compile; pass ``lambda df: codebook.assign_cells_partitioned(df,
     coarse, fines, b)`` to grow cells 2^b-fold at zero extra plan
@@ -122,6 +124,13 @@ def semantic_admit_batch(
     batch if that constraint cannot hold (same contract as the text
     loop, tests/test_streaming_admit.py::test_stream_conf_isolated_from_parent).
     """
+    if (centroids is None) == (assigner is None):
+        raise ValueError(
+            "semantic_admit_batch: pass exactly ONE of centroids (flat "
+            "codebook assignment) or assigner (custom cell assignment) — "
+            "an ignored centroids argument beside an assigner invites a "
+            "codebook/assigner mismatch the stored index cannot detect."
+        )
     batch = batch.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
@@ -137,15 +146,9 @@ def semantic_admit_batch(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         with released_scope(spark):
-            # Assign the batch ONCE (codebook folds + norm), checkpoint
-            # the assigned shape: it feeds the verdict computation AND
-            # the admitted-index write (which persists the assignment —
-            # the whole point of the stored-sketch posture); scope exit
-            # sweeps.
-            assign = assigner or (lambda df: cb.assign_cells(df, centroids))
-            batch = assign(batch).withColumn(
-                "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
-            )
+            # Checkpoint the RAW narrow batch first (the text loop's
+            # shape): the count below reads cached blocks, and a large
+            # trigger can be re-spread BEFORE the heavy assignment folds.
             batch = batch.localCheckpoint(eager=True)
             # One count over the checkpointed blocks: an EMPTY trigger
             # must not run the verdict job or mint empty batch-<id>
@@ -158,6 +161,26 @@ def semantic_admit_batch(
             width = _loop_width(n_batch)
             if width != 8:
                 spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            # MAP-side width (the text loop's r8 sf10 finding,
+            # admit.py:442-451): a large trigger staged as one file
+            # arrives as 1-2 source partitions and localCheckpoint
+            # PRESERVES that — the per-row codebook folds (the loop's
+            # heaviest row-local work) would run near-single-threaded.
+            # One O(batch) row shuffle buys width-way assignment; the
+            # shuffle folds into the assigned checkpoint's job. Micro
+            # batches skip it. released_scope sweeps both generations
+            # of blocks (both created inside the scope).
+            if n_batch >= 20_000 and batch.rdd.getNumPartitions() < width:
+                batch = batch.repartition(width)
+            # Assign the batch ONCE (codebook folds + norm), checkpoint
+            # the assigned shape: it feeds the verdict computation AND
+            # the admitted-index write (which persists the assignment —
+            # the whole point of the stored-sketch posture).
+            assign = assigner or (lambda df: cb.assign_cells(df, centroids))
+            batch = assign(batch).withColumn(
+                "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
+            )
+            batch = batch.localCheckpoint(eager=True)
             idx = _read_or_empty(spark, index_dir, INDEX_SCHEMA, exclude_batch=batch_id)
             # Rebuild the assigned frame FROM STORAGE: _v re-widens from
             # the stored float32 bits, (cell, n) read back as written —
@@ -228,7 +251,7 @@ def semantic_admission_stream(
     index_dir: str,
     verdict_dir: str,
     checkpoint_dir: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     threshold: float,
     query_name: str = "forget_semantic_admit",
     available_now: bool = False,

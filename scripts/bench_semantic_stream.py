@@ -77,7 +77,7 @@ def main() -> None:
         sig_bits = int(os.environ.get("SPARK_GRAFT_SIG_BITS", "0"))
         if sig_bits:
             coarse, fines = cb.train_two_level_codebook(emb, k1=K, k2=K)
-            centroids = coarse  # unused by the assigner; loop signature
+            centroids = None  # the assigner drives assignment
             assigner = lambda df: cb.assign_cells_partitioned(  # noqa: E731
                 df, coarse, fines, sig_bits
             )

@@ -211,10 +211,19 @@ def test_semantic_admit_custom_assigner_matches_batch_operator(spark, dirs):
     )
     b1 = [(1, VX), (2, VY), (3, VX)]
     b2 = [(10, VY), (11, VZ)]
+    # exactly-one validation: centroids beside an assigner must raise
+    # (a silent quantizer mismatch trap), as must neither.
+    for bad in ({"centroids": CENTS, "assigner": assigner}, {"centroids": None}):
+        with pytest.raises(ValueError, match="exactly ONE"):
+            semantic_admit_batch(
+                spark, _vec_df(spark, b1), 0, dirs["index"], dirs["verdicts"],
+                bad.get("centroids"), threshold=0.95,
+                assigner=bad.get("assigner"),
+            )
     for bid, rows in enumerate([b1, b2]):
         semantic_admit_batch(
             spark, _vec_df(spark, rows), bid, dirs["index"], dirs["verdicts"],
-            CENTS, threshold=0.95, assigner=assigner,
+            None, threshold=0.95, assigner=assigner,
         )
     streamed = {
         k: (r["is_dup"], r["match_id"], r["cosine"])
