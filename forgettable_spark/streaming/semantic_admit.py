@@ -146,15 +146,18 @@ def semantic_admit_batch(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         with released_scope(spark):
-            # Checkpoint the RAW narrow batch first (the text loop's
-            # shape): the count below reads cached blocks, and a large
-            # trigger can be re-spread BEFORE the heavy assignment folds.
-            batch = batch.localCheckpoint(eager=True)
-            # One count over the checkpointed blocks: an EMPTY trigger
-            # must not run the verdict job or mint empty batch-<id>
-            # directories in index_dir/verdict_dir that every later
-            # trigger would list and read until a fold (the text loop's
-            # n_batch == 0 gate, admit.py:414).
+            # Size the trigger with a zero-column count on the SOURCE —
+            # for the loop's parquet file triggers this reads row counts,
+            # not data, so it is far cheaper than materializing a raw
+            # checkpoint just to count it (a first cut did exactly that,
+            # the text loop's shape, and lost ~40% throughput at
+            # 2k-vector triggers in a same-window A/B — the text loop
+            # re-reads its raw text downstream, this loop does not).
+            # An EMPTY trigger must not run the verdict job or mint
+            # empty batch-<id> directories in index_dir/verdict_dir that
+            # every later trigger would list and read until a fold (the
+            # text loop's n_batch == 0 gate, admit.py:414) — and with
+            # the source count it now exits without any checkpoint.
             n_batch = batch.count()
             if n_batch == 0:
                 return
@@ -163,19 +166,17 @@ def semantic_admit_batch(
                 spark.conf.set("spark.sql.shuffle.partitions", str(width))
             # MAP-side width (the text loop's r8 sf10 finding,
             # admit.py:442-451): a large trigger staged as one file
-            # arrives as 1-2 source partitions and localCheckpoint
-            # PRESERVES that — the per-row codebook folds (the loop's
-            # heaviest row-local work) would run near-single-threaded.
-            # One O(batch) row shuffle buys width-way assignment; the
-            # shuffle folds into the assigned checkpoint's job. Micro
-            # batches skip it. released_scope sweeps both generations
-            # of blocks (both created inside the scope).
+            # arrives as 1-2 source partitions — the per-row codebook
+            # folds would run near-single-threaded. One O(batch) row
+            # shuffle buys width-way assignment; it folds into the
+            # assigned checkpoint's job below. Micro batches skip it.
             if n_batch >= 20_000 and batch.rdd.getNumPartitions() < width:
                 batch = batch.repartition(width)
             # Assign the batch ONCE (codebook folds + norm), checkpoint
-            # the assigned shape: it feeds the verdict computation AND
-            # the admitted-index write (which persists the assignment —
-            # the whole point of the stored-sketch posture).
+            # the assigned shape — the loop's ONE materialization: it
+            # feeds the verdict computation AND the admitted-index write
+            # (which persists the assignment — the whole point of the
+            # stored-sketch posture); scope exit sweeps.
             assign = assigner or (lambda df: cb.assign_cells(df, centroids))
             batch = assign(batch).withColumn(
                 "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
