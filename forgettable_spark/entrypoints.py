@@ -741,6 +741,22 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``get_dist_wipe_regime`` — the e^-λ<1e-8 wipe regime of the
       registered ``get_dist_all`` (green r8-r9).
 
+    r11 rotation (VERDICT r10 #1): the four never-driver-seen r10
+    operators — ``semantic_dedup_partitioned`` (the corpus-scale
+    quantizer composition, now with corpus-aware b), ``knn_label`` +
+    ``knn_label_accuracy`` and ``prototype_prune`` — promoted for debut
+    driver rows, demoting here:
+
+    - ``ann_quantized_topk`` — flat int8 cosine top-k on the recall
+      query sample, redundant with the int8-scored headline (green
+      r9-r10);
+    - ``ann_bucketed_float`` / ``ann_multiprobe_float`` — the
+      sequential-fold float-scored twins of the registered int8 ANN
+      queries, same candidate sets by construction (green r9-r10);
+    - ``stratified_sample`` — per-stratum salted-hash fractions beside
+      the registered ``sample_per_group_budget`` + ``hash_split``
+      (green r9-r10).
+
     tests/test_oracle_parity.py runs these with the same rigor as the
     primary registry every session.
     """
@@ -822,31 +838,22 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_snapshot": q_incr_snapshot,
         "db_size_users": q_db_size_users,
         "get_dist_wipe_regime": q_get_dist_wipe_regime,
-        # NEW r10, secondary from birth (registry at cap; its two-level
-        # base form is this round's registered debut): the
-        # signature-partitioned two-level quantizer — sign-LSH bits
-        # pre-partition (2^b cells at b formula folds, zero per-cell
-        # literals), the bounded trained codebook refines within each
-        # partition; the composition past the ~10⁴-cell codegen ceiling
-        # (SCALING.md r10). Generated literal-codebook oracle.
-        "semantic_dedup_partitioned": entrypoints_ext.q_semantic_dedup_partitioned,
-        # NEW r10, secondary from birth (registry at cap): kNN
-        # majority-vote labeling over the trained codebook cells — the
-        # annotation step of a training-data pipeline (propagate labels
-        # from the labeled corpus slice to unlabeled vectors; first
-        # consumer of embeddings.label). Generated literal-codebook
-        # oracle.
-        "knn_label": entrypoints_ext.q_knn_label,
-        # NEW r10, secondary from birth (registry at cap):
-        # prototypicality-based data pruning (Sorscher et al. 2022) —
-        # keep the least-prototypical fraction per trained cell, the
-        # embedding-side counterpart of the rule-based quality_filter
-        # family. Generated literal-codebook oracle.
-        "prototype_prune": entrypoints_ext.q_prototype_prune,
-        # NEW r10, secondary from birth: the labeling operator's own
-        # accuracy gauge vs held-out true labels (the ann_recall
-        # pattern). Generated oracle wraps the knn_label twin.
-        "knn_label_accuracy": entrypoints_ext.q_knn_label_accuracy,
+        # r11 demotions (VERDICT r10 #1 rotation): the four r9
+        # promotions, driver-green r9-r10, each a parameter/strategy twin
+        # of a still-registered query — ann_quantized_topk (flat int8
+        # cosine top-k on the recall query sample, redundant with the
+        # int8-scored headline), ann_bucketed_float / ann_multiprobe_float
+        # (sequential-fold float-scored twins of the registered int8 ANN
+        # queries, same candidate sets by construction), and
+        # stratified_sample (per-stratum salted-hash fractions beside the
+        # registered sample_per_group_budget + hash_split). They
+        # displaced the four never-driver-seen r10 operators
+        # (semantic_dedup_partitioned, knn_label, prototype_prune,
+        # knn_label_accuracy — now registered in entrypoints_ext).
+        "ann_quantized_topk": entrypoints_ext.q_ann_quantized_topk,
+        "ann_bucketed_float": entrypoints_ext.q_ann_bucketed_float,
+        "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
+        "stratified_sample": entrypoints_ext.q_stratified_sample,
     }
 
 
@@ -983,25 +990,10 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "get_dist_wipe_regime": _oracle_get_dist(
             _EV_EVENT_TYPE, RATE_DEFAULT, True, "linear"
         ),
+        # r11 demotions (oracles follow their queries)
+        "ann_quantized_topk": entrypoints_ext._oracle_ann_quantized(),
+        "ann_bucketed_float": entrypoints_ext.ORACLE_ANN_BUCKETED,
+        "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
+        "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
     }
-    # semantic_dedup_partitioned: generated per-corpus (literal two-level
-    # codebook + signature bits); degrade to rows-only on a cold fetch
-    # without the fallback corpus, exactly like oracle_sql's kmeans block.
-    try:
-        out["semantic_dedup_partitioned"] = (
-            entrypoints_ext._oracle_semantic_dedup_partitioned(
-                sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
-            )
-        )
-        out["knn_label"] = entrypoints_ext._oracle_knn_label(
-            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
-        )
-        out["prototype_prune"] = entrypoints_ext._oracle_prototype_prune(
-            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
-        )
-        out["knn_label_accuracy"] = entrypoints_ext._oracle_knn_label_accuracy(
-            sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
-        )
-    except (OSError, ImportError):
-        pass
     return out

@@ -922,7 +922,7 @@ PROTO_KEEP_FRAC = 0.7
 
 
 def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary: prototypicality-based data pruning
+    """Prototypicality-based data pruning
     (`codebook.prototype_prune`, Sorscher et al. 2022): score vectors by
     cosine to their own trained-codebook centroid and keep the
     least-prototypical 70% per cell (easy-example pruning, the
@@ -955,7 +955,7 @@ KNN_K = 10
 
 
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary: kNN majority-vote labeling (`codebook.knn_label`) —
+    """kNN majority-vote labeling (`codebook.knn_label`) —
     the annotation step of a training-data pipeline: propagate labels
     from the labeled corpus slice to the unlabeled query slice by the
     majority label of each query's k nearest cosine neighbors, candidate
@@ -991,7 +991,7 @@ def _oracle_knn_label(sf_dir: str) -> str:
 
 
 def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary: the labeling operator's own quality gauge (the
+    """The labeling operator's own quality gauge (the
     `ann_recall` pattern): run `knn_label` over the labeled/unlabeled
     split and score predictions against the held-out TRUE labels of the
     query slice. One row: (n_queries, n_predicted, n_correct, accuracy)
@@ -1037,23 +1037,68 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
 FROM truth LEFT JOIN p USING (vec_id)"""
 
 
-#: Signature pre-partition width for the SECONDARY partitioned variant:
+#: Signature pre-partition width FLOOR for the partitioned variant:
 #: 2 sign-LSH bits × the 4×2 two-level codebook = up to 32 composite
 #: cells at correctness scale — small enough that the tiny correctness
 #: corpora still produce non-empty drop sets (asserted in
-#: tests/test_mixture_canonical_semantic.py), while the corpus-scale
-#: configuration grows b toward log2(corpus / (k1·k2·cap)) with NO new
-#: plan literals (SCALING.md r10: the codegen-ceiling composition).
+#: tests/test_mixture_canonical_semantic.py). The registered entrypoint
+#: grows b WITH the corpus via :func:`_partitioned_sig_bits` (VERDICT
+#: r10 #6) — this constant is the minimum, not the configuration.
 SEMDEDUP_SIG_BITS = 2
+
+#: memo: embeddings row count per sf_dir — a pure function of the
+#: corpus parquet footer (pyarrow metadata, no data read), shared by the
+#: engine and oracle arms of the corpus-aware signature sizing so both
+#: derive the identical b.
+_EMB_COUNTS: dict[str, int] = {}
+
+
+def _embeddings_count(sf_dir: str) -> int:
+    """Row count of ``sf_dir``'s embeddings table from parquet metadata
+    (no data scan; handles both single-file and directory layouts).
+    Raises FileNotFoundError — the typed cold-fetch error the generated
+    oracles degrade on — when the corpus is absent."""
+    if sf_dir not in _EMB_COUNTS:
+        import os
+
+        import pyarrow.dataset as pads
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(emb_path)
+        _EMB_COUNTS[sf_dir] = int(pads.dataset(emb_path).count_rows())
+    return _EMB_COUNTS[sf_dir]
+
+
+def _partitioned_sig_bits(sf_dir: str) -> int:
+    """Corpus-aware signature width (VERDICT r10 #6): size b so expected
+    composite-cell occupancy tracks the cap — b ≈ log2(n / (k1·k2·cap))
+    — instead of letting a fixed b truncate coverage as the corpus grows
+    (sf30 measured fixed k=8 finding 13.7k of 211k duplicates,
+    SCALING.md r10). Floored at SEMDEDUP_SIG_BITS so the tiny
+    correctness corpora still exercise the composite sig·n_fine+g path;
+    at the correctness SFs (500/2,000 vectors) the rule lands exactly on
+    the floor, so oracle rows are unchanged from the fixed-b r10 form.
+    Deterministic in the corpus footer alone — the engine and the
+    sessionless oracle generator compute the identical value."""
+    import math
+
+    target = _embeddings_count(sf_dir) / float(
+        SEMDEDUP_K1 * SEMDEDUP_K2 * SEMDEDUP_CAP
+    )
+    computed = math.ceil(math.log2(target)) if target > 1.0 else 0
+    return max(SEMDEDUP_SIG_BITS, computed)
 
 
 def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary: :func:`q_semantic_dedup` over the SIGNATURE-PARTITIONED
-    two-level quantizer (`codebook.semantic_dedup_partitioned`) — the
-    composition past the two-level codebook's ~10⁴-cell codegen ceiling:
-    sign-LSH bits pre-partition (2^b cells from b formula folds, zero
-    per-cell literals), the one bounded trained codebook refines within
-    every partition. run_released sweeps the assignment checkpoint."""
+    """:func:`q_semantic_dedup` over the SIGNATURE-PARTITIONED two-level
+    quantizer (`codebook.semantic_dedup_partitioned`) — the composition
+    past the two-level codebook's ~10⁴-cell codegen ceiling: sign-LSH
+    bits pre-partition (2^b cells from b formula folds, zero per-cell
+    literals), the one bounded trained codebook refines within every
+    partition. b is sized from the corpus row count
+    (:func:`_partitioned_sig_bits`) so occupancy tracks the cap at any
+    scale. run_released sweeps the assignment checkpoint."""
     from forgettable_spark.extensions import codebook as cb
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1065,7 +1110,7 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             coarse,
             fines,
             threshold=SEMDEDUP_COSINE,
-            n_sig_bits=SEMDEDUP_SIG_BITS,
+            n_sig_bits=_partitioned_sig_bits(sf_dir),
             max_cell_size=SEMDEDUP_CAP,
         ),
     )
@@ -1073,7 +1118,8 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_semantic_dedup_partitioned(sf_dir: str) -> str:
     """Generated signature-partitioned twin (the
-    `_oracle_semantic_dedup_two_level` device, same codebook memo)."""
+    `_oracle_semantic_dedup_two_level` device, same codebook memo and
+    the same corpus-derived b as the engine arm)."""
     from forgettable_spark.extensions import codebook as cb
 
     coarse, fines = _two_level_codebook_local_for(sf_dir)
@@ -1081,7 +1127,7 @@ def _oracle_semantic_dedup_partitioned(sf_dir: str) -> str:
         coarse,
         fines,
         threshold=SEMDEDUP_COSINE,
-        n_sig_bits=SEMDEDUP_SIG_BITS,
+        n_sig_bits=_partitioned_sig_bits(sf_dir),
         max_cell_size=SEMDEDUP_CAP,
     )
 
@@ -2899,20 +2945,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequential-fold exact dot product instead of int8; the last
         # never-driver-seen member of the headline ANN family.
         "ann_signature_topk": q_ann_signature_topk,
-        # r9 rotation (VERDICT r8 #2): first driver rows for the four
-        # stalest never-driver-seen secondaries — the flat int8 cosine
-        # top-k on the recall query sample (ann_quantized_topk), the
-        # sequential-fold float-scored twins of the registered int8
-        # bucketed/multiprobe ANN queries (ann_bucketed_float,
-        # ann_multiprobe_float — same candidate sets by construction),
-        # and per-stratum salted-hash sampling (stratified_sample).
-        # quality_filter and dedup_simhash_capped rotated to the
-        # secondary registry to make room (see
+        # r11 rotation (VERDICT r10 #1): first driver rows for the four
+        # never-driver-seen r10 operators — the signature-partitioned
+        # two-level quantizer (the corpus-scale semantic-dedup
+        # centerpiece, now with corpus-aware b per VERDICT r10 #6), kNN
+        # majority-vote labeling + its accuracy gauge, and
+        # prototypicality pruning. Displaced to the secondary registry:
+        # ann_quantized_topk, ann_bucketed_float, ann_multiprobe_float,
+        # stratified_sample (r9 promotions, green r9-r10, each a
+        # parameter/strategy twin of a still-registered query — see
         # entrypoints.secondary_queries).
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_bucketed_float": q_ann_bucketed_float,
-        "ann_multiprobe_float": q_ann_multiprobe_float,
-        "stratified_sample": q_stratified_sample,
+        "semantic_dedup_partitioned": q_semantic_dedup_partitioned,
+        "knn_label": q_knn_label,
+        "prototype_prune": q_prototype_prune,
+        "knn_label_accuracy": q_knn_label_accuracy,
         # Late-r9 debuts (rotation policy: every NEW operator earns a
         # driver row in its debut round): semantic_dedup (SemDeDup
         # cluster-scoped embedding dedup over the trained codebook),
@@ -2976,41 +3022,55 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "batch_novelty": _oracle_batch_novelty(),
         "ann_recall_signature": _oracle_ann_recall_signature(),
         "ann_signature_topk": _oracle_ann_signature(),
-        # r9 promotions (oracles follow their queries)
-        "ann_quantized_topk": _oracle_ann_quantized(),
-        "ann_bucketed_float": ORACLE_ANN_BUCKETED,
-        "ann_multiprobe_float": ORACLE_ANN_MULTIPROBE,
-        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         # late-r9 debuts (oracles follow their queries; semantic_dedup's
         # is generated below with ann_kmeans_topk's)
         "dedup_canonicalize": _oracle_dedup_canonicalize(),
         "mixture_plan": _oracle_mixture_plan(),
         # r10 promotions (oracles follow their queries; the two
-        # generated codebook oracles join the try block below)
+        # generated codebook oracles join the generated block below)
         "mixture_apply": _oracle_mixture_apply(),
         "hash_split": ORACLE_HASH_SPLIT,
     }
-    # ann_kmeans_topk / semantic_dedup: k-means is iterative, so these
-    # oracles are GENERATED per-corpus (literal trained codebook — ONE
-    # shared training via the _CODEBOOKS memo) rather than static
-    # strings — the training is a bit-deterministic pure function of the
-    # corpus, restated sessionlessly when needed. Generation touches the
-    # corpus parquet, so a cold fetch in an environment without the
-    # fallback corpus must DEGRADE to omitting these entries (the driver
-    # then records rows-only checks) instead of raising out of
-    # oracle_sql() and breaking retrieval of every other oracle
-    # (ADVICE r6).
-    try:
-        out["ann_kmeans_topk"] = _oracle_ann_kmeans(sf_dir or _KMEANS_ORACLE_DEFAULT_SF)
-        out["semantic_dedup"] = _oracle_semantic_dedup(
-            sf_dir or _KMEANS_ORACLE_DEFAULT_SF
-        )
-        out["semantic_admit"] = _oracle_semantic_admit(
-            sf_dir or _KMEANS_ORACLE_DEFAULT_SF
-        )
-        out["semantic_dedup_two_level"] = _oracle_semantic_dedup_two_level(
-            sf_dir or _KMEANS_ORACLE_DEFAULT_SF
-        )
-    except (OSError, ImportError):
-        pass
+    # Codebook-derived oracles: k-means is iterative, so these are
+    # GENERATED per-corpus (literal trained codebook — ONE shared
+    # training via the _CODEBOOKS memo) rather than static strings — the
+    # training is a bit-deterministic pure function of the corpus,
+    # restated sessionlessly when needed. Generation touches the corpus
+    # parquet, so a cold fetch in an environment without the fallback
+    # corpus must DEGRADE to omitting the entry (the driver then records
+    # a rows-only check) instead of raising out of oracle_sql() and
+    # breaking retrieval of every other oracle (ADVICE r6). Each entry
+    # degrades INDEPENDENTLY (ADVICE r10): one missing artifact must not
+    # silently drop unrelated oracles that generate fine.
+    corpus = sf_dir or _KMEANS_ORACLE_DEFAULT_SF
+    for name, gen in (
+        ("ann_kmeans_topk", _oracle_ann_kmeans),
+        ("semantic_dedup", _oracle_semantic_dedup),
+        ("semantic_admit", _oracle_semantic_admit),
+        ("semantic_dedup_two_level", _oracle_semantic_dedup_two_level),
+        # r11 promotions (oracles follow their queries)
+        ("semantic_dedup_partitioned", _oracle_semantic_dedup_partitioned),
+        ("knn_label", _oracle_knn_label),
+        ("prototype_prune", _oracle_prototype_prune),
+        ("knn_label_accuracy", _oracle_knn_label_accuracy),
+    ):
+        _add_generated_oracle(out, name, gen, corpus)
     return out
+
+
+def _add_generated_oracle(
+    out: dict[str, str], name: str, gen: Callable[[str], str], corpus: str
+) -> None:
+    """Generate one per-corpus oracle, degrading to rows-only (entry
+    omitted) on a cold fetch — independently per oracle, with the
+    degradation surfaced instead of swallowed (ADVICE r10)."""
+    import warnings
+
+    try:
+        out[name] = gen(corpus)
+    except (OSError, ImportError) as exc:
+        warnings.warn(
+            f"generated oracle {name!r} degraded to a rows-only check "
+            f"({type(exc).__name__}: {exc})",
+            stacklevel=2,
+        )

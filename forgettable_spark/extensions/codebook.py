@@ -294,19 +294,27 @@ _V_CTE_SQL = """v AS (
 
 
 def _cap_cte_sql(
-    max_bucket_size: int | None, src: str = "assigned", name: str = "capped"
+    max_bucket_size: int | None,
+    src: str = "assigned",
+    name: str = "capped",
+    cols: tuple[str, ...] = ("vec_id", "e", "cell"),
 ) -> tuple[str, str]:
     """The optional cell-cap CTE (the md5-of-id ROW_NUMBER window of
     ``_sample_cells_to_cap``) appended after ``src`` with a leading
     comma; returns (CTE text or \"\", name of the corpus CTE downstream
     SQL reads). ONE definition for every oracle so the cap ordering can
-    never drift between the flat, two-level, and admission twins."""
+    never drift between the flat, two-level, and admission twins.
+    ``cols`` is the projection carried through the cap — callers whose
+    ``src`` carries extra columns (knn_label's ``label``) extend it here
+    instead of text-patching the generated SQL (VERDICT r10 #8); the
+    cap window itself orders by (md5(id), id) only, so extra columns
+    are inert."""
     if max_bucket_size is None:
         return "", src
     return (
         f""",
 {name} AS (
-  SELECT vec_id, e, cell FROM (
+  SELECT {", ".join(cols)} FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
     FROM {src}
@@ -672,12 +680,17 @@ def two_level_assignment_cte_sql(
     coarse: list[list[float]],
     fines: list[list[list[float]]],
     max_bucket_size: int | None,
+    cell_expr: str = "CAST(g AS BIGINT)",
 ) -> tuple[str, str]:
     """Two-level twin of :func:`_assignment_cte_sql`: coarse VALUES +
     argmax window picks the coarse cell; a second VALUES table keyed by
     coarse cell carries every fine centroid with its precomputed GLOBAL
     cell id; a second argmax window picks the fine cell. Returns
-    (CTE text, corpus CTE name)."""
+    (CTE text, corpus CTE name). ``cell_expr`` is the SQL the
+    ``assigned`` CTE projects as the cell id (over columns ``e`` and
+    ``g``) — the signature-partitioned twin composes its
+    ``sig · n_fine + g`` id here instead of text-patching the generated
+    SQL (VERDICT r10 #8)."""
     cb1_rows = ", ".join(
         "({i}, [{vals}], {h})".format(
             i=i, vals=", ".join(_sql_double(x) for x in c), h=_sql_double(h)
@@ -717,7 +730,7 @@ s2 AS (
   FROM a1 JOIN cb2 USING (ci)
 ),
 assigned AS (
-  SELECT vec_id, e, CAST(g AS BIGINT) AS cell FROM (
+  SELECT vec_id, e, {cell_expr} AS cell FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY s DESC, fi ASC) AS frn
     FROM s2
@@ -921,18 +934,12 @@ def knn_label_oracle_sql(
         )
     )
     prefix, _ = _assignment_cte_sql(centroids, None)
-    cap_cte, lab_src = _cap_cte_sql(max_bucket_size, src="lab0", name="lab")
-    # lab0/lab carry the label through the cap (the cap window orders by
-    # (md5(id), id) only, so the extra column is inert). Guarded rewrite
-    # (review r10): a silent no-op here would drop `label` from the
-    # capped CTE and fail later with an opaque binder error.
-    _cap_proj = "SELECT vec_id, e, cell FROM ("
-    if cap_cte and cap_cte.count(_cap_proj) != 1:
-        raise RuntimeError(
-            "knn_label_oracle_sql: _cap_cte_sql's projection text changed — "
-            "update the label-carrying rewrite to match"
-        )
-    cap_cte = cap_cte.replace(_cap_proj, "SELECT vec_id, e, cell, label FROM (")
+    # lab0/lab carry the label through the cap via the builder's
+    # projection parameter (VERDICT r10 #8 — no text patching).
+    cap_cte, lab_src = _cap_cte_sql(
+        max_bucket_size, src="lab0", name="lab",
+        cols=("vec_id", "e", "cell", "label"),
+    )
     return f"""WITH {prefix},
 lab0 AS (
   SELECT a.vec_id, a.e, a.cell, CAST(emb.label AS INTEGER) AS label
@@ -1001,9 +1008,19 @@ def with_partitioned_cell(
     where ``sig`` is the ``n_sig_bits``-bit sign-LSH signature cell and
     ``two_level`` the trained :func:`with_two_level_cell` id — exact
     integer arithmetic, so the id is engine-portable. ``n_sig_bits=0``
-    degenerates to the plain two-level id (one signature partition)."""
+    degenerates to the plain two-level id (one signature partition).
+
+    ``_sig`` and ``_tl`` are RESERVED intermediate column names — a
+    caller frame already carrying either would be silently clobbered
+    and then dropped, so the collision raises instead (ADVICE r10)."""
     from forgettable_spark.extensions.similarity import signature_cell
 
+    clash = {"_sig", "_tl"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_partitioned_cell: input carries reserved intermediate "
+            f"column(s) {sorted(clash)} — rename them before calling"
+        )
     n_fine = sum(len(f) for f in fines)
     df = df.withColumn("_sig", signature_cell(F.col(vec_col), n_sig_bits))
     df = with_two_level_cell(df, coarse, fines, vec_col=vec_col, out_col="_tl")
@@ -1050,11 +1067,11 @@ def partitioned_assignment_cte_sql(
     """Signature-partitioned twin of :func:`two_level_assignment_cte_sql`:
     the same coarse/fine VALUES + argmax windows, with the ``assigned``
     CTE's cell id composed as ``sig · n_fine + g`` (the sign-LSH bits
-    rendered by the shared ``similarity.hyperplane_bit_sql`` formula).
-    Returns (CTE text, corpus CTE name)."""
+    rendered by the shared ``similarity.hyperplane_bit_sql`` formula),
+    passed through the base builder's ``cell_expr`` parameter (VERDICT
+    r10 #8 — no text patching). Returns (CTE text, corpus CTE name)."""
     from forgettable_spark.extensions.similarity import hyperplane_bit_sql
 
-    base, _ = two_level_assignment_cte_sql(coarse, fines, None)
     n_fine = sum(len(f) for f in fines)
     if n_sig_bits > 0:
         sig = " + ".join(
@@ -1063,18 +1080,9 @@ def partitioned_assignment_cte_sql(
         composite = f"CAST(({sig}) * {n_fine} + g AS BIGINT)"
     else:
         composite = "CAST(g AS BIGINT)"
-    # Rewrite the assigned CTE's cell projection; the base text carries
-    # exactly one such projection (two_level_assignment_cte_sql's
-    # ``assigned``). Explicit raise, not assert — the guard must survive
-    # python -O (review r10).
-    if base.count("CAST(g AS BIGINT) AS cell") != 1:
-        raise RuntimeError(
-            "partitioned_assignment_cte_sql: two_level_assignment_cte_sql's "
-            "cell projection text changed — update the composite rewrite"
-        )
-    prefix = base.replace("CAST(g AS BIGINT) AS cell", f"{composite} AS cell")
-    cap_cte, corpus_src = _cap_cte_sql(max_bucket_size)
-    return prefix + cap_cte, corpus_src
+    return two_level_assignment_cte_sql(
+        coarse, fines, max_bucket_size, cell_expr=composite
+    )
 
 
 def semantic_dedup_partitioned_oracle_sql(

@@ -84,6 +84,83 @@ INDEX_SCHEMA = T.StructType(
     ]
 )
 
+#: The index's assigner-fingerprint marker (VERDICT r10 #2). The stored
+#: index persists raw CELL IDS, and a cell id is only comparable to ids
+#: minted by the SAME quantizer — a restart that wires a retrained
+#: codebook or a different signature width onto an existing index would
+#: silently mint incomparable ids and admit every duplicate from then
+#: on (the text loop has no analogous hazard: its band keys are
+#: content-derived). The first batch writes this marker beside the
+#: index; every later batch (and every restart) validates against it
+#: and fails loudly on mismatch.
+ASSIGNER_MARKER = "_ASSIGNER"
+
+
+def assigner_fingerprint(*parts) -> str:
+    """Canonical fingerprint of an assigner's defining literals —
+    sha256 over the JSON of ``parts`` (centroid lists, signature widths,
+    codebook config…). Python's float repr is bit-faithful, so equal
+    codebooks fingerprint equally and any retrained/reshaped codebook
+    does not. Flat-codebook callers get this computed automatically from
+    ``centroids``; custom-``assigner`` callers MUST pass the fingerprint
+    of whatever defines their cell space, e.g.
+    ``assigner_fingerprint("partitioned", coarse, fines, n_sig_bits)``."""
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(parts, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
+def _claim_or_validate_assigner(index_dir: str, fp: str) -> None:
+    """Write the index's assigner fingerprint on first contact; on every
+    later contact require it to match (RuntimeError otherwise). The
+    marker write is atomic (tmp + rename), so a crash mid-claim leaves
+    either no marker (next batch re-claims) or a complete one."""
+    marker = os.path.join(index_dir, ASSIGNER_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            stored = fh.read().strip()
+        if stored != fp:
+            raise RuntimeError(
+                f"semantic admission: the stored index at {index_dir!r} was "
+                f"built by a DIFFERENT assigner (stored fingerprint "
+                f"{stored[:12]}…, this loop's {fp[:12]}…). Cell ids are only "
+                f"comparable within one quantizer — attaching a retrained "
+                f"codebook or a changed signature width to an existing index "
+                f"would silently admit every duplicate. Rebuild the index "
+                f"with the new assigner, or restore the original codebook."
+            )
+        return
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(fp + "\n")
+    os.replace(tmp, marker)
+
+
+def _require_success(batch_dir: str) -> None:
+    """The layout's liveness gate is the _SUCCESS marker (_table_parts):
+    a committer configured with
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false would leave
+    every batch/fold dir invisible — the stored index would always read
+    empty and the loop would silently admit every duplicate forever.
+    Fail the first batch loudly instead (admit_batch's device,
+    admit.py:745-766). Probed on BOTH sides of the write — a marker lost
+    on the index side alone would silently shrink the stored index
+    (ADVICE r10)."""
+    if not os.path.isfile(os.path.join(batch_dir, "_SUCCESS")):
+        raise RuntimeError(
+            f"semantic_admit_batch wrote {batch_dir!r} without a _SUCCESS "
+            "marker — this deployment disables "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs, which this "
+            "layout requires (liveness gating of batch/fold dirs). "
+            "Re-enable it for the admission loop's session, e.g. "
+            "spark.hadoop.mapreduce.fileoutputcommitter."
+            "marksuccessfuljobs=true at session build."
+        )
+
 
 def semantic_admit_batch(
     spark: SparkSession,
@@ -98,6 +175,7 @@ def semantic_admit_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigner=None,
+    fingerprint: str | None = None,
 ) -> None:
     """Run one micro-batch of embedding admission (see module doc).
 
@@ -113,7 +191,12 @@ def semantic_admit_batch(
     literals. The stored index is assignment-agnostic (it persists
     whatever ``cell`` the assigner computed), but ALL batches of one
     index must use the same assigner — a cell id is only comparable to
-    ids minted by the same quantizer.
+    ids minted by the same quantizer. That law is ENFORCED (VERDICT r10
+    #2): the loop persists an assigner fingerprint beside the index
+    (``_ASSIGNER``) and every batch validates against it — computed from
+    the centroid literals on the flat path; custom-``assigner`` callers
+    must pass ``fingerprint`` (:func:`assigner_fingerprint` over
+    whatever defines their cell space) and get a ValueError otherwise.
 
     Conf scoping: like ``admit_batch``, the AQE / shuffle-width pinning
     below mutates ``spark``'s SQLConf for the batch's duration. Via
@@ -131,6 +214,19 @@ def semantic_admit_batch(
             "an ignored centroids argument beside an assigner invites a "
             "codebook/assigner mismatch the stored index cannot detect."
         )
+    if assigner is not None and fingerprint is None:
+        raise ValueError(
+            "semantic_admit_batch: a custom assigner needs an explicit "
+            "fingerprint (assigner_fingerprint(...) over whatever defines "
+            "its cell space) — the loop cannot derive one from a callable, "
+            "and an unfingerprinted index cannot detect a quantizer swap "
+            "across restarts."
+        )
+    fp = fingerprint or assigner_fingerprint("flat", centroids)
+    # Validate (or claim, on first contact) BEFORE any work — including
+    # empty triggers: a mis-wired restart must fail at attach, not at the
+    # first non-empty batch.
+    _claim_or_validate_assigner(index_dir, fp)
     batch = batch.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
@@ -213,25 +309,13 @@ def semantic_admit_batch(
             admitted.select("vec_id", "embedding", "cell", "n").write.mode(
                 "overwrite"
             ).parquet(os.path.join(index_dir, f"batch-{batch_id}"))
-            # The layout's liveness gate is the _SUCCESS marker
-            # (_table_parts): a committer configured with
-            # mapreduce.fileoutputcommitter.marksuccessfuljobs=false
-            # would leave every batch/fold dir invisible — the stored
-            # index would always read empty and the loop would silently
-            # admit every duplicate forever. Fail the first batch loudly
-            # instead (admit_batch's device, admit.py:745-766).
-            if not os.path.isfile(
-                os.path.join(verdict_dir, f"batch-{batch_id}", "_SUCCESS")
-            ):
-                raise RuntimeError(
-                    "semantic_admit_batch wrote a batch directory without a "
-                    "_SUCCESS marker — this deployment disables "
-                    "mapreduce.fileoutputcommitter.marksuccessfuljobs, which "
-                    "this layout requires (liveness gating of batch/fold "
-                    "dirs). Re-enable it for the admission loop's session, "
-                    "e.g. spark.hadoop.mapreduce.fileoutputcommitter."
-                    "marksuccessfuljobs=true at session build."
-                )
+            # Liveness probe on BOTH written partitions (see
+            # _require_success): verdict side catches the committer
+            # misconfiguration on the first batch; index side catches a
+            # marker lost there alone, which would silently shrink the
+            # stored index and re-admit duplicates (ADVICE r10).
+            _require_success(os.path.join(verdict_dir, f"batch-{batch_id}"))
+            _require_success(os.path.join(index_dir, f"batch-{batch_id}"))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -261,13 +345,16 @@ def semantic_admission_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigner=None,
+    fingerprint: str | None = None,
 ) -> StreamingQuery:
     """Wire a vector stream into the per-batch embedding-admission loop.
     Returns the started query; exactly-once anchored by the checkpoint +
     the idempotent ``batch-<id>`` overwrites (the ``admission_stream``
-    contract). ``assigner`` as in :func:`semantic_admit_batch` (must be
-    stable across the stream's lifetime — it defines the index's cell
-    space)."""
+    contract). ``assigner`` / ``fingerprint`` as in
+    :func:`semantic_admit_batch` (the assigner must be stable across the
+    stream's lifetime — it defines the index's cell space, and the
+    persisted fingerprint makes a restart that violates this fail at
+    the first trigger instead of silently admitting duplicates)."""
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         semantic_admit_batch(
@@ -283,6 +370,7 @@ def semantic_admission_stream(
             id_col=id_col,
             vec_col=vec_col,
             assigner=assigner,
+            fingerprint=fingerprint,
         )
 
     writer = (

@@ -55,6 +55,7 @@ def main() -> None:
     from forgettable_spark.extensions import codebook as cb
     from forgettable_spark.session import get_spark
     from forgettable_spark.sources import load_table
+    from forgettable_spark.streaming import semantic_admit as sa
     from forgettable_spark.streaming.semantic_admit import semantic_admission_stream
 
     spark = get_spark(
@@ -81,9 +82,13 @@ def main() -> None:
             assigner = lambda df: cb.assign_cells_partitioned(  # noqa: E731
                 df, coarse, fines, sig_bits
             )
+            fingerprint = sa.assigner_fingerprint(
+                "partitioned", coarse, fines, sig_bits
+            )
         else:
             centroids = cb.train_codebook(emb, k=K)  # untimed model setup
             assigner = None
+            fingerprint = None
         emb.repartition(n_batches).write.mode("overwrite").parquet(src)
 
         stream = (
@@ -103,6 +108,7 @@ def main() -> None:
             max_cell_size=CAP,
             fold_every=FOLD_EVERY,
             assigner=assigner,
+            fingerprint=fingerprint,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0

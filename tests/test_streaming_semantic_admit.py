@@ -14,7 +14,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from forgettable_spark.streaming.semantic_admit import (
+    ASSIGNER_MARKER,
     INDEX_SCHEMA,
+    assigner_fingerprint,
     semantic_admission_stream,
     semantic_admit_batch,
 )
@@ -220,10 +222,18 @@ def test_semantic_admit_custom_assigner_matches_batch_operator(spark, dirs):
                 bad.get("centroids"), threshold=0.95,
                 assigner=bad.get("assigner"),
             )
+    # a custom assigner without a fingerprint must raise (VERDICT r10
+    # #2: the loop cannot derive one from a callable).
+    with pytest.raises(ValueError, match="fingerprint"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, b1), 0, dirs["index"], dirs["verdicts"],
+            None, threshold=0.95, assigner=assigner,
+        )
+    fp = assigner_fingerprint("partitioned", coarse, fines, bits)
     for bid, rows in enumerate([b1, b2]):
         semantic_admit_batch(
             spark, _vec_df(spark, rows), bid, dirs["index"], dirs["verdicts"],
-            None, threshold=0.95, assigner=assigner,
+            None, threshold=0.95, assigner=assigner, fingerprint=fp,
         )
     streamed = {
         k: (r["is_dup"], r["match_id"], r["cosine"])
@@ -256,6 +266,96 @@ def test_semantic_admit_custom_assigner_matches_batch_operator(spark, dirs):
     }
     assert len(idx) > 0
     assert all(r["cell"] == want[r["vec_id"]] for r in idx)
+
+
+def test_assigner_swap_on_existing_index_raises(spark, dirs):
+    """VERDICT r10 #2 (fails without the fix): the stored index persists
+    raw cell ids, so a restart that wires a retrained codebook or a
+    different signature width onto it would mint incomparable ids and
+    silently admit every duplicate. The persisted fingerprint must make
+    that restart fail loudly at the first trigger."""
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(1, VX)]), 0,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    assert os.path.isfile(os.path.join(dirs["index"], ASSIGNER_MARKER))
+    # same codebook re-attaches fine (replay/restart path)
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(2, VY)]), 1,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    # a "retrained" codebook (perturbed centroid) must be refused —
+    # including on an EMPTY trigger: mis-wire fails at attach, before
+    # any verdict work.
+    retrained = [[0.9, 0.1, 0.0, 0.0], list(CENTS[1])]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(RuntimeError, match="DIFFERENT assigner"):
+        semantic_admit_batch(
+            spark, empty, 2, dirs["index"], dirs["verdicts"],
+            retrained, threshold=0.95,
+        )
+    with pytest.raises(RuntimeError, match="DIFFERENT assigner"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(3, VX)]), 2,
+            dirs["index"], dirs["verdicts"], retrained, threshold=0.95,
+        )
+    # a custom assigner whose fingerprint differs is refused the same way
+    # (e.g. changed n_sig_bits: same callable family, different cell space)
+    assigner = lambda df: df  # noqa: E731 — never reached
+    with pytest.raises(RuntimeError, match="DIFFERENT assigner"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(3, VX)]), 2,
+            dirs["index"], dirs["verdicts"], None, threshold=0.95,
+            assigner=assigner,
+            fingerprint=assigner_fingerprint("partitioned", CENTS, 3),
+        )
+    # the refused attempts wrote nothing
+    assert not os.path.exists(os.path.join(dirs["index"], "batch-2"))
+    assert _index_ids(spark, dirs) == [1, 2]
+
+
+def test_assigner_marker_survives_fold(spark, dirs):
+    """Fold consolidation rewrites the index's batch dirs; the assigner
+    marker sits beside them and must survive, still validating."""
+    for bid, rows in enumerate([[(1, VX)], [(2, VY)], [(4, VZ)]]):
+        semantic_admit_batch(
+            spark, _vec_df(spark, rows), bid,
+            dirs["index"], dirs["verdicts"], CENTS,
+            threshold=0.95, fold_every=2,
+        )
+    assert any(
+        p.startswith("fold-") for p in os.listdir(dirs["index"])
+    ), "fold_every=2 over 3 batches should have consolidated"
+    marker = os.path.join(dirs["index"], ASSIGNER_MARKER)
+    assert os.path.isfile(marker)
+    with open(marker) as fh:
+        assert fh.read().strip() == assigner_fingerprint("flat", CENTS)
+
+
+def test_require_success_probes_both_sides():
+    """ADVICE r10: the liveness probe must also cover the index-side
+    batch dir — a marker lost there alone silently shrinks the stored
+    index. Unit-level: the shared probe raises on a markerless dir."""
+    import tempfile as _tf
+
+    from forgettable_spark.streaming.semantic_admit import _require_success
+
+    with _tf.TemporaryDirectory() as d:
+        bad = os.path.join(d, "batch-0")
+        os.makedirs(bad)
+        with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+            _require_success(bad)
+        with open(os.path.join(bad, "_SUCCESS"), "w"):
+            pass
+        _require_success(bad)  # no raise
+    # and the batch path calls it on BOTH written partitions
+    import inspect
+
+    from forgettable_spark.streaming import semantic_admit as mod
+
+    src = inspect.getsource(mod.semantic_admit_batch)
+    assert src.count("_require_success(") == 2
+    assert "index_dir" in src.split("_require_success(")[2]
 
 
 def test_semantic_empty_trigger_writes_nothing(spark, dirs):
