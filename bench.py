@@ -139,7 +139,27 @@ def main() -> None:
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
-    _wb = spark.range(0, 200_000, 1, int(cpus)).select(
+    # Warmup block size scales WITH the corpus (VERDICT r10 #4): the
+    # fixed 200k-row block stopped amortizing the first HOF-fold wave
+    # once the corpus outgrew it (sf30: 600k embeddings, first
+    # sequential-fold evaluation 61.1 s vs 3.94 s steady — SCALING.md
+    # r10). Size from the larger of the two corpus tables' parquet
+    # footers (no data read); floor 200k keeps the small-sf behavior
+    # identical, cap 2M bounds one-time warmup cost at silly scales.
+    def _footer_rows(name: str) -> int:
+        import pyarrow.dataset as _pads
+
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            return int(_pads.dataset(p).count_rows())
+        except (OSError, ValueError):
+            return 0
+
+    _warm_rows = min(
+        2_000_000,
+        max(200_000, _footer_rows("documents"), _footer_rows("embeddings")),
+    )
+    _wb = spark.range(0, _warm_rows, 1, int(cpus)).select(
         "id",
         _F.md5(_F.col("id").cast("string")).alias("h"),
         (_F.col("id") % 97).alias("k"),
