@@ -854,6 +854,20 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed_float": entrypoints_ext.q_ann_bucketed_float,
         "ann_multiprobe_float": entrypoints_ext.q_ann_multiprobe_float,
         "stratified_sample": entrypoints_ext.q_stratified_sample,
+        # NEW r11, secondary from birth (registry at cap): signature
+        # multi-probe recovery for the partitioned semantic-dedup family
+        # — pairs straddling exactly one signature bit are compared via
+        # probe cells derived by integer arithmetic on the composite id
+        # (zero extra plan literals); the priced answer to the
+        # partition's (1−θ/π)^b recall trade. Generated literal-codebook
+        # oracle.
+        "semantic_dedup_probed": entrypoints_ext.q_semantic_dedup_probed,
+        # NEW r11, secondary from birth: the family's own recall gauge
+        # (the ann_recall_signature pattern) — drop-set recall at flips
+        # {0, 1, b} vs the unpartitioned two-level truth, cap-free so
+        # recovered ⊆ truth by construction. Generated oracle wraps the
+        # probed twins per setting.
+        "semantic_probed_recall": entrypoints_ext.q_semantic_probed_recall,
     }
 
 
@@ -996,4 +1010,12 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ann_multiprobe_float": entrypoints_ext.ORACLE_ANN_MULTIPROBE,
         "stratified_sample": entrypoints_ext.ORACLE_STRATIFIED_SAMPLE,
     }
+    # NEW r11 generated oracles (literal codebook + corpus-derived b);
+    # each degrades independently like the primary block (ADVICE r10).
+    corpus = sf_dir or entrypoints_ext._KMEANS_ORACLE_DEFAULT_SF
+    for name, gen in (
+        ("semantic_dedup_probed", entrypoints_ext._oracle_semantic_dedup_probed),
+        ("semantic_probed_recall", entrypoints_ext._oracle_semantic_probed_recall),
+    ):
+        entrypoints_ext._add_generated_oracle(out, name, gen, corpus)
     return out

@@ -1132,6 +1132,151 @@ def _oracle_semantic_dedup_partitioned(sf_dir: str) -> str:
     )
 
 
+def q_semantic_dedup_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: :func:`q_semantic_dedup_partitioned` with signature
+    MULTI-PROBE recovery (`codebook.semantic_dedup_probed`) — the
+    1-flip recall recovery the partition's (1−θ/π)^b trade prices in:
+    pairs straddling exactly one signature bit are compared via probe
+    cells derived by integer arithmetic on the composite id (zero extra
+    plan literals, ≤(b+1)× pair fan-out over capped cells). Same
+    corpus-aware b, cap and keep rule as the registered partitioned
+    form; n_flip defaults to all b bits."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fines = _two_level_codebook_for(spark, sf_dir)
+    return run_released(
+        spark,
+        lambda: cb.semantic_dedup_probed(
+            emb,
+            coarse,
+            fines,
+            threshold=SEMDEDUP_COSINE,
+            n_sig_bits=_partitioned_sig_bits(sf_dir),
+            max_cell_size=SEMDEDUP_CAP,
+        ),
+    )
+
+
+def _oracle_semantic_dedup_probed(sf_dir: str) -> str:
+    """Generated multi-probe twin (same codebook memo and corpus-derived
+    b as the engine arm)."""
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse, fines = _two_level_codebook_local_for(sf_dir)
+    return cb.semantic_dedup_probed_oracle_sql(
+        coarse,
+        fines,
+        threshold=SEMDEDUP_COSINE,
+        n_sig_bits=_partitioned_sig_bits(sf_dir),
+        max_cell_size=SEMDEDUP_CAP,
+    )
+
+
+def _probed_recall_settings(sf_dir: str) -> list[int]:
+    """The flip settings the recall gauge sweeps: no probe, one probe,
+    full 1-flip recovery — deduplicated when b collapses them."""
+    b = _partitioned_sig_bits(sf_dir)
+    return sorted({0, 1, b})
+
+
+def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: the partition/probe family's own recall gauge (the
+    `ann_recall_signature` pattern): drop-set recall of the partitioned
+    form at flips ∈ {0, 1, b} against the UNPARTITIONED two-level drop
+    set as truth — the empirical read of the (1−θ/π)^b survival trade
+    and of how much one flip buys back. All arms run CAP-FREE so the
+    law is clean (a pair compared by the partitioned form is compared
+    by the truth, hence recovered ⊆ truth by construction); one row per
+    setting: (flips, n_truth, n_dropped, n_recovered, recall)."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fines = _two_level_codebook_for(spark, sf_dir)
+    b = _partitioned_sig_bits(sf_dir)
+
+    def build() -> DataFrame:
+        truth = cb.semantic_dedup_two_level(
+            emb, coarse, fines, SEMDEDUP_COSINE, max_cell_size=None
+        ).select("vec_id")
+        t_agg = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        out = None
+        for fl in _probed_recall_settings(sf_dir):
+            d = cb.semantic_dedup_probed(
+                emb,
+                coarse,
+                fines,
+                threshold=SEMDEDUP_COSINE,
+                n_sig_bits=b,
+                n_flip=fl,
+                max_cell_size=None,
+            ).select("vec_id")
+            row = (
+                t_agg.crossJoin(
+                    d.agg(F.count("*").cast("bigint").alias("n_dropped"))
+                )
+                .crossJoin(
+                    d.join(truth, "vec_id", "left_semi").agg(
+                        F.count("*").cast("bigint").alias("n_recovered")
+                    )
+                )
+                .select(
+                    F.lit(fl).cast("int").alias("flips"),
+                    "n_truth",
+                    "n_dropped",
+                    "n_recovered",
+                    F.when(
+                        F.col("n_truth") > 0,
+                        F.col("n_recovered").cast("double") / F.col("n_truth"),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("recall"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    return run_released(spark, build)
+
+
+def _oracle_semantic_probed_recall(sf_dir: str) -> str:
+    """Generated gauge twin: the cap-free two-level oracle as the truth
+    CTE, one cap-free probed oracle per flips setting (each a nested
+    full WITH-query, the `knn_label_accuracy` wrapping device), counts
+    via scalar subqueries."""
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse, fines = _two_level_codebook_local_for(sf_dir)
+    b = _partitioned_sig_bits(sf_dir)
+    truth = cb.semantic_dedup_two_level_oracle_sql(
+        coarse, fines, threshold=SEMDEDUP_COSINE, max_cell_size=None
+    )
+    arms = []
+    ctes = [f"t AS (SELECT vec_id FROM ({truth}) q)"]
+    for fl in _probed_recall_settings(sf_dir):
+        sql = cb.semantic_dedup_probed_oracle_sql(
+            coarse,
+            fines,
+            threshold=SEMDEDUP_COSINE,
+            n_sig_bits=b,
+            n_flip=fl,
+            max_cell_size=None,
+        )
+        ctes.append(f"d{fl} AS (SELECT vec_id FROM ({sql}) q)")
+        arms.append(
+            f"""SELECT CAST({fl} AS INTEGER) AS flips,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d{fl}) AS n_dropped,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d{fl} JOIN t USING (vec_id))
+         AS n_recovered,
+       CASE WHEN (SELECT COUNT(*) FROM t) > 0
+            THEN CAST((SELECT COUNT(*) FROM d{fl} JOIN t USING (vec_id))
+                 AS DOUBLE) / (SELECT COUNT(*) FROM t)
+            ELSE 0e0 END AS recall"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
 #: semantic_admit batch bound: production embedding-ingest triggers are
 #: micro and COUNT-bounded (the dedup_incremental r8 lesson verbatim) —
 #: min(SEM_ADMIT_BATCH, ceil(n/8)) keeps the tiny correctness corpora's

@@ -1100,6 +1100,184 @@ def semantic_dedup_partitioned_oracle_sql(
     return _pair_scan_sql(prefix, corpus_src, threshold)
 
 
+# Signature multi-probe recovery ----------------------------------------------
+#
+# The partition's priced recall trade (module note above): a near-dup
+# pair straddling ANY of the b signature bits is never compared —
+# survival ≈ (1 − θ/π)^b. r10 named the standard LSH recovery without
+# building it; this is the build. Each row, besides its home composite
+# cell, PROBES the n_flip cells at signature Hamming distance 1 (bit i
+# flipped, i < n_flip) — the dedup analogue of signature_ann_topk's
+# query-side multi-probe. A pair differing in exactly one probed bit
+# meets exactly twice (each side probing into the other's home);
+# the dup_of < vec_id gate keeps one. Pairs differing in ≥2 bits stay
+# un-compared: per-bit survival rises from (1 − θ/π) to
+# 1 − (θ/π)²-ish at one flip — the knob's next rung is more flips, not
+# a different operator. Cost is the standard multi-probe trade: the
+# pair join fans out ≤ (n_flip + 1)× over capped cells, zero extra
+# plan literals (probe cells are integer arithmetic on the composite
+# id: sig = cell ÷ n_fine, tl = cell mod n_fine — both engines restate
+# the same closed form, no re-fold of the signature bits).
+
+
+def semantic_dedup_probed(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    n_sig_bits: int,
+    n_flip: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    materialize_assignment: bool = True,
+) -> DataFrame:
+    """:func:`semantic_dedup_partitioned` with signature MULTI-PROBE
+    recovery (module note above): identical keep rule, output shape and
+    cap semantics; additionally compares every pair whose composite
+    cells agree on the trained id and differ in exactly one of the
+    first ``n_flip`` signature bits. ``n_flip`` defaults to all
+    ``n_sig_bits`` (full 1-flip recovery); ``n_flip=0`` is bit-equal to
+    the unprobed operator (test-locked)."""
+    if n_flip is None:
+        n_flip = n_sig_bits
+    if not 0 <= n_flip <= n_sig_bits:
+        raise ValueError(
+            f"semantic_dedup_probed: n_flip={n_flip} outside [0, {n_sig_bits}]"
+        )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = with_partitioned_cell(c, coarse, fines, n_sig_bits)
+    if materialize_assignment and not _plan_audit_active():
+        c = c.localCheckpoint(eager=True)
+    n_fine = sum(len(f) for f in fines)
+    return _celled_pair_dedup_probed(c, threshold, max_cell_size, n_fine, n_flip)
+
+
+def _probe_cells(cell: Column, n_fine: int, n_flip: int) -> Column:
+    """The ``n_flip`` composite cells at signature Hamming distance 1
+    from ``cell``: sig ÷/mod decomposition, bit i XOR, recompose —
+    closed-form integer arithmetic on the stored id (no signature
+    re-fold), restated identically by the oracle twin."""
+    sig = (cell / F.lit(n_fine)).cast("bigint")  # floor: cell ≥ 0
+    tl = cell % F.lit(n_fine)
+    return F.array(
+        *[
+            (sig.bitwiseXOR(F.lit(1 << i)) * F.lit(n_fine) + tl).cast("bigint")
+            for i in range(n_flip)
+        ]
+    )
+
+
+def _celled_pair_dedup_probed(
+    c: DataFrame,
+    threshold: float,
+    max_cell_size: int | None,
+    n_fine: int,
+    n_flip: int,
+) -> DataFrame:
+    """:func:`_celled_pair_dedup` plus the probe pair source: the home
+    self-join unchanged, unioned with (exploded probe cells) × (home
+    rows). The cap applies to HOME membership once — a capped-out row
+    leaves both sides entirely, exactly the unprobed semantics."""
+    if n_flip == 0:
+        return _celled_pair_dedup(c, threshold, max_cell_size)
+    if max_cell_size is not None:
+        c = _sample_cells_to_cap(c, max_cell_size, id_col="vec_id")
+    c = c.withColumn("_n", norm(F.col("_v")))
+    a = c.select(
+        F.col("vec_id").alias("dup_of"),
+        "cell",
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    # probe side: same projection, cell replaced by each 1-flip cell
+    ap = c.select(
+        F.col("vec_id").alias("dup_of"),
+        F.explode(_probe_cells(F.col("cell"), n_fine, n_flip)).alias("cell"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    b = c.select("vec_id", "cell", F.col("_v").alias("_bv"), F.col("_n").alias("_bn"))
+    # home pairs meet once (a.cell = b.cell, a < b); a 1-flip pair meets
+    # twice across the probe join (each side probing into the other's
+    # home) and the same a < b gate keeps exactly one. The two sources
+    # are disjoint (same sig vs sig differing in one bit), so the union
+    # introduces no duplicate candidates.
+    pairs = (
+        a.unionByName(ap)
+        .join(b, "cell")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dup_of"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell", "dup_of", "cosine")
+    )
+
+
+def semantic_dedup_probed_oracle_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    n_sig_bits: int,
+    n_flip: int | None = None,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_dedup_probed` — the
+    partitioned assignment CTEs, a probe CTE restating the same
+    ÷/mod/xor closed form over the composite id, and the shared
+    pair-scan shape over the union of home and probe sources."""
+    if n_flip is None:
+        n_flip = n_sig_bits
+    prefix, corpus_src = partitioned_assignment_cte_sql(
+        coarse, fines, n_sig_bits, max_cell_size
+    )
+    if n_flip == 0:
+        return _pair_scan_sql(prefix, corpus_src, threshold)
+    dot_ab = "list_sum(list_transform(range(1, len(a.e) + 1), j -> a.e[j] * b.e[j]))"
+    flips = ", ".join(str(1 << i) for i in range(n_flip))
+    return f"""WITH {prefix},
+sd AS (
+  SELECT vec_id, e, cell, sqrt(list_sum(list_transform(e, y -> y * y))) AS n
+  FROM {corpus_src}
+),
+probed AS (
+  SELECT vec_id, e, n,
+         xor(cell // {n_fine_sql(fines)}, f.flip) * {n_fine_sql(fines)}
+           + (cell % {n_fine_sql(fines)}) AS cell
+  FROM sd, (SELECT unnest([{flips}]) AS flip) f
+),
+pairs AS (
+  SELECT a.vec_id AS dup_of, b.vec_id AS vec_id, b.cell AS cell,
+         ({dot_ab}) / (a.n * b.n) AS cosine
+  FROM sd a JOIN sd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ({dot_ab}) / (a.n * b.n) >= {_sql_double(threshold)}
+  UNION ALL
+  SELECT a.vec_id AS dup_of, b.vec_id AS vec_id, b.cell AS cell,
+         ({dot_ab}) / (a.n * b.n) AS cosine
+  FROM probed a JOIN sd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ({dot_ab}) / (a.n * b.n) >= {_sql_double(threshold)}
+)
+SELECT vec_id, cell, dup_of, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
+  FROM pairs
+) WHERE rn = 1"""
+
+
+def n_fine_sql(fines: list[list[list[float]]]) -> int:
+    """Total fine-cell count — the composite id's modulus, named once
+    so the engine and oracle decompositions cannot drift."""
+    return sum(len(f) for f in fines)
+
+
 def semantic_admit(
     index: DataFrame,
     batch: DataFrame,

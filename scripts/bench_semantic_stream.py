@@ -91,6 +91,27 @@ def main() -> None:
             fingerprint = None
         emb.repartition(n_batches).write.mode("overwrite").parquet(src)
 
+        # Per-trigger + fold instrumentation (VERDICT r10 #5: the
+        # stream-age study must NAME per-trigger and fold cost, not just
+        # the aggregate wall): wrap the module-level entrypoints the
+        # loop resolves at call time. Negligible overhead (two
+        # perf_counter reads per trigger).
+        trigger_s: list[float] = []
+        fold_s: list[float] = []
+        _real_batch, _real_fold = sa.semantic_admit_batch, sa._fold
+
+        def _timed_batch(*a, **kw):
+            t = time.perf_counter()
+            _real_batch(*a, **kw)
+            trigger_s.append(round(time.perf_counter() - t, 3))
+
+        def _timed_fold(*a, **kw):
+            t = time.perf_counter()
+            _real_fold(*a, **kw)
+            fold_s.append(round(time.perf_counter() - t, 3))
+
+        sa.semantic_admit_batch, sa._fold = _timed_batch, _timed_fold
+
         stream = (
             spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1)
@@ -113,6 +134,29 @@ def main() -> None:
         q.awaitTermination()
         wall = time.perf_counter() - t0
 
+        sa.semantic_admit_batch, sa._fold = _real_batch, _real_fold
+        if trigger_s:
+            import statistics as st
+
+            half = len(trigger_s) // 2
+            print(
+                json.dumps(
+                    {
+                        "per_trigger_s": trigger_s,
+                        "trigger_median_s": round(st.median(trigger_s), 3),
+                        "trigger_median_first_half_s": round(
+                            st.median(trigger_s[:half] or trigger_s), 3
+                        ),
+                        "trigger_median_second_half_s": round(
+                            st.median(trigger_s[half:] or trigger_s), 3
+                        ),
+                        "n_folds": len(fold_s),
+                        "fold_s": fold_s,
+                        "note": "fold time is included in its trigger's entry",
+                    }
+                ),
+                flush=True,
+            )
         verdicts = spark.read.option("recursiveFileLookup", "true").parquet(
             verdict_dir
         )

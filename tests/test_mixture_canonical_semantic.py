@@ -277,6 +277,80 @@ def test_partitioned_sig_bits_refine_cells_and_keep_drops(spark):
     assert all(0 <= r["cell"] < (1 << 2) * n_fine for r in part)
 
 
+def test_probed_zero_flips_equals_partitioned(spark):
+    """n_flip=0 must be bit-equal to the unprobed partitioned operator
+    (the probe source is empty, so the plan degenerates to the home
+    self-join) — capped config, the registered shape."""
+    from forgettable_spark.extensions.codebook import (
+        semantic_dedup_partitioned,
+        semantic_dedup_probed,
+        train_two_level_codebook,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = train_two_level_codebook(emb, k1=4, k2=2)
+    a = sorted(
+        map(
+            tuple,
+            semantic_dedup_partitioned(
+                emb, coarse, fines, 0.38, n_sig_bits=2, max_cell_size=64
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup_probed(
+                emb, coarse, fines, 0.38, n_sig_bits=2, n_flip=0,
+                max_cell_size=64,
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_probed_recall_monotone_and_bounded_by_two_level(spark):
+    """Cap-free laws of the multi-probe recovery: the drop set grows
+    monotonically in n_flip (more probes only add candidate pairs) and
+    every arm stays a SUBSET of the unpartitioned two-level drop set
+    (a probed pair agrees on the trained cell by construction — sig
+    bits never merge trained cells). The full-flip arm must recover
+    strictly more than the unprobed one on this corpus (non-vacuous)."""
+    from forgettable_spark.extensions.codebook import (
+        semantic_dedup_probed,
+        semantic_dedup_two_level,
+        train_two_level_codebook,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = train_two_level_codebook(emb, k1=4, k2=2)
+    truth = {
+        r["vec_id"]
+        for r in semantic_dedup_two_level(emb, coarse, fines, 0.38).collect()
+    }
+    drops = {}
+    for fl in (0, 1, 2):
+        drops[fl] = {
+            r["vec_id"]
+            for r in semantic_dedup_probed(
+                emb, coarse, fines, 0.38, n_sig_bits=2, n_flip=fl
+            ).collect()
+        }
+    assert drops[0] <= drops[1] <= drops[2] <= truth
+    assert len(drops[2]) > len(drops[0])
+    # out-of-range n_flip must raise, not silently clamp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_flip"):
+        semantic_dedup_probed(emb, coarse, fines, 0.38, n_sig_bits=2, n_flip=3)
+
+
 def test_mixture_apply_honors_plan_counts(spark):
     """The materialization keeps EXACTLY keep_n docs per source, and the
     kept set is the md5-order prefix (nested: growing a share only adds)."""
