@@ -868,6 +868,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recovered ⊆ truth by construction. Generated oracle wraps the
         # probed twins per setting.
         "semantic_probed_recall": entrypoints_ext.q_semantic_probed_recall,
+        # NEW r11, secondary from birth: the ADMISSION arm of the
+        # multi-probe recovery — without probing, a corpus-aware
+        # partition silently ADMITS duplicates straddling one signature
+        # bit (the exact failure the admission loop exists to prevent).
+        # Same count-bounded batch device as the registered
+        # semantic_admit. Generated literal-codebook oracle.
+        "semantic_admit_probed": entrypoints_ext.q_semantic_admit_probed,
     }
 
 
@@ -1016,6 +1023,7 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     for name, gen in (
         ("semantic_dedup_probed", entrypoints_ext._oracle_semantic_dedup_probed),
         ("semantic_probed_recall", entrypoints_ext._oracle_semantic_probed_recall),
+        ("semantic_admit_probed", entrypoints_ext._oracle_semantic_admit_probed),
     ):
         entrypoints_ext._add_generated_oracle(out, name, gen, corpus)
     return out

@@ -1340,6 +1340,70 @@ def _oracle_semantic_admit(sf_dir: str) -> str:
     )
 
 
+def q_semantic_admit_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: :func:`q_semantic_admit` over the signature-partitioned
+    assignment WITH batch-side multi-probe
+    (`codebook.semantic_admit_probed`) — the admission arm of the
+    multi-probe recovery: without probing, a corpus-aware partition
+    silently ADMITS any duplicate straddling one signature bit, the
+    exact failure the admission loop exists to prevent. Same
+    count-bounded batch device as the registered `semantic_admit`,
+    same verdict contract; the two-level codebook memo and
+    corpus-aware b shared with the dedup family."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fines = _two_level_codebook_for(spark, sf_dir)
+
+    def build() -> DataFrame:
+        n = emb.count()
+        bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
+        new_ids = scoped_cache(
+            emb.select(
+                "vec_id",
+                F.md5(
+                    F.concat(F.lit(f"{INCR_SALT}:"), F.col("vec_id").cast("string"))
+                ).alias("_k"),
+            )
+            .orderBy("_k", "vec_id")
+            .limit(bound)
+            .select("vec_id")
+        )
+        return cb.semantic_admit_probed(
+            emb.join(F.broadcast(new_ids), "vec_id", "left_anti"),
+            emb.join(F.broadcast(new_ids), "vec_id", "left_semi"),
+            coarse,
+            fines,
+            n_sig_bits=_partitioned_sig_bits(sf_dir),
+            threshold=SEMDEDUP_COSINE,
+            max_cell_size=SEMDEDUP_CAP,
+            broadcast_batch=True,
+        )
+
+    return run_released(spark, build)
+
+
+def _oracle_semantic_admit_probed(sf_dir: str) -> str:
+    """Generated partitioned multi-probe twin of
+    :func:`q_semantic_admit_probed` (same codebook memo, same
+    corpus-derived b, same count-bounded member device)."""
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse, fines = _two_level_codebook_local_for(sf_dir)
+    limit_sql = (
+        f"SELECT LEAST({SEM_ADMIT_BATCH}, (COUNT(*) + 7) // 8) FROM embeddings"
+    )
+    return cb.semantic_admit_probed_oracle_sql(
+        coarse,
+        fines,
+        n_sig_bits=_partitioned_sig_bits(sf_dir),
+        threshold=SEMDEDUP_COSINE,
+        batch_limit_sql=limit_sql,
+        salt=INCR_SALT,
+        max_cell_size=SEMDEDUP_CAP,
+    )
+
+
 #: Multi-probe list: indices of the n_probes largest |components|, ties by
 #: index asc — the struct list_sort mirrors Spark's top_p_buckets exactly.
 _PROBES_SQL = (

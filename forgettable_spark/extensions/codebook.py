@@ -1465,3 +1465,193 @@ SELECT b.vec_id, best.match_id IS NOT NULL AS is_dup,
        COALESCE(best.match_id, -1) AS match_id,
        COALESCE(best.cosine, 0e0) AS cosine
 FROM bat b LEFT JOIN best USING (vec_id)"""
+
+
+def semantic_admit_probed(
+    index: DataFrame,
+    batch: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_sig_bits: int,
+    threshold: float,
+    n_flip: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """:func:`semantic_admit` over the signature-partitioned assignment
+    WITH batch-side multi-probe (the admission arm of
+    :func:`semantic_dedup_probed`'s recovery): a batch vector whose
+    signature differs from a stored near-duplicate's in exactly one of
+    the first ``n_flip`` bits still finds it — without probing, the
+    partition's (1−θ/π)^b trade silently ADMITS such duplicates, the
+    exact failure the admission loop exists to prevent. Probing is
+    single-sided (targets probe into witness homes), so each (witness,
+    target) pair meets at most once — no dedup gate needed beyond the
+    existing lower-id rule. Verdict contract identical to
+    :func:`semantic_admit`."""
+    if n_flip is None:
+        n_flip = n_sig_bits
+    if not 0 <= n_flip <= n_sig_bits:
+        raise ValueError(
+            f"semantic_admit_probed: n_flip={n_flip} outside [0, {n_sig_bits}]"
+        )
+    n_fine = sum(len(f) for f in fines)
+    return semantic_admit_assigned_probed(
+        assign_cells_partitioned(
+            index, coarse, fines, n_sig_bits, id_col=id_col, vec_col=vec_col
+        ),
+        assign_cells_partitioned(
+            batch, coarse, fines, n_sig_bits, id_col=id_col, vec_col=vec_col
+        ),
+        threshold,
+        n_fine=n_fine,
+        n_flip=n_flip,
+        max_cell_size=max_cell_size,
+        broadcast_batch=broadcast_batch,
+    )
+
+
+def semantic_admit_assigned_probed(
+    idx: DataFrame,
+    bat: DataFrame,
+    threshold: float,
+    n_fine: int,
+    n_flip: int,
+    max_cell_size: int | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """:func:`semantic_admit_assigned` with batch-side 1-flip probes
+    over composite cell ids (the streaming loop's pre-assigned shape —
+    a stored index with persisted composite (cell, n) plugs in
+    unchanged; only the TARGET side fans out ≤(n_flip+1)×, so the index
+    still pays one scan + cap window per trigger)."""
+    if n_flip == 0:
+        return semantic_admit_assigned(
+            idx, bat, threshold,
+            max_cell_size=max_cell_size, broadcast_batch=broadcast_batch,
+        )
+    if max_cell_size is not None:
+        idx = _sample_cells_to_cap(idx, max_cell_size, id_col="vec_id")
+    wit = idx.withColumn("_src", F.lit(0)).unionByName(
+        bat.withColumn("_src", F.lit(1))
+    )
+    wit = wit.select(
+        F.col("vec_id").alias("match_id"),
+        "cell",
+        F.col("_v").alias("_wv"),
+        F.col("n").alias("_wn"),
+        "_src",
+    )
+    # targets probe: home cell + the n_flip cells at signature Hamming
+    # distance 1 — distinct cells, so each (witness, target) pair meets
+    # through exactly one join key.
+    tgt = bat.select(
+        "vec_id",
+        F.explode(
+            F.concat(
+                F.array(F.col("cell")),
+                _probe_cells(F.col("cell"), n_fine, n_flip),
+            )
+        ).alias("cell"),
+        F.col("_v").alias("_bv"),
+        F.col("n").alias("_bn"),
+    )
+    if broadcast_batch:
+        tgt = F.broadcast(tgt)
+    pairs = (
+        wit.join(tgt, "cell")
+        .filter((F.col("_src") == 0) | (F.col("match_id") < F.col("vec_id")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_wv"), F.col("_bv")) / (F.col("_wn") * F.col("_bn")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("match_id"))
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "match_id", "cosine")
+    )
+    return (
+        bat.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("match_id").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("match_id"), F.lit(-1).cast("bigint")).alias("match_id"),
+            F.coalesce(F.col("cosine"), F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
+def semantic_admit_probed_oracle_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_sig_bits: int,
+    threshold: float,
+    batch_limit_sql: str,
+    salt: str,
+    n_flip: int | None = None,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_admit_probed` over the
+    pre-registered ``embeddings`` view — the partitioned assignment
+    CTEs, the text family's count-bounded member device, and the
+    batch-target probe CTE restating the ÷/mod/xor closed form."""
+    if n_flip is None:
+        n_flip = n_sig_bits
+    prefix, _ = partitioned_assignment_cte_sql(coarse, fines, n_sig_bits, None)
+    dot_ab = "list_sum(list_transform(range(1, len(w.e) + 1), j -> w.e[j] * b.e[j]))"
+    cap, idx_src = _cap_cte_sql(max_cell_size, src="idx0", name="idx")
+    nf = n_fine_sql(fines)
+    if n_flip > 0:
+        flips = ", ".join(str(1 << i) for i in range(n_flip))
+        probe_cte = f""",
+sbp AS (
+  SELECT vec_id, e, cell, n FROM sb
+  UNION ALL
+  SELECT vec_id, e,
+         xor(cell // {nf}, f.flip) * {nf} + (cell % {nf}) AS cell, n
+  FROM sb, (SELECT unnest([{flips}]) AS flip) f
+)"""
+        tgt_src = "sbp"
+    else:
+        probe_cte = ""
+        tgt_src = "sb"
+    return f"""WITH {prefix},
+member AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5('{salt}:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT ({batch_limit_sql})
+),
+bat AS (SELECT a.* FROM assigned a JOIN member USING (vec_id)),
+idx0 AS (SELECT a.* FROM assigned a ANTI JOIN member USING (vec_id)){cap},
+wit AS (
+  SELECT vec_id, e, cell, 0 AS src FROM {idx_src}
+  UNION ALL
+  SELECT vec_id, e, cell, 1 AS src FROM bat
+),
+sw AS (SELECT vec_id, e, cell, src,
+       sqrt(list_sum(list_transform(e, y -> y * y))) AS n FROM wit),
+sb AS (SELECT vec_id, e, cell,
+       sqrt(list_sum(list_transform(e, y -> y * y))) AS n FROM bat){probe_cte},
+pairs AS (
+  SELECT w.vec_id AS match_id, b.vec_id AS vec_id,
+         ({dot_ab}) / (w.n * b.n) AS cosine
+  FROM sw w JOIN {tgt_src} b ON w.cell = b.cell
+   AND (w.src = 0 OR w.vec_id < b.vec_id)
+  WHERE ({dot_ab}) / (w.n * b.n) >= {_sql_double(threshold)}
+),
+best AS (
+  SELECT vec_id, match_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY match_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT b.vec_id, best.match_id IS NOT NULL AS is_dup,
+       COALESCE(best.match_id, -1) AS match_id,
+       COALESCE(best.cosine, 0e0) AS cosine
+FROM bat b LEFT JOIN best USING (vec_id)"""

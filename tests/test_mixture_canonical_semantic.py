@@ -351,6 +351,51 @@ def test_probed_recall_monotone_and_bounded_by_two_level(spark):
         semantic_dedup_probed(emb, coarse, fines, 0.38, n_sig_bits=2, n_flip=3)
 
 
+def test_admit_probed_monotone_recovery(spark):
+    """The admission arm of the multi-probe recovery: without probes a
+    partitioned assignment silently ADMITS duplicates straddling one
+    signature bit (measured at sf0.01/b=2: 3 of 7 caught); the dup set
+    must grow monotonically in n_flip and be strictly larger at full
+    1-flip recovery on this corpus (non-vacuous)."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark import entrypoints_ext as ext
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = ext._two_level_codebook_for(spark, SF_ORACLE)
+    b = ext._partitioned_sig_bits(SF_ORACLE)
+    n = emb.count()
+    bound = min(ext.SEM_ADMIT_BATCH, (n + 7) // 8)
+    new_ids = (
+        emb.select(
+            "vec_id",
+            F.md5(
+                F.concat(F.lit(f"{ext.INCR_SALT}:"), F.col("vec_id").cast("string"))
+            ).alias("_k"),
+        )
+        .orderBy("_k", "vec_id")
+        .limit(bound)
+        .select("vec_id")
+    )
+    idx = emb.join(F.broadcast(new_ids), "vec_id", "left_anti")
+    bat = emb.join(F.broadcast(new_ids), "vec_id", "left_semi")
+    dups = {}
+    for fl in (0, 1, b):
+        v = cb.semantic_admit_probed(
+            idx, bat, coarse, fines, n_sig_bits=b,
+            threshold=ext.SEMDEDUP_COSINE, n_flip=fl,
+            max_cell_size=ext.SEMDEDUP_CAP, broadcast_batch=True,
+        ).collect()
+        assert len(v) == bat.count()  # one verdict per batch vector
+        dups[fl] = {r["vec_id"] for r in v if r["is_dup"]}
+    assert dups[0] <= dups[1] <= dups[b]
+    assert len(dups[b]) > len(dups[0])
+
+
 def test_mixture_apply_honors_plan_counts(spark):
     """The materialization keeps EXACTLY keep_n docs per source, and the
     kept set is the md5-order prefix (nested: growing a share only adds)."""
