@@ -875,6 +875,13 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Same count-bounded batch device as the registered
         # semantic_admit. Generated literal-codebook oracle.
         "semantic_admit_probed": entrypoints_ext.q_semantic_admit_probed,
+        # NEW r11, secondary from birth: SEMANTIC decontamination — the
+        # embedding arm of the decontamination family (exact n-gram /
+        # MinHash / cosine): paraphrased eval leaks that share no
+        # n-grams still surface. Broadcast multi-probed eval side into
+        # the corpus scan's cell join; corpus never shuffles for the
+        # match. Generated literal-codebook oracle.
+        "decontaminate_semantic": entrypoints_ext.q_decontaminate_semantic,
     }
 
 
@@ -1024,6 +1031,7 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         ("semantic_dedup_probed", entrypoints_ext._oracle_semantic_dedup_probed),
         ("semantic_probed_recall", entrypoints_ext._oracle_semantic_probed_recall),
         ("semantic_admit_probed", entrypoints_ext._oracle_semantic_admit_probed),
+        ("decontaminate_semantic", entrypoints_ext._oracle_decontaminate_semantic),
     ):
         entrypoints_ext._add_generated_oracle(out, name, gen, corpus)
     return out

@@ -990,6 +990,41 @@ def _oracle_knn_label(sf_dir: str) -> str:
     )
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: SEMANTIC decontamination
+    (`codebook.decontaminate_semantic`) — the embedding arm of the
+    decontamination family (exact n-gram `decontaminate`, MinHash
+    `decontaminate_fuzzy`, and now cosine): flag corpus vectors within
+    threshold cosine of any eval vector, catching paraphrased leaks
+    that share no n-grams. Eval slice = the ANN query device
+    (vec_id % 25), SAME memoized k=8 codebook, multi-probe 2 on the
+    broadcast eval side; corpus side never shuffles for the match."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+    return cb.decontaminate_semantic(
+        emb.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
+        _queries_subset(emb),
+        cents,
+        threshold=SEMDEDUP_COSINE,
+        n_probes=KMEANS_PROBES,
+    )
+
+
+def _oracle_decontaminate_semantic(sf_dir: str) -> str:
+    """Generated literal-codebook twin (the `_oracle_ann_kmeans`
+    device) of :func:`q_decontaminate_semantic`."""
+    from forgettable_spark.extensions import codebook as cb
+
+    return cb.decontaminate_semantic_oracle_sql(
+        _codebook_local_for(sf_dir, KMEANS_CELLS),
+        threshold=SEMDEDUP_COSINE,
+        n_probes=KMEANS_PROBES,
+        eval_mod=ANN_QUERY_MOD,
+    )
+
+
 def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The labeling operator's own quality gauge (the
     `ann_recall` pattern): run `knn_label` over the labeled/unlabeled

@@ -1467,6 +1467,106 @@ SELECT b.vec_id, best.match_id IS NOT NULL AS is_dup,
 FROM bat b LEFT JOIN best USING (vec_id)"""
 
 
+def decontaminate_semantic(
+    corpus: DataFrame,
+    evals: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding arm of the
+    decontamination family (`contamination.decontaminate` = exact
+    n-gram, `fuzzy_decontaminate_from_sketches` = MinHash; this =
+    embedding cosine): flag every corpus vector within ``threshold``
+    cosine of ANY eval/benchmark vector, so paraphrased or translated
+    leaks that share no n-grams still surface. One row per contaminated
+    corpus vector: (vec_id, eval_vec_id, cosine) with the MINIMAL eval
+    witness id (deterministic, the semantic-dedup rule).
+
+    Scale posture: the corpus side takes only its row-local assignment
+    fold and never shuffles for the match — the (tiny) eval side is
+    assigned, multi-probed (``n_probes`` widens recall exactly as in
+    :func:`knn_label`) and BROADCAST into the corpus scan's cell
+    equi-join; the one exchange is the narrow min-witness window on
+    flagged rows (O(contaminated), not O(corpus)). Cells-∝-corpus via
+    the partitioned assigner composes the same way when flat-codebook
+    occupancy grows. No corpus-side cap: a cap would silently HIDE
+    contamination, the opposite of this operator's contract.
+
+    Reference scope: brief-commissioned LLM-pipeline operator (the
+    reference engine has no embedding surface).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    c = c.withColumn("_cn", norm(F.col("_cv")))
+    q = evals.select(
+        F.col(id_col).alias("eval_vec_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", norm(F.col("_qv")))
+    if n_probes <= 1:
+        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+    else:
+        q = q.withColumn(
+            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+        )
+    flagged = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("eval_vec_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("eval_vec_id"))
+    return (
+        flagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "eval_vec_id", "cosine")
+    )
+
+
+def decontaminate_semantic_oracle_sql(
+    centroids: list[list[float]],
+    threshold: float,
+    n_probes: int = 1,
+    eval_mod: int = 25,
+) -> str:
+    """The DuckDB twin of :func:`decontaminate_semantic` over the
+    pre-registered ``embeddings`` view, with the corpus/eval split on
+    the ``vec_id % eval_mod`` device (eval = the sampled rows, corpus =
+    the rest — the knn_label split mirrored)."""
+    cos = (
+        "({d}) / ((sqrt({na})) * (sqrt({nb})))".format(
+            d="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * e[j]))",
+            na="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * qv[j]))",
+            nb="list_sum(list_transform(range(1, len(e) + 1), j -> e[j] * e[j]))",
+        )
+    )
+    prefix, _ = _assignment_cte_sql(centroids, None)
+    return f"""WITH {prefix},
+corpus AS (
+  SELECT vec_id, e, cell FROM assigned WHERE vec_id % {eval_mod} != 0
+),
+q AS (
+  SELECT vec_id AS eval_vec_id, e AS qv, CAST(ci AS BIGINT) AS cell
+  FROM ranked WHERE vec_id % {eval_mod} = 0 AND crn <= {n_probes}
+),
+flagged AS (
+  SELECT c.vec_id, q.eval_vec_id, {cos} AS cosine
+  FROM q JOIN corpus c USING (cell) WHERE c.vec_id != q.eval_vec_id
+)
+SELECT vec_id, eval_vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY eval_vec_id ASC) AS rn
+  FROM flagged WHERE cosine >= {_sql_double(threshold)}
+) WHERE rn = 1"""
+
+
 def semantic_admit_probed(
     index: DataFrame,
     batch: DataFrame,

@@ -176,8 +176,20 @@ def semantic_admit_batch(
     vec_col: str = "embedding",
     assigner=None,
     fingerprint: str | None = None,
+    probe_n_fine: int | None = None,
+    probe_flips: int = 0,
 ) -> None:
     """Run one micro-batch of embedding admission (see module doc).
+
+    ``probe_flips`` / ``probe_n_fine``: batch-side 1-flip multi-probe
+    over COMPOSITE cell ids (r11, ``codebook.semantic_admit_assigned_probed``)
+    — without it, a partitioned assigner silently ADMITS duplicates
+    straddling one signature bit. Only meaningful with a composite
+    ``assigner`` (``probe_n_fine`` is the trained-cell modulus of its
+    ids, k1·k2); probing changes which duplicates are caught, not the
+    cell space, so it does NOT enter the assigner fingerprint — but
+    the index-side posture is unchanged (targets fan out, the stored
+    index still pays one scan + cap window).
 
     ``assigner``: optional ``(vec_id, embedding) frame → (vec_id, _v,
     cell, n)`` callable replacing the default flat
@@ -221,6 +233,12 @@ def semantic_admit_batch(
             "its cell space) — the loop cannot derive one from a callable, "
             "and an unfingerprinted index cannot detect a quantizer swap "
             "across restarts."
+        )
+    if probe_flips and probe_n_fine is None:
+        raise ValueError(
+            "semantic_admit_batch: probe_flips > 0 needs probe_n_fine "
+            "(the composite id's trained-cell modulus, k1·k2) — probe "
+            "cells are derived by ÷/mod/xor arithmetic on the stored id."
         )
     fp = fingerprint or assigner_fingerprint("flat", centroids)
     # Validate (or claim, on first contact) BEFORE any work — including
@@ -291,13 +309,24 @@ def semantic_admit_batch(
             # The batch is a production micro-trigger — bounded by
             # construction — so the batch-side broadcast is honest here
             # (the semantic_admit guard's documented opt-in condition).
-            verdicts = cb.semantic_admit_assigned(
-                idx,
-                batch.select("vec_id", "_v", "cell", "n"),
-                threshold=threshold,
-                max_cell_size=max_cell_size,
-                broadcast_batch=True,
-            ).localCheckpoint(eager=True)
+            if probe_flips:
+                verdicts = cb.semantic_admit_assigned_probed(
+                    idx,
+                    batch.select("vec_id", "_v", "cell", "n"),
+                    threshold=threshold,
+                    n_fine=probe_n_fine,
+                    n_flip=probe_flips,
+                    max_cell_size=max_cell_size,
+                    broadcast_batch=True,
+                ).localCheckpoint(eager=True)
+            else:
+                verdicts = cb.semantic_admit_assigned(
+                    idx,
+                    batch.select("vec_id", "_v", "cell", "n"),
+                    threshold=threshold,
+                    max_cell_size=max_cell_size,
+                    broadcast_batch=True,
+                ).localCheckpoint(eager=True)
             verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "overwrite"
             ).parquet(os.path.join(verdict_dir, f"batch-{batch_id}"))
@@ -346,11 +375,13 @@ def semantic_admission_stream(
     vec_col: str = "embedding",
     assigner=None,
     fingerprint: str | None = None,
+    probe_n_fine: int | None = None,
+    probe_flips: int = 0,
 ) -> StreamingQuery:
     """Wire a vector stream into the per-batch embedding-admission loop.
     Returns the started query; exactly-once anchored by the checkpoint +
     the idempotent ``batch-<id>`` overwrites (the ``admission_stream``
-    contract). ``assigner`` / ``fingerprint`` as in
+    contract). ``assigner`` / ``fingerprint`` / ``probe_*`` as in
     :func:`semantic_admit_batch` (the assigner must be stable across the
     stream's lifetime — it defines the index's cell space, and the
     persisted fingerprint makes a restart that violates this fail at
@@ -371,6 +402,8 @@ def semantic_admission_stream(
             vec_col=vec_col,
             assigner=assigner,
             fingerprint=fingerprint,
+            probe_n_fine=probe_n_fine,
+            probe_flips=probe_flips,
         )
 
     writer = (

@@ -396,6 +396,36 @@ def test_admit_probed_monotone_recovery(spark):
     assert len(dups[b]) > len(dups[0])
 
 
+def test_decontaminate_semantic_probe_widening_and_witness(spark):
+    """Semantic decontamination laws: (1) the flagged set grows
+    monotonically in n_probes (probes only add candidate cells), (2)
+    every flagged cosine clears the threshold, (3) the witness is the
+    MINIMAL qualifying eval id, and (4) eval vectors never flag
+    themselves."""
+    from forgettable_spark import entrypoints_ext as ext
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = ext._codebook_for(spark, SF_ORACLE, ext.KMEANS_CELLS)
+    corpus = emb.filter(F.col("vec_id") % ext.ANN_QUERY_MOD != 0)
+    evals = emb.filter(F.col("vec_id") % ext.ANN_QUERY_MOD == 0)
+    out = {}
+    for p in (1, 2):
+        rows = cb.decontaminate_semantic(
+            corpus, evals, cents, threshold=ext.SEMDEDUP_COSINE, n_probes=p
+        ).collect()
+        out[p] = {r["vec_id"]: r for r in rows}
+    assert set(out[1]) <= set(out[2])
+    assert all(r["cosine"] >= ext.SEMDEDUP_COSINE for r in out[2].values())
+    assert all(r["vec_id"] % ext.ANN_QUERY_MOD != 0 for r in out[2].values())
+    assert all(
+        r["eval_vec_id"] % ext.ANN_QUERY_MOD == 0 for r in out[2].values()
+    )
+
+
 def test_mixture_apply_honors_plan_counts(spark):
     """The materialization keeps EXACTLY keep_n docs per source, and the
     kept set is the md5-order prefix (nested: growing a share only adds)."""

@@ -358,6 +358,53 @@ def test_require_success_probes_both_sides():
     assert "index_dir" in src.split("_require_success(")[2]
 
 
+def test_loop_probe_flips_catch_cross_bit_duplicate(spark, dirs):
+    """r11 multi-probe admission through the LOOP: a near-duplicate pair
+    straddling one signature bit (crafted from the hyperplane weight
+    formula: w0=[0,3,-1,2], so [1,0,±0.1,0] flips bit 0 only, cosine
+    ≈0.98) is silently ADMITTED by the unprobed partitioned loop and
+    caught with probe_flips set. Also: probe_flips without probe_n_fine
+    must raise."""
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse = [list(c) for c in CENTS]
+    fines = [[list(CENTS[0])], [list(CENTS[1])]]
+    bits, n_fine = 2, 2
+    assigner = lambda df: cb.assign_cells_partitioned(  # noqa: E731
+        df, coarse, fines, bits
+    )
+    fp = assigner_fingerprint("partitioned", coarse, fines, bits)
+    u, v = (1.0, 0.0, 0.1, 0.0), (1.0, 0.0, -0.1, 0.0)
+
+    with pytest.raises(ValueError, match="probe_n_fine"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(1, u)]), 0, dirs["index"], dirs["verdicts"],
+            None, threshold=0.95, assigner=assigner, fingerprint=fp,
+            probe_flips=2,
+        )
+
+    def run(workdir: str, flips: int) -> dict:
+        idx, ver = f"{workdir}/index", f"{workdir}/verdicts"
+        for bid, rows in enumerate([[(1, u)], [(10, v)]]):
+            semantic_admit_batch(
+                spark, _vec_df(spark, rows), bid, idx, ver,
+                None, threshold=0.95, assigner=assigner, fingerprint=fp,
+                probe_n_fine=n_fine, probe_flips=flips,
+            )
+        return {
+            r["vec_id"]: r.asDict()
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(ver).collect()
+        }
+
+    unprobed = run(os.path.join(dirs["root"], "noprobe"), 0)
+    probed = run(os.path.join(dirs["root"], "probe"), 2)
+    # same pair, same index: the only difference is the probe
+    assert not unprobed[10]["is_dup"], "cross-bit dup silently admitted"
+    assert probed[10]["is_dup"] and probed[10]["match_id"] == 1
+    assert probed[10]["cosine"] > 0.95
+
+
 def test_semantic_empty_trigger_writes_nothing(spark, dirs):
     """ADVICE r9: an empty micro-batch must not run the verdict job or
     mint empty batch-<id> directories that every later trigger would
