@@ -64,12 +64,23 @@ def main() -> None:
         t0 = time.perf_counter()
         coarse, fines = cb.train_two_level_codebook(emb, k1=K1, k2=K2)
         t_train = time.perf_counter() - t0
-        for variant, bits in [("two_level", 0), (f"partitioned_b{SIG_BITS}", SIG_BITS)]:
+        for variant, bits in [
+            ("two_level", 0),
+            (f"partitioned_b{SIG_BITS}", SIG_BITS),
+            # r11: full 1-flip multi-probe recovery — same composite
+            # cells, pair join fanned out ≤(b+1)× (the recall-recovery
+            # cost the operator prices; SCALING.md round-11)
+            (f"probed_b{SIG_BITS}", SIG_BITS),
+        ]:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             if bits == 0:
                 df = cb.semantic_dedup_two_level(
                     emb, coarse, fines, THRESHOLD, max_cell_size=CAP
+                )
+            elif variant.startswith("probed"):
+                df = cb.semantic_dedup_probed(
+                    emb, coarse, fines, THRESHOLD, n_sig_bits=bits, max_cell_size=CAP
                 )
             else:
                 df = cb.semantic_dedup_partitioned(

@@ -277,6 +277,35 @@ def test_partitioned_sig_bits_refine_cells_and_keep_drops(spark):
     assert all(0 <= r["cell"] < (1 << 2) * n_fine for r in part)
 
 
+def test_partitioned_sig_bits_rule():
+    """The corpus-aware signature width (VERDICT r10 #6): b =
+    max(floor, ceil(log2(n / (k1·k2·cap)))) — engine and oracle derive
+    it from the same parquet footer, so the rule itself is pinned here:
+    floor at the correctness SFs, log growth above (sf1-scale 20k →
+    b=6; sf30-scale 600k → b=11 at the 4×2/64 constants)."""
+    import math
+
+    from forgettable_spark import entrypoints_ext as ext
+
+    denom = ext.SEMDEDUP_K1 * ext.SEMDEDUP_K2 * ext.SEMDEDUP_CAP
+    assert denom == 512  # the documented constants this rule is sized for
+
+    def rule(n: int) -> int:
+        t = n / denom
+        return max(ext.SEMDEDUP_SIG_BITS, math.ceil(math.log2(t)) if t > 1 else 0)
+
+    # the real correctness corpora land exactly on the floor (oracle
+    # rows unchanged from the fixed-b r10 form)
+    assert ext._partitioned_sig_bits("/root/testdata/sf0.01") == 2
+    assert ext._partitioned_sig_bits("/root/testdata/sf0.1") == 2
+    # growth points of the pure rule
+    assert rule(500) == 2 and rule(2_000) == 2
+    assert rule(20_000) == 6 and rule(200_000) == 9 and rule(600_000) == 11
+    # footer counts memoize and match the actual corpora
+    assert ext._embeddings_count("/root/testdata/sf0.01") == 500
+    assert ext._embeddings_count("/root/testdata/sf0.1") == 2_000
+
+
 def test_probed_zero_flips_equals_partitioned(spark):
     """n_flip=0 must be bit-equal to the unprobed partitioned operator
     (the probe source is empty, so the plan degenerates to the home
