@@ -80,51 +80,20 @@ def emit_report(
     return final
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    except ValueError:
-        sf = 0.0  # non-sf<N> dir name: the value is only echoed in the report
-
-    from forgettable_spark.session import get_spark
-    from forgettable_spark import entrypoints as ep
-
-    # local[N] runs N executor threads in ONE JVM, so the driver heap
-    # carries the whole suite: 8g is right at sf<=0.1 but measured
-    # GC-bound at sf3 (row-local queries went 4-7x for 3x rows; 24g
-    # restored ~3x — SCALING.md sf3 section). Scale the default with SF;
-    # SPARK_GRAFT_DRIVER_MEM still overrides. Applied at session launch,
-    # so it must be set here, not after getOrCreate.
-    default_mem = "24g" if sf >= 1 else "8g"
-    spark = get_spark(
-        app_name="forgettable-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
-        extra_conf={
-            "spark.ui.enabled": "false",
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    all_qs = ep.queries()
-    qs = all_qs
-    only = os.environ.get("SPARK_GRAFT_ONLY")
-    if only:
-        names = {n.strip() for n in only.split(",") if n.strip()}
-        unknown = names - set(all_qs) - {"layout_bucketed_get_dist"}
-        if unknown:
-            raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {sorted(unknown)}")
-        qs = {n: f for n, f in all_qs.items() if n in names}
+def warm_session(spark, sf_dir: str, cpus: str) -> None:
+    """Untimed session warmup shared by bench.py and the scale scripts:
+    source-table footers + a dedicated non-registry plan exercising the
+    machinery classes every timed query compiles (shuffle/broadcast
+    join, window, explode+agg, md5/array/HOF codegen), sized from the
+    corpus parquet footers (VERDICT r10 #4)."""
     # Warm the JVM/parquet reader and each source table's footer/codegen
     # path outside the timed region (the first query to touch a table
     # otherwise pays ~2s of one-time engine warm-up that has nothing to do
     # with its plan — measured on ann_bucketed_topk, alphabetically first).
+    from forgettable_spark import entrypoints as _ep
     from forgettable_spark.sources import load_table as _lt
 
-    all_qs["db_size"](spark, sf_dir).collect()
+    _ep.queries()["db_size"](spark, sf_dir).collect()
     for _t in ("documents", "embeddings", "lineitem", "orders", "customer", "part", "supplier"):
         _lt(spark, sf_dir, _t).count()
     # The scan warmup above does NOT warm the join/window/codegen+JIT
@@ -144,16 +113,17 @@ def main() -> None:
     # once the corpus outgrew it (sf30: 600k embeddings, first
     # sequential-fold evaluation 61.1 s vs 3.94 s steady — SCALING.md
     # r10). Size from the larger of the two corpus tables' parquet
-    # footers (no data read); floor 200k keeps the small-sf behavior
-    # identical, cap 2M bounds one-time warmup cost at silly scales.
+    # footers (no data read; the ONE shared footer reader — the same
+    # function the corpus-aware signature sizing derives b from); floor
+    # 200k keeps the small-sf behavior identical, cap 2M bounds
+    # one-time warmup cost at silly scales.
     def _footer_rows(name: str) -> int:
-        import pyarrow.dataset as _pads
+        from forgettable_spark.entrypoints_ext import table_footer_rows
 
-        p = os.path.join(sf_dir, f"{name}.parquet")
         try:
-            return int(_pads.dataset(p).count_rows())
+            return table_footer_rows(sf_dir, name)
         except (OSError, ValueError):
-            return 0
+            return 0  # warmup sizing degrades to the floor, never raises
 
     _warm_rows = min(
         2_000_000,
@@ -202,6 +172,48 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
     spark.catalog.clearCache()
+
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        sf = 0.0  # non-sf<N> dir name: the value is only echoed in the report
+
+    from forgettable_spark.session import get_spark
+    from forgettable_spark import entrypoints as ep
+
+    # local[N] runs N executor threads in ONE JVM, so the driver heap
+    # carries the whole suite: 8g is right at sf<=0.1 but measured
+    # GC-bound at sf3 (row-local queries went 4-7x for 3x rows; 24g
+    # restored ~3x — SCALING.md sf3 section). Scale the default with SF;
+    # SPARK_GRAFT_DRIVER_MEM still overrides. Applied at session launch,
+    # so it must be set here, not after getOrCreate.
+    default_mem = "24g" if sf >= 1 else "8g"
+    spark = get_spark(
+        app_name="forgettable-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_qs = ep.queries()
+    qs = all_qs
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - set(all_qs) - {"layout_bucketed_get_dist"}
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {sorted(unknown)}")
+        qs = {n: f for n, f in all_qs.items() if n in names}
+    warm_session(spark, sf_dir, cpus)
 
     timings: dict[str, float] = {}
     retries: dict[str, list[float]] = {}

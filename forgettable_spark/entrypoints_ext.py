@@ -1088,20 +1088,28 @@ SEMDEDUP_SIG_BITS = 2
 _EMB_COUNTS: dict[str, int] = {}
 
 
+def table_footer_rows(sf_dir: str, name: str) -> int:
+    """Row count of one ``sf_dir`` table from parquet metadata (no data
+    scan; handles both single-file and directory layouts) — the ONE
+    footer reader shared by the corpus-aware signature sizing and
+    bench.py's warmup sizing, so the two 'pure functions of the corpus
+    footer' cannot drift (review r11). Raises FileNotFoundError — the
+    typed cold-fetch error the generated oracles degrade on — when the
+    table is absent."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    return int(pads.dataset(path).count_rows())
+
+
 def _embeddings_count(sf_dir: str) -> int:
-    """Row count of ``sf_dir``'s embeddings table from parquet metadata
-    (no data scan; handles both single-file and directory layouts).
-    Raises FileNotFoundError — the typed cold-fetch error the generated
-    oracles degrade on — when the corpus is absent."""
+    """Memoized :func:`table_footer_rows` over the embeddings table."""
     if sf_dir not in _EMB_COUNTS:
-        import os
-
-        import pyarrow.dataset as pads
-
-        emb_path = os.path.join(sf_dir, "embeddings.parquet")
-        if not os.path.exists(emb_path):
-            raise FileNotFoundError(emb_path)
-        _EMB_COUNTS[sf_dir] = int(pads.dataset(emb_path).count_rows())
+        _EMB_COUNTS[sf_dir] = table_footer_rows(sf_dir, "embeddings")
     return _EMB_COUNTS[sf_dir]
 
 
@@ -1231,21 +1239,29 @@ def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _partitioned_sig_bits(sf_dir)
 
     def build() -> DataFrame:
-        truth = cb.semantic_dedup_two_level(
-            emb, coarse, fines, SEMDEDUP_COSINE, max_cell_size=None
-        ).select("vec_id")
+        # The cap-free pair scans are the most expensive plans in the
+        # family and each drop set feeds two branches (count + semi
+        # join, truth additionally once per arm) — cache them so every
+        # scan runs once (review r11; run_released sweeps on exit).
+        truth = scoped_cache(
+            cb.semantic_dedup_two_level(
+                emb, coarse, fines, SEMDEDUP_COSINE, max_cell_size=None
+            ).select("vec_id")
+        )
         t_agg = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
         out = None
         for fl in _probed_recall_settings(sf_dir):
-            d = cb.semantic_dedup_probed(
-                emb,
-                coarse,
-                fines,
-                threshold=SEMDEDUP_COSINE,
-                n_sig_bits=b,
-                n_flip=fl,
-                max_cell_size=None,
-            ).select("vec_id")
+            d = scoped_cache(
+                cb.semantic_dedup_probed(
+                    emb,
+                    coarse,
+                    fines,
+                    threshold=SEMDEDUP_COSINE,
+                    n_sig_bits=b,
+                    n_flip=fl,
+                    max_cell_size=None,
+                ).select("vec_id")
+            )
             row = (
                 t_agg.crossJoin(
                     d.agg(F.count("*").cast("bigint").alias("n_dropped"))
@@ -1320,6 +1336,31 @@ def _oracle_semantic_probed_recall(sf_dir: str) -> str:
 SEM_ADMIT_BATCH = 200
 
 
+def _admit_member_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The count-bounded admission batch device shared by every
+    semantic-admit query arm and mirrored by the oracle member CTE
+    (``md5('incr:'||id), id LIMIT LEAST(SEM_ADMIT_BATCH, ceil(n/8))``):
+    returns (index, batch). ONE definition so the flat and probed arms
+    cannot drift from the shared oracle text (review r11)."""
+    n = emb.count()
+    bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
+    new_ids = scoped_cache(
+        emb.select(
+            "vec_id",
+            F.md5(
+                F.concat(F.lit(f"{INCR_SALT}:"), F.col("vec_id").cast("string"))
+            ).alias("_k"),
+        )
+        .orderBy("_k", "vec_id")
+        .limit(bound)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(new_ids), "vec_id", "left_anti"),
+        emb.join(F.broadcast(new_ids), "vec_id", "left_semi"),
+    )
+
+
 def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary: embedding ADMISSION dedup (`codebook.semantic_admit`)
     — the `dedup_incremental` shape on the semantic-dedup machinery:
@@ -1333,22 +1374,10 @@ def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
 
     def build() -> DataFrame:
-        n = emb.count()
-        bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
-        new_ids = scoped_cache(
-            emb.select(
-                "vec_id",
-                F.md5(
-                    F.concat(F.lit(f"{INCR_SALT}:"), F.col("vec_id").cast("string"))
-                ).alias("_k"),
-            )
-            .orderBy("_k", "vec_id")
-            .limit(bound)
-            .select("vec_id")
-        )
+        idx, bat = _admit_member_split(emb)
         return cb.semantic_admit(
-            emb.join(F.broadcast(new_ids), "vec_id", "left_anti"),
-            emb.join(F.broadcast(new_ids), "vec_id", "left_semi"),
+            idx,
+            bat,
             cents,
             threshold=SEMDEDUP_COSINE,
             max_cell_size=SEMDEDUP_CAP,
@@ -1391,22 +1420,10 @@ def q_semantic_admit_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
 
     def build() -> DataFrame:
-        n = emb.count()
-        bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
-        new_ids = scoped_cache(
-            emb.select(
-                "vec_id",
-                F.md5(
-                    F.concat(F.lit(f"{INCR_SALT}:"), F.col("vec_id").cast("string"))
-                ).alias("_k"),
-            )
-            .orderBy("_k", "vec_id")
-            .limit(bound)
-            .select("vec_id")
-        )
+        idx, bat = _admit_member_split(emb)
         return cb.semantic_admit_probed(
-            emb.join(F.broadcast(new_ids), "vec_id", "left_anti"),
-            emb.join(F.broadcast(new_ids), "vec_id", "left_semi"),
+            idx,
+            bat,
             coarse,
             fines,
             n_sig_bits=_partitioned_sig_bits(sf_dir),

@@ -234,6 +234,14 @@ def semantic_admit_batch(
             "and an unfingerprinted index cannot detect a quantizer swap "
             "across restarts."
         )
+    if probe_flips and assigner is None:
+        raise ValueError(
+            "semantic_admit_batch: probe_flips > 0 requires a composite "
+            "assigner — flat codebook cell ids have no signature bits, so "
+            "÷/mod/xor probe arithmetic over them would silently compare "
+            "vectors across unrelated clusters (the loudness rule every "
+            "other mis-wiring here follows)."
+        )
     if probe_flips and probe_n_fine is None:
         raise ValueError(
             "semantic_admit_batch: probe_flips > 0 needs probe_n_fine "

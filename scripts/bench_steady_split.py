@@ -54,6 +54,16 @@ def main() -> None:
     t0 = time.perf_counter()
     ext._codebook_for(spark, sf_dir, ext.KMEANS_CELLS)
     print(json.dumps({"codebook_train_s": round(time.perf_counter() - t0, 2)}), flush=True)
+    # the two-level codebook memo too (review r11): otherwise the
+    # partitioned/two-level consumers pay Lloyd training inside run 1
+    # and the fresh/steady delta conflates once-per-corpus training
+    # with the first-eval codegen cost this script exists to isolate
+    t0 = time.perf_counter()
+    ext._two_level_codebook_for(spark, sf_dir)
+    print(
+        json.dumps({"two_level_train_s": round(time.perf_counter() - t0, 2)}),
+        flush=True,
+    )
 
     qs = ep.queries()
     for name in names:

@@ -382,6 +382,13 @@ def test_loop_probe_flips_catch_cross_bit_duplicate(spark, dirs):
             None, threshold=0.95, assigner=assigner, fingerprint=fp,
             probe_flips=2,
         )
+    # and probing over the FLAT path must raise too (review r11): flat
+    # cell ids carry no signature bits to flip
+    with pytest.raises(ValueError, match="composite assigner"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(1, u)]), 0, dirs["index"], dirs["verdicts"],
+            CENTS, threshold=0.95, probe_n_fine=2, probe_flips=2,
+        )
 
     def run(workdir: str, flips: int) -> dict:
         idx, ver = f"{workdir}/index", f"{workdir}/verdicts"
