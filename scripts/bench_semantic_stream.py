@@ -18,6 +18,9 @@ vectors/second — the batch-size decade the text loop's
                            cells ∝ batch, which only the composite
                            assignment reaches (8×8 two-level × 2^b
                            signature partitions, zero extra literals).
+    SPARK_GRAFT_PROBE_FLIPS  batch-side 1-flip probes (default 0; only
+                           with SIG_BITS > 0 — the r11 recall-recovery
+                           arm, semantic_admit_assigned_probed).
 
 Prints ONE JSON line:
     {"metric": "semantic_admission_throughput", "vecs": N, "batches": B,
@@ -51,6 +54,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_batches = int(os.environ.get("SPARK_GRAFT_BATCHES", "10"))
+    probe_flips = int(os.environ.get("SPARK_GRAFT_PROBE_FLIPS", "0"))
 
     from forgettable_spark.extensions import codebook as cb
     from forgettable_spark.session import get_spark
@@ -130,6 +134,8 @@ def main() -> None:
             fold_every=FOLD_EVERY,
             assigner=assigner,
             fingerprint=fingerprint,
+            probe_n_fine=K * K if probe_flips else None,
+            probe_flips=probe_flips,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
@@ -171,6 +177,7 @@ def main() -> None:
                     "value": round(n_vecs / wall, 1),
                     "unit": "vecs/sec",
                     "sig_bits": sig_bits,
+                    "probe_flips": probe_flips,
                     "wall_s": round(wall, 2),
                     "n_admitted": n_admitted,
                     "n_dup": n_dup,
