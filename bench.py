@@ -122,7 +122,10 @@ def warm_session(spark, sf_dir: str, cpus: str) -> None:
 
         try:
             return table_footer_rows(sf_dir, name)
-        except (OSError, ValueError):
+        except (OSError, ValueError, ImportError):
+            # ImportError: table_footer_rows needs pyarrow.dataset — on a
+            # box without it the warmup must degrade to the floor like
+            # the generated-oracle path does, not raise (ADVICE r11).
             return 0  # warmup sizing degrades to the floor, never raises
 
     _warm_rows = min(

@@ -1159,8 +1159,22 @@ def _probe_cells(cell: Column, n_fine: int, n_flip: int) -> Column:
     """The ``n_flip`` composite cells at signature Hamming distance 1
     from ``cell``: sig ÷/mod decomposition, bit i XOR, recompose —
     closed-form integer arithmetic on the stored id (no signature
-    re-fold), restated identically by the oracle twin."""
-    sig = (cell / F.lit(n_fine)).cast("bigint")  # floor: cell ≥ 0
+    re-fold), restated identically by the oracle twin.
+
+    Partial ``n_flip < b`` probes the FIXED PREFIX of signature bits
+    ``i < n_flip``, not e.g. the least-confident ones — a sound
+    cost/recall knob only because the signature's hyperplanes are
+    i.i.d. draws (similarity.signature_cell), which makes the bits
+    exchangeable: every ``n_flip``-subset has the same expected
+    straddle mass, so probing the prefix loses nothing over probing
+    any other fixed subset (test-locked probe-set composition,
+    tests/test_semantic_probed.py)."""
+    # Integer division through decimal(38,0): a double-division floor
+    # is exact only below 2^53, silently diverging from the oracle's
+    # integer `//` above it (ADVICE r11) — decimal covers the full
+    # bigint range and DuckDB's `//` restates the same closed form
+    # bit-for-bit. cell ≥ 0, so truncation == floor on both engines.
+    sig = (cell.cast("decimal(38,0)") / F.lit(n_fine)).cast("bigint")
     tl = cell % F.lit(n_fine)
     return F.array(
         *[
@@ -1360,6 +1374,54 @@ def assign_cells_partitioned(
     )
     c = with_partitioned_cell(c, coarse, fines, n_sig_bits)
     return c.withColumn("n", norm(F.col("_v")))
+
+
+class PartitionedAssigner:
+    """Structured assigner for the signature-partitioned two-level
+    quantizer: a plain ``(vec_id, embedding) frame → (vec_id, _v, cell,
+    n)`` callable (drop-in for the ``assigner`` hook everywhere a bare
+    ``lambda df: assign_cells_partitioned(...)`` fits) that also CARRIES
+    the literals defining its cell space — ``n_fine`` (the composite
+    id's ÷/mod modulus, :func:`n_fine_sql` over the RAGGED fines, not
+    k1·k2) and ``n_sig_bits`` — plus a canonical :meth:`fingerprint`.
+
+    Exists because restating those values at call sites is exactly the
+    ADVICE r11 bug (``probe_n_fine=K*K`` corrupted the probed arm's
+    ÷/mod/xor arithmetic whenever Lloyd returned ragged fines) and the
+    r10 assigner-swap hazard (a hand-rolled fingerprint that omits a
+    literal): ``semantic_admit_batch`` derives probe modulus, probe
+    width and fingerprint from this object and defaults multi-probe ON
+    (VERDICT r11 #1 — the measured-correct default: −4.4% throughput
+    for +65% duplicates caught, SCALING.md r11)."""
+
+    def __init__(
+        self,
+        coarse: list[list[float]],
+        fines: list[list[list[float]]],
+        n_sig_bits: int,
+    ) -> None:
+        self.coarse = coarse
+        self.fines = fines
+        self.n_sig_bits = n_sig_bits
+        #: The trained-cell modulus of the composite ids this assigner
+        #: mints — sum(len(fines[i])), NEVER k1·k2 (ragged fines).
+        self.n_fine = n_fine_sql(fines)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return assign_cells_partitioned(
+            df, self.coarse, self.fines, self.n_sig_bits
+        )
+
+    def fingerprint(self) -> str:
+        """Canonical assigner fingerprint over every literal that
+        defines the cell space (the ``_ASSIGNER`` marker contract)."""
+        from forgettable_spark.streaming.semantic_admit import (
+            assigner_fingerprint,
+        )
+
+        return assigner_fingerprint(
+            "partitioned", self.coarse, self.fines, self.n_sig_bits
+        )
 
 
 def semantic_admit_assigned(

@@ -177,7 +177,7 @@ def semantic_admit_batch(
     assigner=None,
     fingerprint: str | None = None,
     probe_n_fine: int | None = None,
-    probe_flips: int = 0,
+    probe_flips: int | None = None,
 ) -> None:
     """Run one micro-batch of embedding admission (see module doc).
 
@@ -185,11 +185,27 @@ def semantic_admit_batch(
     over COMPOSITE cell ids (r11, ``codebook.semantic_admit_assigned_probed``)
     — without it, a partitioned assigner silently ADMITS duplicates
     straddling one signature bit. Only meaningful with a composite
-    ``assigner`` (``probe_n_fine`` is the trained-cell modulus of its
-    ids, k1·k2); probing changes which duplicates are caught, not the
+    ``assigner``. ``probe_n_fine`` is the trained-cell modulus of the
+    composite ids — ``sum(len(fines[i]))`` over the RAGGED fines
+    (``codebook.n_fine_sql``), NOT k1·k2: Lloyd returns
+    ``min(k2, members)`` centroids per coarse cell, and a wrong modulus
+    makes the ÷/mod/xor probe arithmetic silently compare wrong cells
+    (ADVICE r11). Probing changes which duplicates are caught, not the
     cell space, so it does NOT enter the assigner fingerprint — but
     the index-side posture is unchanged (targets fan out, the stored
     index still pays one scan + cap window).
+
+    Probes are ON BY DEFAULT when the assigner is structured (VERDICT
+    r11 #1b — the measured-correct default: −4.4% throughput for +65%
+    duplicates caught, SCALING.md r11): ``probe_flips=None`` (AUTO)
+    resolves to full 1-flip recovery (``assigner.n_sig_bits``) when the
+    assigner exposes its cell-space literals
+    (``codebook.PartitionedAssigner``: ``n_sig_bits``, ``n_fine``,
+    ``fingerprint()`` — then ``probe_n_fine`` and ``fingerprint`` are
+    derived too, and a contradicting explicit ``probe_n_fine`` raises),
+    and to 0 for an opaque callable (the loop cannot decompose ids it
+    cannot name a modulus for). Pass ``probe_flips=0`` to explicitly
+    run a structured assigner unprobed.
 
     ``assigner``: optional ``(vec_id, embedding) frame → (vec_id, _v,
     cell, n)`` callable replacing the default flat
@@ -226,14 +242,63 @@ def semantic_admit_batch(
             "an ignored centroids argument beside an assigner invites a "
             "codebook/assigner mismatch the stored index cannot detect."
         )
-    if assigner is not None and fingerprint is None:
+    if (
+        assigner is not None
+        and fingerprint is None
+        and not callable(getattr(assigner, "fingerprint", None))
+    ):
         raise ValueError(
             "semantic_admit_batch: a custom assigner needs an explicit "
             "fingerprint (assigner_fingerprint(...) over whatever defines "
-            "its cell space) — the loop cannot derive one from a callable, "
-            "and an unfingerprinted index cannot detect a quantizer swap "
-            "across restarts."
+            "its cell space) — the loop cannot derive one from an opaque "
+            "callable, and an unfingerprinted index cannot detect a "
+            "quantizer swap across restarts. Structured assigners "
+            "(codebook.PartitionedAssigner) carry their own and may omit "
+            "the argument."
         )
+    if fingerprint is not None and assigner is None:
+        raise ValueError(
+            "semantic_admit_batch: fingerprint is only accepted alongside "
+            "a custom assigner — on the flat-centroids path the loop "
+            "computes the canonical fingerprint from the centroid "
+            "literals itself, and accepting a caller-supplied one would "
+            "let a stale constant defeat the quantizer-swap detection "
+            "this marker exists for (a retrained codebook would silently "
+            "re-attach to the old index). Drop the argument; the computed "
+            "flat fingerprint is authoritative (ADVICE r11)."
+        )
+    # Structured-assigner resolution (codebook.PartitionedAssigner
+    # protocol): derive the probe modulus / probe width / fingerprint
+    # from the object that DEFINES the cell space instead of trusting a
+    # call-site restatement — and default probes ON (docstring above).
+    a_bits = getattr(assigner, "n_sig_bits", None)
+    a_fine = getattr(assigner, "n_fine", None)
+    if a_fine is not None:
+        if probe_n_fine is not None and probe_n_fine != a_fine:
+            raise ValueError(
+                f"semantic_admit_batch: probe_n_fine={probe_n_fine} "
+                f"contradicts the assigner's own modulus n_fine={a_fine} "
+                f"(sum of its ragged fine-codebook sizes) — a wrong "
+                f"modulus makes the ÷/mod/xor probe arithmetic silently "
+                f"compare wrong cells. Drop the argument; the assigner's "
+                f"value is authoritative."
+            )
+        probe_n_fine = a_fine
+    if probe_flips is None:
+        probe_flips = a_bits if (a_bits and a_fine is not None) else 0
+    fp_method = getattr(assigner, "fingerprint", None)
+    if callable(fp_method):
+        computed = fp_method()
+        if fingerprint is not None and fingerprint != computed:
+            raise ValueError(
+                "semantic_admit_batch: the supplied fingerprint does not "
+                "match the structured assigner's own "
+                f"({fingerprint[:12]}… vs {computed[:12]}…) — a stale "
+                "constant here would defeat the quantizer-swap detection "
+                "the marker exists for. Drop the argument; the assigner's "
+                "fingerprint is authoritative."
+            )
+        fingerprint = computed
     if probe_flips and assigner is None:
         raise ValueError(
             "semantic_admit_batch: probe_flips > 0 requires a composite "
@@ -245,8 +310,10 @@ def semantic_admit_batch(
     if probe_flips and probe_n_fine is None:
         raise ValueError(
             "semantic_admit_batch: probe_flips > 0 needs probe_n_fine "
-            "(the composite id's trained-cell modulus, k1·k2) — probe "
-            "cells are derived by ÷/mod/xor arithmetic on the stored id."
+            "(the composite id's trained-cell modulus — "
+            "sum(len(fines[i])) over the ragged fines, codebook."
+            "n_fine_sql, NOT k1·k2) — probe cells are derived by "
+            "÷/mod/xor arithmetic on the stored id."
         )
     fp = fingerprint or assigner_fingerprint("flat", centroids)
     # Validate (or claim, on first contact) BEFORE any work — including
@@ -384,16 +451,19 @@ def semantic_admission_stream(
     assigner=None,
     fingerprint: str | None = None,
     probe_n_fine: int | None = None,
-    probe_flips: int = 0,
+    probe_flips: int | None = None,
 ) -> StreamingQuery:
     """Wire a vector stream into the per-batch embedding-admission loop.
     Returns the started query; exactly-once anchored by the checkpoint +
     the idempotent ``batch-<id>`` overwrites (the ``admission_stream``
     contract). ``assigner`` / ``fingerprint`` / ``probe_*`` as in
-    :func:`semantic_admit_batch` (the assigner must be stable across the
-    stream's lifetime — it defines the index's cell space, and the
-    persisted fingerprint makes a restart that violates this fail at
-    the first trigger instead of silently admitting duplicates)."""
+    :func:`semantic_admit_batch` — in particular probes default ON
+    (full 1-flip recovery) when ``assigner`` is a structured
+    ``codebook.PartitionedAssigner`` (VERDICT r11 #1b); the assigner
+    must be stable across the stream's lifetime — it defines the
+    index's cell space, and the persisted fingerprint makes a restart
+    that violates this fail at the first trigger instead of silently
+    admitting duplicates."""
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         semantic_admit_batch(

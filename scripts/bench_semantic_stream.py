@@ -18,9 +18,12 @@ vectors/second — the batch-size decade the text loop's
                            cells ∝ batch, which only the composite
                            assignment reaches (8×8 two-level × 2^b
                            signature partitions, zero extra literals).
-    SPARK_GRAFT_PROBE_FLIPS  batch-side 1-flip probes (default 0; only
-                           with SIG_BITS > 0 — the r11 recall-recovery
-                           arm, semantic_admit_assigned_probed).
+    SPARK_GRAFT_PROBE_FLIPS  batch-side 1-flip probes (default "auto" =
+                           the library default: full 1-flip recovery
+                           whenever SIG_BITS > 0, VERDICT r11 #1b; set
+                           "0" to pin the unprobed A/B arm — the r11
+                           recall-recovery arm is
+                           semantic_admit_assigned_probed).
 
 Prints ONE JSON line:
     {"metric": "semantic_admission_throughput", "vecs": N, "batches": B,
@@ -54,7 +57,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_batches = int(os.environ.get("SPARK_GRAFT_BATCHES", "10"))
-    probe_flips = int(os.environ.get("SPARK_GRAFT_PROBE_FLIPS", "0"))
+    # "auto" (the default) defers to the library default: full 1-flip
+    # probes whenever the assigner is structured (VERDICT r11 #1b);
+    # "0" pins the unprobed arm for A/B runs.
+    _pf = os.environ.get("SPARK_GRAFT_PROBE_FLIPS", "auto")
+    probe_flips = None if _pf == "auto" else int(_pf)
 
     from forgettable_spark.extensions import codebook as cb
     from forgettable_spark.session import get_spark
@@ -83,16 +90,13 @@ def main() -> None:
         if sig_bits:
             coarse, fines = cb.train_two_level_codebook(emb, k1=K, k2=K)
             centroids = None  # the assigner drives assignment
-            assigner = lambda df: cb.assign_cells_partitioned(  # noqa: E731
-                df, coarse, fines, sig_bits
-            )
-            fingerprint = sa.assigner_fingerprint(
-                "partitioned", coarse, fines, sig_bits
-            )
+            # Structured assigner (r12): carries its own fingerprint and
+            # the RAGGED-fines probe modulus, so the loop derives both —
+            # restating k1·k2 here was exactly the ADVICE r11 bug.
+            assigner = cb.PartitionedAssigner(coarse, fines, sig_bits)
         else:
             centroids = cb.train_codebook(emb, k=K)  # untimed model setup
             assigner = None
-            fingerprint = None
         emb.repartition(n_batches).write.mode("overwrite").parquet(src)
 
         # Per-trigger + fold instrumentation (VERDICT r10 #5: the
@@ -133,8 +137,11 @@ def main() -> None:
             max_cell_size=CAP,
             fold_every=FOLD_EVERY,
             assigner=assigner,
-            fingerprint=fingerprint,
-            probe_n_fine=K * K if probe_flips else None,
+            # probe modulus + fingerprint derive from the structured
+            # assigner (restating k1·k2 here was the ADVICE r11 bug —
+            # Lloyd's fines are RAGGED); probe_flips stays explicit so
+            # the A/B arms are env-selectable ("auto" = library default:
+            # full 1-flip when the assigner is structured).
             probe_flips=probe_flips,
         )
         q.awaitTermination()
@@ -177,7 +184,11 @@ def main() -> None:
                     "value": round(n_vecs / wall, 1),
                     "unit": "vecs/sec",
                     "sig_bits": sig_bits,
-                    "probe_flips": probe_flips,
+                    # resolved value: "auto" → full 1-flip recovery
+                    # when the assigner is structured, else 0
+                    "probe_flips": (
+                        sig_bits if probe_flips is None and sig_bits else (probe_flips or 0)
+                    ),
                     "wall_s": round(wall, 2),
                     "n_admitted": n_admitted,
                     "n_dup": n_dup,

@@ -578,3 +578,35 @@ def test_canonical_by_score_invariants(spark, rows):
         assert all(r["canonical_id"] == best["doc_id"] for r in rs)
         assert sum(r["keep"] for r in rs) == 1
         assert next(r for r in rs if r["keep"])["doc_id"] == best["doc_id"]
+
+
+def test_probe_cells_prefix_composition_and_bigint_exactness(spark):
+    """VERDICT r11 #7 + ADVICE r11: partial ``n_flip < b`` probes exactly
+    the FIXED PREFIX of signature bits ``i < n_flip`` (sound only because
+    the signature's hyperplanes are i.i.d. draws, so the bits are
+    exchangeable — every n_flip-subset carries the same expected straddle
+    mass), and the sig ÷/mod decomposition is exact INTEGER arithmetic
+    over the full bigint range: the former double-division floor was
+    exact only below 2^53, a silent divergence class from the oracle's
+    integer ``//``."""
+    from forgettable_spark.extensions.codebook import _probe_cells
+
+    n_fine = 5  # ragged-realistic modulus: NOT a power of two, not k1*k2
+    sig, tl = (1 << 55) + 0b1011, 4
+    cell = sig * n_fine + tl
+    assert cell > 2**53  # past double's exact-integer range
+    got = (
+        spark.createDataFrame([(cell,)], "cell long")
+        .select(_probe_cells(F.col("cell"), n_fine, 3).alias("p"))
+        .collect()[0]["p"]
+    )
+    # prefix bits 0..2 only, in order; exact recomposition past 2^53
+    assert got == [(sig ^ (1 << i)) * n_fine + tl for i in range(3)]
+    # full-width probe set for a small composite id, same closed form
+    small = 3 * n_fine + 2
+    got_small = (
+        spark.createDataFrame([(small,)], "cell long")
+        .select(_probe_cells(F.col("cell"), n_fine, 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert got_small == [(3 ^ 1) * n_fine + 2, (3 ^ 2) * n_fine + 2]

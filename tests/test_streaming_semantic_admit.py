@@ -490,3 +490,63 @@ def test_semantic_admit_batch_leaves_no_storage(spark, dirs):
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
     assert after == before
+
+
+def test_structured_assigner_defaults_probes_on(spark, dirs):
+    """VERDICT r11 #1b: with a structured ``codebook.PartitionedAssigner``
+    the loop derives fingerprint and probe modulus from the object that
+    DEFINES the cell space and defaults to FULL 1-flip probes — the
+    crafted cross-bit pair is caught with no probe_*/fingerprint
+    arguments at all (the measured-correct default: −4.4% throughput for
+    +65% duplicates caught, SCALING.md r11). Guards: a contradicting
+    probe_n_fine raises; a stale explicit fingerprint beside the
+    structured assigner raises; a fingerprint on the FLAT path raises
+    (ADVICE r11); and probe_flips=0 still opts out (the pair is silently
+    admitted, bit-equal to the unprobed loop)."""
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse = [list(c) for c in CENTS]
+    fines = [[list(CENTS[0])], [list(CENTS[1])]]
+    assigner = cb.PartitionedAssigner(coarse, fines, 2)
+    assert assigner.n_fine == 2  # ragged-aware: sum(len(f)), never k1*k2
+    u, v = (1.0, 0.0, 0.1, 0.0), (1.0, 0.0, -0.1, 0.0)
+
+    with pytest.raises(ValueError, match="contradicts"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(1, u)]), 0, dirs["index"], dirs["verdicts"],
+            None, threshold=0.95, assigner=assigner, probe_n_fine=4,
+        )
+    with pytest.raises(ValueError, match="does not match the structured"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(1, u)]), 0, dirs["index"], dirs["verdicts"],
+            None, threshold=0.95, assigner=assigner, fingerprint="stale",
+        )
+    with pytest.raises(ValueError, match="only accepted alongside"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(1, u)]), 0, dirs["index"], dirs["verdicts"],
+            CENTS, threshold=0.95,
+            fingerprint=assigner_fingerprint("flat", CENTS),
+        )
+
+    def run(workdir: str, **kw):
+        idx, ver = f"{workdir}/index", f"{workdir}/verdicts"
+        for bid, rows in enumerate([[(1, u)], [(10, v)]]):
+            semantic_admit_batch(
+                spark, _vec_df(spark, rows), bid, idx, ver,
+                None, threshold=0.95, assigner=assigner, **kw,
+            )
+        return idx, {
+            r["vec_id"]: r.asDict()
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(ver).collect()
+        }
+
+    idx_dir, auto = run(os.path.join(dirs["root"], "auto"))
+    assert auto[10]["is_dup"] and auto[10]["match_id"] == 1  # probes ON
+    assert auto[10]["cosine"] > 0.95
+    with open(os.path.join(idx_dir, ASSIGNER_MARKER)) as fh:
+        stored = fh.read().strip()
+    assert stored == assigner.fingerprint()
+    assert stored == assigner_fingerprint("partitioned", coarse, fines, 2)
+    _, optout = run(os.path.join(dirs["root"], "optout"), probe_flips=0)
+    assert not optout[10]["is_dup"]  # explicit 0 opts out of probing
