@@ -1175,6 +1175,58 @@ def _oracle_semantic_dedup_partitioned(sf_dir: str) -> str:
     )
 
 
+#: Banded-OR configuration (NEW r12, VERDICT r11 #2): r independent
+#: band_bits-wide signatures ORed — band_bits reuses the corpus-aware
+#: partitioned width so per-band bucket occupancy matches the single
+#: signature's, and the candidate fan-out is n_bands× (vs the probed
+#: form's (b+1)×). 3 bands ≈ half the probed fan-out at b=6 with
+#: GEOMETRIC miss decay: 1−(1−p^b)^r vs p^b·(1+b(1−p)/p) for 1-flip.
+SEMDEDUP_BANDS = 3
+
+
+def q_semantic_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: :func:`q_semantic_dedup_partitioned` over the BANDED-OR
+    signature construction (`codebook.semantic_dedup_banded`) — the
+    text bands' recall device (dedup.py's MinHash band OR) applied to
+    the sign-LSH embedding signature: r independent band_bits-bit
+    signatures over disjoint hyperplane slices, candidate iff ANY band
+    agrees. The structural answer to the ≥2-bit straddler gap that
+    caps 1-flip probing at 0.615 recall (sf1 b=6, SCALING.md r11);
+    same keep rule, per-band-bucket caps."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fines = _two_level_codebook_for(spark, sf_dir)
+    return run_released(
+        spark,
+        lambda: cb.semantic_dedup_banded(
+            emb,
+            coarse,
+            fines,
+            threshold=SEMDEDUP_COSINE,
+            n_bands=SEMDEDUP_BANDS,
+            band_bits=_partitioned_sig_bits(sf_dir),
+            max_cell_size=SEMDEDUP_CAP,
+        ),
+    )
+
+
+def _oracle_semantic_dedup_banded(sf_dir: str) -> str:
+    """Generated banded-OR twin (same codebook memo, corpus-derived
+    band width and band count as the engine arm)."""
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse, fines = _two_level_codebook_local_for(sf_dir)
+    return cb.semantic_dedup_banded_oracle_sql(
+        coarse,
+        fines,
+        threshold=SEMDEDUP_COSINE,
+        n_bands=SEMDEDUP_BANDS,
+        band_bits=_partitioned_sig_bits(sf_dir),
+        max_cell_size=SEMDEDUP_CAP,
+    )
+
+
 def q_semantic_dedup_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r11: :func:`q_semantic_dedup_partitioned` with signature
     MULTI-PROBE recovery (`codebook.semantic_dedup_probed`) — the
@@ -1224,14 +1276,15 @@ def _probed_recall_settings(sf_dir: str) -> list[int]:
 
 
 def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r11: the partition/probe family's own recall gauge (the
-    `ann_recall_signature` pattern): drop-set recall of the partitioned
-    form at flips ∈ {0, 1, b} against the UNPARTITIONED two-level drop
-    set as truth — the empirical read of the (1−θ/π)^b survival trade
-    and of how much one flip buys back. All arms run CAP-FREE so the
-    law is clean (a pair compared by the partitioned form is compared
-    by the truth, hence recovered ⊆ truth by construction); one row per
-    setting: (flips, n_truth, n_dropped, n_recovered, recall)."""
+    """NEW r11 (banded arm r12): the partition/probe family's own recall
+    gauge (the `ann_recall_signature` pattern): drop-set recall against
+    the UNPARTITIONED two-level drop set as truth — the empirical read
+    of the (1−θ/π)^b survival trade, of how much one flip buys back,
+    and (r12) of the banded-OR construction at the same band width. All
+    arms run CAP-FREE so the law is clean (every arm's pairs agree on
+    the trained cell, hence recovered ⊆ truth by construction); one row
+    per setting: (variant 'flips'|'bands', setting, n_truth, n_dropped,
+    n_recovered, recall)."""
     from forgettable_spark.extensions import codebook as cb
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1249,20 +1302,10 @@ def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("vec_id")
         )
         t_agg = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-        out = None
-        for fl in _probed_recall_settings(sf_dir):
-            d = scoped_cache(
-                cb.semantic_dedup_probed(
-                    emb,
-                    coarse,
-                    fines,
-                    threshold=SEMDEDUP_COSINE,
-                    n_sig_bits=b,
-                    n_flip=fl,
-                    max_cell_size=None,
-                ).select("vec_id")
-            )
-            row = (
+
+        def gauge_row(variant: str, setting: int, d: DataFrame) -> DataFrame:
+            d = scoped_cache(d.select("vec_id"))
+            return (
                 t_agg.crossJoin(
                     d.agg(F.count("*").cast("bigint").alias("n_dropped"))
                 )
@@ -1272,7 +1315,8 @@ def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 .select(
-                    F.lit(fl).cast("int").alias("flips"),
+                    F.lit(variant).alias("variant"),
+                    F.lit(setting).cast("int").alias("setting"),
                     "n_truth",
                     "n_dropped",
                     "n_recovered",
@@ -1284,7 +1328,40 @@ def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall"),
                 )
             )
+
+        out = None
+        for fl in _probed_recall_settings(sf_dir):
+            row = gauge_row(
+                "flips",
+                fl,
+                cb.semantic_dedup_probed(
+                    emb,
+                    coarse,
+                    fines,
+                    threshold=SEMDEDUP_COSINE,
+                    n_sig_bits=b,
+                    n_flip=fl,
+                    max_cell_size=None,
+                ),
+            )
             out = row if out is None else out.unionByName(row)
+        # r12 banded-OR arm at the SAME band width b: n_bands× fan-out
+        # (vs (b+1)× for full 1-flip), geometric miss decay in r.
+        out = out.unionByName(
+            gauge_row(
+                "bands",
+                SEMDEDUP_BANDS,
+                cb.semantic_dedup_banded(
+                    emb,
+                    coarse,
+                    fines,
+                    threshold=SEMDEDUP_COSINE,
+                    n_bands=SEMDEDUP_BANDS,
+                    band_bits=b,
+                    max_cell_size=None,
+                ),
+            )
+        )
         return out
 
     return run_released(spark, build)
@@ -1304,27 +1381,48 @@ def _oracle_semantic_probed_recall(sf_dir: str) -> str:
     )
     arms = []
     ctes = [f"t AS (SELECT vec_id FROM ({truth}) q)"]
-    for fl in _probed_recall_settings(sf_dir):
-        sql = cb.semantic_dedup_probed_oracle_sql(
-            coarse,
-            fines,
-            threshold=SEMDEDUP_COSINE,
-            n_sig_bits=b,
-            n_flip=fl,
-            max_cell_size=None,
-        )
-        ctes.append(f"d{fl} AS (SELECT vec_id FROM ({sql}) q)")
+
+    def arm(variant: str, setting: int, name: str, sql: str) -> None:
+        ctes.append(f"{name} AS (SELECT vec_id FROM ({sql}) q)")
         arms.append(
-            f"""SELECT CAST({fl} AS INTEGER) AS flips,
+            f"""SELECT '{variant}' AS variant, CAST({setting} AS INTEGER) AS setting,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_truth,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM d{fl}) AS n_dropped,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM d{fl} JOIN t USING (vec_id))
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {name}) AS n_dropped,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {name} JOIN t USING (vec_id))
          AS n_recovered,
        CASE WHEN (SELECT COUNT(*) FROM t) > 0
-            THEN CAST((SELECT COUNT(*) FROM d{fl} JOIN t USING (vec_id))
+            THEN CAST((SELECT COUNT(*) FROM {name} JOIN t USING (vec_id))
                  AS DOUBLE) / (SELECT COUNT(*) FROM t)
             ELSE 0e0 END AS recall"""
         )
+
+    for fl in _probed_recall_settings(sf_dir):
+        arm(
+            "flips",
+            fl,
+            f"d{fl}",
+            cb.semantic_dedup_probed_oracle_sql(
+                coarse,
+                fines,
+                threshold=SEMDEDUP_COSINE,
+                n_sig_bits=b,
+                n_flip=fl,
+                max_cell_size=None,
+            ),
+        )
+    arm(
+        "bands",
+        SEMDEDUP_BANDS,
+        "db",
+        cb.semantic_dedup_banded_oracle_sql(
+            coarse,
+            fines,
+            threshold=SEMDEDUP_COSINE,
+            n_bands=SEMDEDUP_BANDS,
+            band_bits=b,
+            max_cell_size=None,
+        ),
+    )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
 
 
@@ -3176,7 +3274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "bm25_search": q_bm25_search,
-        "ann_recall": q_ann_recall,
         "embedding_near_dup_hyperplane": q_embedding_near_dup_hyperplane,
         "multimodal_image_features": q_multimodal_image_features,
         "media_near_dup": q_media_near_dup,
@@ -3232,9 +3329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twist beside the still-registered budget + stratified
         # samplers), corpus_report (one-row observability rollup, kept
         # green by batch_novelty and source_curation).
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_canonicalize": q_dedup_canonicalize,
-        "mixture_plan": q_mixture_plan,
         # r10 rotation (VERDICT r9 #1): first driver rows for the four
         # stalest never-driver-seen secondaries — the late-r9 flagship
         # capability tier (embedding admission on the semantic-dedup cell
@@ -3248,6 +3342,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_apply": q_mixture_apply,
         "semantic_dedup_two_level": q_semantic_dedup_two_level,
         "hash_split": q_hash_split,
+        # r12 rotation (VERDICT r11 #1c): first driver rows for the four
+        # never-driver-seen r11 probe-family operators — signature
+        # multi-probe recovery for partitioned semantic dedup (the
+        # quality-correct default: the unprobed partition's own gauge
+        # reads 0.46 recall at b=2 / 0.236 at b=6), its admission arm,
+        # the family's drop-set recall gauge, and SEMANTIC
+        # decontamination (the embedding arm of the decontamination
+        # family). Displaced to the secondary registry: ann_recall (the
+        # demoted argmax baseline's sweep gauge — the live headline's
+        # gauge ann_recall_signature stays registered), semantic_dedup
+        # (flat-codebook variant; two-level, partitioned and probed stay),
+        # dedup_canonicalize (representative selection atop the still-
+        # registered dedup_components clusters), mixture_plan (embedded
+        # verbatim by the still-registered mixture_apply) — see
+        # entrypoints.secondary_queries.
+        "semantic_dedup_probed": q_semantic_dedup_probed,
+        "semantic_probed_recall": q_semantic_probed_recall,
+        "semantic_admit_probed": q_semantic_admit_probed,
+        "decontaminate_semantic": q_decontaminate_semantic,
     }
 
 
@@ -3268,7 +3381,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "dedup_lsh_recall": _oracle_dedup_lsh_recall(),
         "ann_multiprobe_topk": _oracle_ann_signature_quantized(),
         "bm25_search": _oracle_bm25(),
-        "ann_recall": _oracle_ann_recall(),
         "embedding_near_dup_hyperplane": _oracle_hyperplane(),
         "multimodal_image_features": _oracle_multimodal(),
         "media_near_dup": _oracle_media_near_dup(),
@@ -3283,10 +3395,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "batch_novelty": _oracle_batch_novelty(),
         "ann_recall_signature": _oracle_ann_recall_signature(),
         "ann_signature_topk": _oracle_ann_signature(),
-        # late-r9 debuts (oracles follow their queries; semantic_dedup's
-        # is generated below with ann_kmeans_topk's)
-        "dedup_canonicalize": _oracle_dedup_canonicalize(),
-        "mixture_plan": _oracle_mixture_plan(),
         # r10 promotions (oracles follow their queries; the two
         # generated codebook oracles join the generated block below)
         "mixture_apply": _oracle_mixture_apply(),
@@ -3306,7 +3414,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     corpus = sf_dir or _KMEANS_ORACLE_DEFAULT_SF
     for name, gen in (
         ("ann_kmeans_topk", _oracle_ann_kmeans),
-        ("semantic_dedup", _oracle_semantic_dedup),
         ("semantic_admit", _oracle_semantic_admit),
         ("semantic_dedup_two_level", _oracle_semantic_dedup_two_level),
         # r11 promotions (oracles follow their queries)
@@ -3314,6 +3421,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         ("knn_label", _oracle_knn_label),
         ("prototype_prune", _oracle_prototype_prune),
         ("knn_label_accuracy", _oracle_knn_label_accuracy),
+        # r12 promotions (oracles follow their queries)
+        ("semantic_dedup_probed", _oracle_semantic_dedup_probed),
+        ("semantic_probed_recall", _oracle_semantic_probed_recall),
+        ("semantic_admit_probed", _oracle_semantic_admit_probed),
+        ("decontaminate_semantic", _oracle_decontaminate_semantic),
     ):
         _add_generated_oracle(out, name, gen, corpus)
     return out

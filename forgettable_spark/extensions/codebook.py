@@ -440,12 +440,19 @@ def semantic_dedup(
 
 
 def _celled_pair_dedup(
-    c: DataFrame, threshold: float, max_cell_size: int | None
+    c: DataFrame,
+    threshold: float,
+    max_cell_size: int | None,
+    tie_break_cell: bool = False,
 ) -> DataFrame:
     """The shared within-cell pair scan of every semantic-dedup variant:
     ``c`` is (vec_id, _v float64 vector, cell). Cap, self-join on cell,
     cosine gate, min-witness window — see :func:`semantic_dedup` for the
-    semantics contract."""
+    semantics contract. ``tie_break_cell`` extends the witness window's
+    order to (dup_of, cell) for sources where one (vec_id, dup_of) pair
+    can meet in MULTIPLE cells (the banded-OR construction — single-cell
+    assignments have unique pairs, so their output is unchanged either
+    way and they keep the narrower order)."""
     if max_cell_size is not None:
         c = _sample_cells_to_cap(c, max_cell_size, id_col="vec_id")
     # Norm once per row BEFORE the self-join (similarity.brute_force_topk's
@@ -468,8 +475,10 @@ def _celled_pair_dedup(
         .filter(F.col("cosine") >= F.lit(threshold))
     )
     # Minimal witness per dropped doc: the lowest qualifying dup_of (ids
-    # are distinct within a cell, so the window pick is deterministic).
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dup_of"))
+    # are distinct within a cell, so the window pick is deterministic;
+    # multi-cell sources add the cell tie-break for the same property).
+    order = [F.asc("dup_of")] + ([F.asc("cell")] if tie_break_cell else [])
+    w = Window.partitionBy("vec_id").orderBy(*order)
     return (
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -492,12 +501,16 @@ def semantic_dedup_oracle_sql(
     return _pair_scan_sql(prefix, corpus_src, threshold)
 
 
-def _pair_scan_sql(prefix: str, corpus_src: str, threshold: float) -> str:
+def _pair_scan_sql(
+    prefix: str, corpus_src: str, threshold: float, tie_break_cell: bool = False
+) -> str:
     """The shared SQL tail of every semantic-dedup oracle (the twin of
     ``_celled_pair_dedup``): per-row norms, within-cell pair scan with
     the cosine gate, min-witness window. ONE definition so the flat and
-    two-level oracles cannot drift."""
+    two-level oracles cannot drift. ``tie_break_cell`` mirrors the
+    engine's multi-cell window order (banded-OR sources)."""
     dot_ab = "list_sum(list_transform(range(1, len(a.e) + 1), j -> a.e[j] * b.e[j]))"
+    order = "dup_of ASC, cell ASC" if tie_break_cell else "dup_of ASC"
     return f"""WITH {prefix},
 sd AS (
   SELECT vec_id, e, cell, sqrt(list_sum(list_transform(e, y -> y * y))) AS n
@@ -510,7 +523,7 @@ pairs AS (
   WHERE ({dot_ab}) / (a.n * b.n) >= {_sql_double(threshold)}
 )
 SELECT vec_id, cell, dup_of, cosine FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {order}) AS rn
   FROM pairs
 ) WHERE rn = 1"""
 
@@ -1284,6 +1297,147 @@ SELECT vec_id, cell, dup_of, cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
   FROM pairs
 ) WHERE rn = 1"""
+
+
+# Banded-OR signature recovery -------------------------------------------------
+#
+# The ≥2-bit straddler gap (VERDICT r11 #2): a single b-bit AND signature
+# with full 1-flip probing still loses every pair straddling ≥2 signature
+# bits — recall p^b + b·p^(b-1)·(1−p) with p = 1−θ/π, measured 0.615 at
+# sf1/b=6. The standard LSH answer the repo's TEXT paths already use
+# (dedup.py:330 MinHash bands) is OR over r INDEPENDENT signatures:
+# r bands of b' bits each, drawn from DISJOINT slices of the hyperplane
+# family (band t folds hyperplanes [t·b', (t+1)·b')), candidate iff ANY
+# band agrees (AND within a band, OR across bands) — recall
+# 1 − (1 − p^b')^r with no flip arithmetic at all. Cost: each row sits in
+# r band buckets (r× fan-out, vs the probed form's (b+1)×), per-bucket
+# occupancy n / (2^b' · n_fine) exactly as the single signature's, and
+# every bucket takes the same capped equi-join. At matched fan-out the OR
+# dominates 1-flip probing at high b because its misses decay
+# GEOMETRICALLY in r while flip recovery is confined to Hamming radius 1.
+
+
+def with_banded_cells(
+    df: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_bands: int,
+    band_bits: int,
+    vec_col: str = "_v",
+) -> DataFrame:
+    """Explodes each row into its ``n_bands`` banded composite cells:
+    band t's cell is ``(t · 2^band_bits + sig_t) · n_fine + tl`` where
+    ``sig_t`` is the ``band_bits``-bit sign-LSH signature over hyperplane
+    slice ``[t·band_bits, (t+1)·band_bits)`` (``signature_cell``'s
+    ``bit_offset``) and ``tl`` the trained two-level id — the band index
+    rides the id so buckets never collide across bands. One assignment
+    scan (n_bands·band_bits + k1 + k2 folds per row), one explode;
+    everything downstream is the standard capped cell equi-join."""
+    from forgettable_spark.extensions.similarity import signature_cell
+
+    clash = {"_tl"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_banded_cells: input carries reserved intermediate "
+            f"column(s) {sorted(clash)} — rename them before calling"
+        )
+    n_fine = n_fine_sql(fines)
+    df = with_two_level_cell(df, coarse, fines, vec_col=vec_col, out_col="_tl")
+    cells = [
+        (
+            (
+                F.lit(t << band_bits).cast("bigint")
+                + signature_cell(F.col(vec_col), band_bits, bit_offset=t * band_bits)
+            )
+            * F.lit(n_fine).cast("bigint")
+            + F.col("_tl")
+        ).cast("bigint")
+        for t in range(n_bands)
+    ]
+    return df.withColumn("cell", F.explode(F.array(*cells))).drop("_tl")
+
+
+def semantic_dedup_banded(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    n_bands: int,
+    band_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    materialize_assignment: bool = True,
+) -> DataFrame:
+    """:func:`semantic_dedup` over the banded-OR signature construction
+    (section note above): identical keep rule and output shape; the
+    candidate source is the union of ``n_bands`` independent
+    ``band_bits``-bit signature partitions of the trained two-level
+    cells. A pair agreeing in several bands meets once per agreeing band
+    and the witness window's (dup_of, cell) order keeps exactly one
+    deterministic row. Cap semantics are PER BAND BUCKET (the text
+    bands' hot-bucket posture, dedup.py): a row capped out of one band's
+    bucket still participates through its other bands — strictly gentler
+    than the single-signature cap, same bound on per-bucket work.
+    ``n_bands=1, band_bits=b`` is the unprobed
+    :func:`semantic_dedup_partitioned` drop set with band-0 hyperplanes
+    (test-locked)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = with_banded_cells(c, coarse, fines, n_bands, band_bits)
+    if materialize_assignment and not _plan_audit_active():
+        c = c.localCheckpoint(eager=True)
+    return _celled_pair_dedup(c, threshold, max_cell_size, tie_break_cell=True)
+
+
+def banded_assignment_cte_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_bands: int,
+    band_bits: int,
+    max_bucket_size: int | None,
+) -> tuple[str, str]:
+    """Banded twin of :func:`partitioned_assignment_cte_sql`: the shared
+    two-level assignment CTEs, then a ``banded`` CTE of ``n_bands``
+    UNION ALL arms — one per band, each rendering its sig bits through
+    the ONE shared ``similarity.hyperplane_bit_sql`` formula at the
+    band's hyperplane offsets — and the shared cap window applied PER
+    BAND BUCKET. Returns (CTE text, corpus CTE name)."""
+    from forgettable_spark.extensions.similarity import hyperplane_bit_sql
+
+    n_fine = n_fine_sql(fines)
+    prefix, assigned = two_level_assignment_cte_sql(coarse, fines, None)
+    arms = []
+    for t in range(n_bands):
+        sig = " + ".join(
+            f"({hyperplane_bit_sql(t * band_bits + i)}) * {1 << i}"
+            for i in range(band_bits)
+        )
+        arms.append(
+            f"  SELECT vec_id, e, CAST(({t << band_bits} + ({sig})) "
+            f"* {n_fine} + cell AS BIGINT) AS cell FROM {assigned}"
+        )
+    banded = "banded AS (\n" + "\n  UNION ALL\n".join(arms) + "\n)"
+    cap_cte, corpus_src = _cap_cte_sql(max_bucket_size, src="banded")
+    return f"{prefix},\n{banded}{cap_cte}", corpus_src
+
+
+def semantic_dedup_banded_oracle_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    n_bands: int,
+    band_bits: int,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_dedup_banded` — the banded
+    assignment CTEs and the shared pair-scan tail with the multi-cell
+    (dup_of, cell) witness order."""
+    prefix, corpus_src = banded_assignment_cte_sql(
+        coarse, fines, n_bands, band_bits, max_cell_size
+    )
+    return _pair_scan_sql(prefix, corpus_src, threshold, tie_break_cell=True)
 
 
 def n_fine_sql(fines: list[list[list[float]]]) -> int:

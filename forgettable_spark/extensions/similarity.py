@@ -490,9 +490,15 @@ def hyperplane_signature(vec: Column) -> Column:
     return F.array(*bits)
 
 
-def signature_cell(vec: Column, n_bits: int = HYPERPLANE_BITS) -> Column:
+def signature_cell(
+    vec: Column, n_bits: int = HYPERPLANE_BITS, bit_offset: int = 0
+) -> Column:
     """Sign-LSH coarse cell id: the ``n_bits``-bit hyperplane signature
-    packed into one BIGINT.
+    packed into one BIGINT. ``bit_offset`` shifts into a DISJOINT slice
+    of the hyperplane family (bit i folds hyperplane ``bit_offset+i``) —
+    the independent per-band signatures of the banded-OR construction
+    (``codebook.semantic_dedup_banded``); the packed value's bit
+    positions are unchanged, only the hyperplanes drawn differ.
 
     This is the IVF cell whose COUNT scales with the corpus — the knob
     :func:`argmax_bucket` lacks. argmax cells are capped at ``dim``
@@ -512,7 +518,8 @@ def signature_cell(vec: Column, n_bits: int = HYPERPLANE_BITS) -> Column:
     cell = F.lit(0).cast("bigint")
     for i in range(n_bits):
         cell = cell + F.when(
-            dot(v, _hyperplane_weights(i, size)) >= 0, F.lit(1 << i).cast("bigint")
+            dot(v, _hyperplane_weights(bit_offset + i, size)) >= 0,
+            F.lit(1 << i).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint"))
     return cell
 

@@ -610,3 +610,75 @@ def test_probe_cells_prefix_composition_and_bigint_exactness(spark):
         .collect()[0]["p"]
     )
     assert got_small == [(3 ^ 1) * n_fine + 2, (3 ^ 2) * n_fine + 2]
+
+
+def test_banded_one_band_equals_partitioned(spark):
+    """n_bands=1 with band_bits=b folds the SAME hyperplane slice
+    (offset 0) and the band-index term vanishes (t=0), so composite
+    cell ids — and with them the whole capped output — must be
+    bit-equal to the unprobed partitioned operator."""
+    from forgettable_spark.extensions.codebook import (
+        semantic_dedup_banded,
+        semantic_dedup_partitioned,
+        train_two_level_codebook,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = train_two_level_codebook(emb, k1=4, k2=2)
+    a = sorted(
+        map(
+            tuple,
+            semantic_dedup_partitioned(
+                emb, coarse, fines, 0.38, n_sig_bits=2, max_cell_size=64
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup_banded(
+                emb, coarse, fines, 0.38, n_bands=1, band_bits=2,
+                max_cell_size=64,
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_banded_recall_monotone_and_bounded_by_two_level(spark):
+    """Cap-free laws of the banded-OR construction: bands 1..r are a
+    PREFIX of bands 1..r+1, so the drop set grows monotonically in
+    n_bands; every arm's pairs agree on the trained cell, so every arm
+    stays a SUBSET of the unpartitioned two-level drop set; and the
+    registered 3-band config recovers strictly more than one band on
+    this corpus (non-vacuous)."""
+    from forgettable_spark.extensions.codebook import (
+        semantic_dedup_banded,
+        semantic_dedup_two_level,
+        train_two_level_codebook,
+    )
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = train_two_level_codebook(emb, k1=4, k2=2)
+    truth = {
+        r["vec_id"]
+        for r in semantic_dedup_two_level(emb, coarse, fines, 0.38).collect()
+    }
+    drops = [
+        {
+            r["vec_id"]
+            for r in semantic_dedup_banded(
+                emb, coarse, fines, 0.38, n_bands=r_, band_bits=2
+            ).collect()
+        }
+        for r_ in (1, 2, 3)
+    ]
+    assert drops[0] <= drops[1] <= drops[2], "not monotone in n_bands"
+    assert drops[2] <= truth, "banded drop escaped the two-level truth"
+    assert drops[0] < drops[2], "3 bands recovered nothing over 1 (vacuous)"
