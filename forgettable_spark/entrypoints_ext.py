@@ -1025,51 +1025,140 @@ def _oracle_decontaminate_semantic(sf_dir: str) -> str:
     )
 
 
+#: Width of the GEOMETRY-derived label fixture (VERDICT r11 #6): labels
+#: = the 2-bit sign-LSH signature of the vector itself (4 classes tied
+#: to embedding geometry), so kNN cosine neighbors mostly share them
+#: and the gauge reads ≫ the 0.25 chance floor — a regression in the
+#: vote/tie/abstention logic MOVES the number, which the near-random
+#: `label` column could never show.
+KNN_GEO_BITS = 2
+
+
+def _geo_label(vec_col):
+    """The geometry label: `similarity.signature_cell` over the first
+    KNN_GEO_BITS hyperplanes — the one derivation shared by the corpus
+    side, the truth side, and (as `hyperplane_bit_sql`) the oracle."""
+    from forgettable_spark.extensions.similarity import signature_cell
+
+    return signature_cell(vec_col, KNN_GEO_BITS).cast("int")
+
+
 def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The labeling operator's own quality gauge (the
     `ann_recall` pattern): run `knn_label` over the labeled/unlabeled
     split and score predictions against the held-out TRUE labels of the
-    query slice. One row: (n_queries, n_predicted, n_correct, accuracy)
-    — n_predicted < n_queries when a query's probed cells held no
+    query slice. TWO rows since r12 (VERDICT r11 #6), one per label
+    source: 'column' scores the embeddings table's `label` column
+    (near-independent of geometry, reads ≈ chance — it verifies the
+    vote/abstention machinery, the honest-regime note), 'geo' scores
+    the GEOMETRY-derived fixture (`_geo_label`) whose accuracy is
+    sensitive to the vote logic and reads ≫ chance. Columns:
+    (label_source, n_queries, n_predicted, n_correct, accuracy) —
+    n_predicted < n_queries when a query's probed cells held no
     labeled neighbor (abstention, counted, not hidden)."""
+    from forgettable_spark.extensions import codebook as cb
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # Score exactly the registered operator — any config drift between
-    # the gauge and q_knn_label is impossible by construction (review
-    # r10; the oracle twin already wraps _oracle_knn_label the same way).
-    pred = q_knn_label(spark, sf_dir)
-    truth = _queries_subset(emb).select(
-        "vec_id", F.col("label").cast("int").alias("_true")
+    cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
+
+    def arm(source: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
+        joined = truth.join(pred, "vec_id", "left")
+        return joined.agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.count("pred_label").cast("bigint").alias("n_predicted"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            (
+                F.sum(F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0))
+                / F.count("*")
+            ).cast("double").alias("accuracy"),
+        ).select(F.lit(source).alias("label_source"), "*")
+
+    # 'column' arm: score exactly the registered operator — any config
+    # drift between the gauge and q_knn_label is impossible by
+    # construction (review r10; the oracle twin wraps the same way).
+    col_arm = arm(
+        "column",
+        q_knn_label(spark, sf_dir),
+        _queries_subset(emb).select(
+            "vec_id", F.col("label").cast("int").alias("_true")
+        ),
     )
-    joined = truth.join(pred, "vec_id", "left")
-    return joined.agg(
-        F.count("*").cast("bigint").alias("n_queries"),
-        F.count("pred_label").cast("bigint").alias("n_predicted"),
-        F.sum(
-            F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0)
-        ).cast("bigint").alias("n_correct"),
-        (
-            F.sum(F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0))
-            / F.count("*")
-        ).cast("double").alias("accuracy"),
+    # 'geo' arm: same operator, same split/k/probes/cap — only the
+    # label column is the geometry fixture.
+    geo = emb.withColumn("_geo", _geo_label(F.col("embedding")))
+    geo_arm = arm(
+        "geo",
+        cb.knn_label(
+            geo.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
+            _queries_subset(geo),
+            cents,
+            k=KNN_K,
+            n_probes=KMEANS_PROBES,
+            max_bucket_size=KMEANS_CAP,
+            label_col="_geo",
+        ),
+        _queries_subset(geo).select("vec_id", F.col("_geo").alias("_true")),
+    )
+    return col_arm.unionByName(geo_arm)
+
+
+def _geo_label_sql(vec_expr: str) -> str:
+    """The oracle rendering of :func:`_geo_label`: the KNN_GEO_BITS-bit
+    sign-LSH value over a double-list expression, through the ONE shared
+    `similarity.hyperplane_bit_sql` formula."""
+    from forgettable_spark.extensions.similarity import hyperplane_bit_sql
+
+    return (
+        "CAST("
+        + " + ".join(
+            f"({hyperplane_bit_sql(i, vec_expr)}) * {1 << i}"
+            for i in range(KNN_GEO_BITS)
+        )
+        + " AS INTEGER)"
     )
 
 
 def _oracle_knn_label_accuracy(sf_dir: str) -> str:
-    """Generated twin: the full knn_label oracle as a subquery, scored
-    against the query slice's true labels."""
-    knn = _oracle_knn_label(sf_dir)
-    return f"""WITH truth AS (
-  SELECT vec_id, CAST(label AS INTEGER) AS t
-  FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
-),
-p AS ({knn})
-SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+    """Generated twin of the TWO-arm gauge: each arm wraps the full
+    knn_label oracle (column labels / geometry labels via the builder's
+    ``label_expr`` parameter), scored against its own truth; UNION ALL
+    mirrors the engine's row-per-source shape."""
+    from forgettable_spark.extensions import codebook as cb
+
+    cents = _codebook_local_for(sf_dir, KMEANS_CELLS)
+    geo_e = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    arms = []
+    for source, knn, truth_t in (
+        ("column", _oracle_knn_label(sf_dir), "CAST(label AS INTEGER)"),
+        (
+            "geo",
+            cb.knn_label_oracle_sql(
+                cents,
+                k=KNN_K,
+                n_probes=KMEANS_PROBES,
+                max_bucket_size=KMEANS_CAP,
+                query_mod=ANN_QUERY_MOD,
+                label_expr=_geo_label_sql("a.e"),
+            ),
+            _geo_label_sql(geo_e),
+        ),
+    ):
+        arms.append(
+            f"""SELECT '{source}' AS label_source,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(COUNT(p.pred_label) AS BIGINT) AS n_predicted,
        CAST(SUM(CASE WHEN p.pred_label = truth.t THEN 1 ELSE 0 END) AS BIGINT)
          AS n_correct,
        CAST(SUM(CASE WHEN p.pred_label = truth.t THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS accuracy
-FROM truth LEFT JOIN p USING (vec_id)"""
+FROM (
+  SELECT vec_id, {truth_t} AS t
+  FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+) truth LEFT JOIN ({knn}) p USING (vec_id)"""
+        )
+    return "\nUNION ALL\n".join(arms)
 
 
 #: Signature pre-partition width FLOOR for the partitioned variant:

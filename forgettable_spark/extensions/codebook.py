@@ -932,13 +932,18 @@ def knn_label_oracle_sql(
     n_probes: int = 1,
     max_bucket_size: int | None = None,
     query_mod: int = 25,
+    label_expr: str = "CAST(emb.label AS INTEGER)",
 ) -> str:
     """The DuckDB twin of :func:`knn_label` over the pre-registered
     ``embeddings`` view, with the labeled/unlabeled split mirrored from
     the registered query's ``vec_id % query_mod`` device (queries = the
     sampled rows, corpus = the rest, labels joined from the view). The
     cap window applies to the LABELED side only, after the split —
-    exactly where :func:`knn_label` applies it."""
+    exactly where :func:`knn_label` applies it. ``label_expr`` is the
+    SQL the ``lab0`` CTE projects as the label (over ``emb`` and the
+    double-cast assigned vector ``a.e``) — the geometry-label gauge arm
+    composes its sign-LSH fixture here instead of text-patching the
+    generated SQL (VERDICT r10 #8)."""
     cos = (
         "({d}) / ((sqrt({na})) * (sqrt({nb})))".format(
             d="list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * e[j]))",
@@ -955,7 +960,7 @@ def knn_label_oracle_sql(
     )
     return f"""WITH {prefix},
 lab0 AS (
-  SELECT a.vec_id, a.e, a.cell, CAST(emb.label AS INTEGER) AS label
+  SELECT a.vec_id, a.e, a.cell, {label_expr} AS label
   FROM assigned a JOIN embeddings emb USING (vec_id)
   WHERE a.vec_id % {query_mod} != 0
 ){cap_cte},

@@ -22,10 +22,12 @@ Per micro-batch:
    partitions byte-identically, and its reads exclude them, so replay
    sees exactly the state the first attempt saw,
 4. when the index accumulates ``fold_every`` live batch directories,
-   consolidate (``admit._fold``: everything STRICTLY before the current
+   consolidate (``_fold_index``: everything STRICTLY before the current
    batch — a fold containing the batch would make its replay
-   self-match). The verdict directory is an append-only log the loop
-   never reads back; it stays unfolded, like the text loop's.
+   self-match — rewritten in the bucketed layout, migrating any
+   pre-r12 unpartitioned batches). The verdict directory is an
+   append-only log the loop never reads back; it stays unfolded, like
+   the text loop's.
 
 The codebook is a MODEL argument (literal centroids, trained once on a
 bootstrap corpus via ``codebook.train_codebook`` — kilobytes of floats;
@@ -60,9 +62,7 @@ from forgettable_spark.extensions import codebook as cb
 from forgettable_spark.functions.cache import released_scope
 from forgettable_spark.streaming.admit import (
     FOLD_EVERY,
-    _fold,
     _loop_width,
-    _read_or_empty,
     _table_parts,
 )
 
@@ -83,6 +83,149 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("n", T.DoubleType(), True),
     ]
 )
+
+#: Cell-pruned index layout (NEW r12, VERDICT r11 #3): every index
+#: batch/fold directory is hive-partitioned by ``cb = pmod(cell, 64)``
+#: so a trigger reads ONLY the buckets its batch's home (+probe) cells
+#: touch — the per-trigger O(index) full-scan term the 50-trigger study
+#: measured (+43% per-trigger over 0→313k stored vectors, SCALING.md
+#: r11) becomes O(index · touched/64). ``cb`` is a PURE FUNCTION of the
+#: stored ``cell`` (never trusted as data: the fold recomputes it), the
+#: verdict semantics are exactly preserved because both the home and
+#: probe joins match on cell equality and the cap window is per-cell —
+#: pruning away untouched cells removes only rows that could never be
+#: witnesses. Pre-r12 unpartitioned batch dirs read whole (no pruning,
+#: no silent emptiness) and the next fold migrates them into the
+#: bucketed layout; replay stays byte-idempotent (same OVERWRITE of the
+#: same partitioned directory).
+CELL_BUCKETS = 64
+
+#: The layout marker persisting the index's bucket count beside it
+#: (the _ASSIGNER device): ``cb = pmod(cell, P)`` is only prunable if
+#: every batch of one index used the SAME P — attaching a loop
+#: configured with a different ``cell_buckets`` to an existing index
+#: would compute bucket lists under the wrong modulus and silently
+#: prune away live witnesses (admitting every duplicate whose witness
+#: it dropped). First contact claims P; every later batch validates.
+LAYOUT_MARKER = "_LAYOUT"
+
+#: INDEX_SCHEMA plus the derived bucket partition column (read-side
+#: schema for bucketed parts; ``cb`` is dropped right after pruning).
+_INDEX_SCHEMA_CB = T.StructType(
+    list(INDEX_SCHEMA.fields) + [T.StructField("cb", T.IntegerType(), True)]
+)
+
+
+def _bucket_of(cell_col, cell_buckets: int = CELL_BUCKETS):
+    """The ONE derivation of the bucket column — write, fold and read
+    sides share it so the layout cannot drift. Sizing: pruning reads
+    ~``distinct_cells(batch) / cell_buckets`` of the index, so the
+    bucket count should exceed a typical trigger's distinct-cell count
+    for micro-triggers to prune (more buckets = more, smaller files —
+    folds bound the total at ~one file per non-empty bucket)."""
+    return F.pmod(cell_col, F.lit(cell_buckets)).cast("int")
+
+
+def _claim_or_validate_layout(index_dir: str, cell_buckets: int) -> int:
+    """Persist the index's bucket count on first contact; on every later
+    contact return the STORED value, raising if the caller's config
+    contradicts it (see LAYOUT_MARKER). Returns the authoritative P."""
+    marker = os.path.join(index_dir, LAYOUT_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            stored = int(fh.read().strip())
+        if stored != cell_buckets:
+            raise RuntimeError(
+                f"semantic admission: the stored index at {index_dir!r} is "
+                f"bucketed with cell_buckets={stored}, this loop is "
+                f"configured with {cell_buckets}. Bucket pruning under the "
+                f"wrong modulus silently drops live witnesses — keep the "
+                f"index's value or rebuild the index."
+            )
+        return stored
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(cell_buckets) + "\n")
+    os.replace(tmp, marker)
+    return cell_buckets
+
+
+def _part_is_bucketed(part: str) -> bool:
+    """Whether a live part-directory carries the r12 hive layout."""
+    try:
+        return any(e.startswith("cb=") for e in os.listdir(part))
+    except OSError:
+        return False
+
+
+def _read_index(
+    spark: SparkSession,
+    index_dir: str,
+    exclude_batch: int,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """The semantic loop's index reader: `_read_or_empty`'s liveness /
+    replay-exclusion contract (`_table_parts`), plus per-part bucket
+    pruning — bucketed parts are read with ``cb`` as a partition column
+    and filtered to ``buckets`` (directory-level pruning: untouched
+    cells are never opened), legacy unpartitioned parts are read whole
+    so an old index keeps working unpruned until a fold migrates it."""
+    parts = _table_parts(index_dir, exclude_batch)
+    if not parts:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    out = None
+    for p in parts:
+        if _part_is_bucketed(p):
+            df = (
+                spark.read.schema(_INDEX_SCHEMA_CB)
+                .option("basePath", p)
+                .parquet(p)
+            )
+            if buckets is not None:
+                df = df.filter(F.col("cb").isin([int(b) for b in buckets]))
+            df = df.drop("cb")
+        else:
+            df = spark.read.schema(INDEX_SCHEMA).parquet(p)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _fold_index(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    cell_buckets: int = CELL_BUCKETS,
+) -> None:
+    """`_fold` for the bucketed index layout: consolidate everything
+    strictly before ``batch_id`` into a ``fold-<batch_id>`` directory
+    that is itself hive-partitioned by the recomputed ``cb`` (legacy
+    unpartitioned batches migrate here), then vacuum the subsumed
+    directories. Idempotent under replay exactly like `_fold`: an
+    existing live fold target is kept as-is. The index schema is the
+    loop's own fixed contract (INDEX_SCHEMA — the loop writes exactly
+    these columns), so the text fold's mergeSchema device is not
+    needed."""
+    import shutil
+
+    target = os.path.join(path, f"fold-{batch_id}")
+    if not os.path.isfile(os.path.join(target, "_SUCCESS")):
+        df = _read_index(spark, path, exclude_batch=batch_id)
+        if not _table_parts(path, exclude_batch=batch_id):
+            return
+        (
+            df.withColumn("cb", _bucket_of(F.col("cell"), cell_buckets))
+            .repartition(F.col("cb"))
+            .write.mode("overwrite")
+            .partitionBy("cb")
+            .parquet(target)
+        )
+    for e in os.listdir(path):
+        if (e.startswith("batch-") and int(e[6:]) < batch_id) or (
+            e.startswith("fold-") and int(e[5:]) < batch_id
+        ):
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
 
 #: The index's assigner-fingerprint marker (VERDICT r10 #2). The stored
 #: index persists raw CELL IDS, and a cell id is only comparable to ids
@@ -178,8 +321,14 @@ def semantic_admit_batch(
     fingerprint: str | None = None,
     probe_n_fine: int | None = None,
     probe_flips: int | None = None,
+    cell_buckets: int = CELL_BUCKETS,
 ) -> None:
     """Run one micro-batch of embedding admission (see module doc).
+
+    ``cell_buckets``: the index layout's bucket-partition count (see
+    LAYOUT_MARKER / ``_bucket_of`` sizing note) — persisted beside the
+    index on first contact and validated on every later one; the
+    STORED value is authoritative for the index's lifetime.
 
     ``probe_flips`` / ``probe_n_fine``: batch-side 1-flip multi-probe
     over COMPOSITE cell ids (r11, ``codebook.semantic_admit_assigned_probed``)
@@ -318,8 +467,10 @@ def semantic_admit_batch(
     fp = fingerprint or assigner_fingerprint("flat", centroids)
     # Validate (or claim, on first contact) BEFORE any work — including
     # empty triggers: a mis-wired restart must fail at attach, not at the
-    # first non-empty batch.
+    # first non-empty batch. The layout marker follows the same rule and
+    # the STORED bucket count wins (see LAYOUT_MARKER).
     _claim_or_validate_assigner(index_dir, fp)
+    cell_buckets = _claim_or_validate_layout(index_dir, cell_buckets)
     batch = batch.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
@@ -371,7 +522,33 @@ def semantic_admit_batch(
                 "embedding", F.col("_v").cast(T.ArrayType(T.FloatType()))
             )
             batch = batch.localCheckpoint(eager=True)
-            idx = _read_or_empty(spark, index_dir, INDEX_SCHEMA, exclude_batch=batch_id)
+            # Touched buckets: the batch's home cells plus (when probing)
+            # its probe targets — the ONLY index cells either verdict
+            # join can match on, so the pruned read is verdict-exact
+            # (the cap window is per-cell; see CELL_BUCKETS). One tiny
+            # job over the checkpointed batch; ≤ CELL_BUCKETS values.
+            tc = batch.select("cell")
+            if probe_flips:
+                tc = tc.unionByName(
+                    batch.select(
+                        F.explode(
+                            cb._probe_cells(
+                                F.col("cell"), probe_n_fine, probe_flips
+                            )
+                        ).alias("cell")
+                    )
+                )
+            buckets = sorted(
+                r[0]
+                for r in tc.select(
+                    _bucket_of(F.col("cell"), cell_buckets).alias("cb")
+                )
+                .distinct()
+                .collect()
+            )
+            idx = _read_index(
+                spark, index_dir, exclude_batch=batch_id, buckets=buckets
+            )
             # Rebuild the assigned frame FROM STORAGE: _v re-widens from
             # the stored float32 bits, (cell, n) read back as written —
             # no codebook fold ever touches the index after admission.
@@ -410,9 +587,18 @@ def semantic_admit_batch(
                 "vec_id",
                 "left_semi",
             )
-            admitted.select("vec_id", "embedding", "cell", "n").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(index_dir, f"batch-{batch_id}"))
+            # Bucketed write (CELL_BUCKETS note): cb recomputed from
+            # cell, hive-partitioned so later triggers prune; the
+            # repartition routes each bucket to ONE task so a batch
+            # writes at most one file per non-empty bucket.
+            (
+                admitted.select("vec_id", "embedding", "cell", "n")
+                .withColumn("cb", _bucket_of(F.col("cell"), cell_buckets))
+                .repartition(width, F.col("cb"))
+                .write.mode("overwrite")
+                .partitionBy("cb")
+                .parquet(os.path.join(index_dir, f"batch-{batch_id}"))
+            )
             # Liveness probe on BOTH written partitions (see
             # _require_success): verdict side catches the committer
             # misconfiguration on the first batch; index side catches a
@@ -432,7 +618,7 @@ def semantic_admit_batch(
             for p in _table_parts(index_dir, exclude_batch=-1)
         )
         if live_batches >= fold_every:
-            _fold(spark, index_dir, batch_id)
+            _fold_index(spark, index_dir, batch_id, cell_buckets)
 
 
 def semantic_admission_stream(
@@ -452,6 +638,7 @@ def semantic_admission_stream(
     fingerprint: str | None = None,
     probe_n_fine: int | None = None,
     probe_flips: int | None = None,
+    cell_buckets: int = CELL_BUCKETS,
 ) -> StreamingQuery:
     """Wire a vector stream into the per-batch embedding-admission loop.
     Returns the started query; exactly-once anchored by the checkpoint +
@@ -482,6 +669,7 @@ def semantic_admission_stream(
             fingerprint=fingerprint,
             probe_n_fine=probe_n_fine,
             probe_flips=probe_flips,
+            cell_buckets=cell_buckets,
         )
 
     writer = (

@@ -62,6 +62,14 @@ def main() -> None:
     # "0" pins the unprobed arm for A/B runs.
     _pf = os.environ.get("SPARK_GRAFT_PROBE_FLIPS", "auto")
     probe_flips = None if _pf == "auto" else int(_pf)
+    # Index-layout bucket count (r12 cell-pruned layout). cell_buckets=1
+    # is the honest unpruned CONTROL arm: identical layout machinery
+    # (partitioned write, marker, per-part reads), zero pruning.
+    from forgettable_spark.streaming.semantic_admit import CELL_BUCKETS
+
+    cell_buckets = int(
+        os.environ.get("SPARK_GRAFT_CELL_BUCKETS", str(CELL_BUCKETS))
+    )
 
     from forgettable_spark.extensions import codebook as cb
     from forgettable_spark.session import get_spark
@@ -106,7 +114,7 @@ def main() -> None:
         # perf_counter reads per trigger).
         trigger_s: list[float] = []
         fold_s: list[float] = []
-        _real_batch, _real_fold = sa.semantic_admit_batch, sa._fold
+        _real_batch, _real_fold = sa.semantic_admit_batch, sa._fold_index
 
         def _timed_batch(*a, **kw):
             t = time.perf_counter()
@@ -118,7 +126,7 @@ def main() -> None:
             _real_fold(*a, **kw)
             fold_s.append(round(time.perf_counter() - t, 3))
 
-        sa.semantic_admit_batch, sa._fold = _timed_batch, _timed_fold
+        sa.semantic_admit_batch, sa._fold_index = _timed_batch, _timed_fold
 
         stream = (
             spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -143,11 +151,12 @@ def main() -> None:
             # the A/B arms are env-selectable ("auto" = library default:
             # full 1-flip when the assigner is structured).
             probe_flips=probe_flips,
+            cell_buckets=cell_buckets,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
 
-        sa.semantic_admit_batch, sa._fold = _real_batch, _real_fold
+        sa.semantic_admit_batch, sa._fold_index = _real_batch, _real_fold
         if trigger_s:
             import statistics as st
 
@@ -190,6 +199,7 @@ def main() -> None:
                         sig_bits if probe_flips is None and sig_bits else (probe_flips or 0)
                     ),
                     "wall_s": round(wall, 2),
+                    "cell_buckets": cell_buckets,
                     "n_admitted": n_admitted,
                     "n_dup": n_dup,
                     "sf_dir": sf_dir,

@@ -550,3 +550,125 @@ def test_structured_assigner_defaults_probes_on(spark, dirs):
     assert stored == assigner_fingerprint("partitioned", coarse, fines, 2)
     _, optout = run(os.path.join(dirs["root"], "optout"), probe_flips=0)
     assert not optout[10]["is_dup"]  # explicit 0 opts out of probing
+
+
+def test_cell_pruned_layout_writes_buckets_and_reads_legacy(spark, dirs):
+    """VERDICT r11 #3: index batches are hive-partitioned by
+    cb = pmod(cell, CELL_BUCKETS) so a trigger reads only the buckets
+    its batch touches. (1) a new batch dir carries cb= partitions;
+    (2) a LEGACY unpartitioned index batch (pre-r12 layout) is still
+    read — the cross-batch duplicate against it is caught, not silently
+    admitted; (3) the fold migrates legacy + bucketed parts into ONE
+    bucketed fold dir and dedup still works against it."""
+    from forgettable_spark.streaming.semantic_admit import (
+        CELL_BUCKETS,
+        _read_index,
+    )
+
+    # Legacy batch-0: written the pre-r12 way (plain parquet, no cb=),
+    # holding VY's assigned row (cell 1 under CENTS).
+    legacy = spark.createDataFrame(
+        [(2, list(map(float, VY)), 1, 1.0)],
+        "vec_id long, embedding array<float>, cell long, n double",
+    )
+    legacy.write.mode("overwrite").parquet(
+        os.path.join(dirs["index"], "batch-0")
+    )
+    # claim the marker as the flat assigner would, so batch 1 attaches
+    from forgettable_spark.streaming.semantic_admit import (
+        _claim_or_validate_assigner,
+    )
+
+    _claim_or_validate_assigner(
+        dirs["index"], assigner_fingerprint("flat", CENTS)
+    )
+
+    # Batch 1 through the loop: 10 ≈ VY (dup vs the LEGACY index row),
+    # 11 sub-threshold (admitted).
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(10, VY), (11, VZ)]), 1,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    v = _verdicts(spark, dirs)
+    assert v[10]["is_dup"] and v[10]["match_id"] == 2, "legacy index unread"
+    assert not v[11]["is_dup"]
+    b1 = os.path.join(dirs["index"], "batch-1")
+    assert any(e.startswith("cb=") for e in os.listdir(b1)), "not bucketed"
+
+    # Pruned read: only bucket pmod(1, CELL_BUCKETS) → sees the legacy
+    # row (legacy parts are never pruned) + batch-1's cell-0 row is
+    # excluded from the BUCKETED part when pruning to cell 1's bucket.
+    pruned = _read_index(spark, dirs["index"], exclude_batch=-1,
+                         buckets=[1 % CELL_BUCKETS])
+    ids = {r["vec_id"] for r in pruned.collect()}
+    assert 2 in ids  # legacy row survives unpruned
+    assert 11 not in ids  # bucketed cell-0 row pruned away
+
+    # Fold migrates both layouts into one bucketed fold dir.
+    from forgettable_spark.streaming.semantic_admit import _fold_index
+
+    _fold_index(spark, dirs["index"], 2)
+    fold = os.path.join(dirs["index"], "fold-2")
+    assert os.path.isfile(os.path.join(fold, "_SUCCESS"))
+    assert any(e.startswith("cb=") for e in os.listdir(fold)), "fold unbucketed"
+    assert not os.path.isdir(os.path.join(dirs["index"], "batch-0"))
+    # and the folded index still serves verdicts: replay a near-dup of
+    # the legacy row — caught against the migrated fold.
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(20, VY)]), 3,
+        dirs["index"], dirs["verdicts"], CENTS, threshold=0.95,
+    )
+    v = _verdicts(spark, dirs)
+    assert v[20]["is_dup"] and v[20]["match_id"] == 2
+    # full unpruned read sees exactly the admitted set
+    all_ids = {
+        r["vec_id"]
+        for r in _read_index(spark, dirs["index"], exclude_batch=-1).collect()
+    }
+    assert all_ids == {2, 11}
+
+
+def test_layout_marker_pins_bucket_count_and_pruning_is_exact(spark, dirs):
+    """The bucket count is a LAYOUT property of the index (pmod under a
+    different modulus would prune away live witnesses): first contact
+    persists it, a contradicting loop config raises, and verdicts under
+    real pruning (cell_buckets=64) are identical to the unpruned
+    control (cell_buckets=1 — same machinery, every row in one
+    bucket)."""
+    from forgettable_spark.streaming.semantic_admit import LAYOUT_MARKER
+
+    def run(workdir: str, buckets: int) -> dict:
+        idx, ver = f"{workdir}/index", f"{workdir}/verdicts"
+        batches = [
+            [(1, VX), (2, VY)],
+            [(10, (0.999, 0.0, 0.04, 0.0)), (11, (0.0, 1.0, 0.01, 0.0)),
+             (12, VZ)],
+        ]
+        for bid, rows in enumerate(batches):
+            semantic_admit_batch(
+                spark, _vec_df(spark, rows), bid, idx, ver,
+                CENTS, threshold=0.95, cell_buckets=buckets,
+            )
+        with open(os.path.join(idx, LAYOUT_MARKER)) as fh:
+            assert int(fh.read().strip()) == buckets
+        return {
+            r["vec_id"]: (r["is_dup"], r["match_id"], round(r["cosine"], 9))
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(ver).collect()
+        }
+
+    pruned = run(os.path.join(dirs["root"], "p64"), 64)
+    control = run(os.path.join(dirs["root"], "p1"), 1)
+    assert pruned == control, "bucket pruning changed a verdict"
+    assert pruned[10][0] and pruned[10][1] == 1  # cross-batch dup caught
+    assert pruned[11][0] and pruned[11][1] == 2
+    assert not pruned[12][0]
+
+    # A mis-configured restart must fail at attach, before any work.
+    with pytest.raises(RuntimeError, match="cell_buckets=64"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(20, VX)]), 2,
+            os.path.join(dirs["root"], "p64", "index"),
+            os.path.join(dirs["root"], "p64", "verdicts"),
+            CENTS, threshold=0.95, cell_buckets=8,
+        )
