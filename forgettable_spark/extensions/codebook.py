@@ -1182,11 +1182,14 @@ def _probe_cells(cell: Column, n_fine: int, n_flip: int) -> Column:
     Partial ``n_flip < b`` probes the FIXED PREFIX of signature bits
     ``i < n_flip``, not e.g. the least-confident ones — a sound
     cost/recall knob only because the signature's hyperplanes are
-    i.i.d. draws (similarity.signature_cell), which makes the bits
-    exchangeable: every ``n_flip``-subset has the same expected
-    straddle mass, so probing the prefix loses nothing over probing
-    any other fixed subset (test-locked probe-set composition,
-    tests/test_semantic_probed.py)."""
+    distinct quasi-random draws from one family
+    (similarity.signature_cell; the r12 quadratic congruential family —
+    the pre-r12 family was period-7 and made this assumption FALSE past
+    bit 6), which makes the bits approximately exchangeable: every
+    ``n_flip``-subset has the same expected straddle mass, so probing
+    the prefix loses nothing over probing any other fixed subset
+    (test-locked probe-set composition,
+    tests/test_mixture_canonical_semantic.py)."""
     # Integer division through decimal(38,0): a double-division floor
     # is exact only below 2^53, silently diverging from the oracle's
     # integer `//` above it (ADVICE r11) — decimal covers the full

@@ -452,26 +452,77 @@ HYPERPLANE_BANDS = 4
 _BITS_PER_BAND = HYPERPLANE_BITS // HYPERPLANE_BANDS
 
 
+#: Hyperplane-family constants (r12). The pre-r12 formula
+#: ``((i·31 + j·17) mod 7) − 3`` was periodic in i with period SEVEN —
+#: only 7 distinct hyperplanes existed in the whole family, so every
+#: signature wider than 7 bits was silently degenerate (measured: b=11
+#: produced 126 distinct values of a nominal 2048 — the corpus-scale
+#: partitioned quantizer capped at ~128 partitions no matter the
+#: corpus, and banded-OR bands reused each other's hyperplanes). The
+#: r12 family below is a quadratic congruential draw per hyperplane:
+#: ``w_i[j] = ((c2(i) + j·c1(i) + j²·c0(i)) mod 8191) − 4095`` with
+#: per-plane coefficients ``c1(i) = 1 + (17 + i·4099) mod 8190``
+#: (never 0, injective in i: gcd(4099, 8190) = 1),
+#: ``c2(i) = (i·31 + i²·5903) mod 8191`` and
+#: ``c0(i) = (29 + i·211 + i²·101) mod 8191``. The j² term matters: a
+#: purely affine-in-j progression left the planes spanning a
+#: low-dimensional sawtooth space (measured 413 distinct 11-bit
+#: signatures on the sf1 corpus); the quadratic family matches the
+#: Gaussian baseline (2025 vs 2027 of 2048, and 4096/4096 distinct
+#: planes among the first 4096), with every per-bit mean at 0.50.
+#: All arithmetic is small-integer exact in both engines; 8191 is
+#: prime (2^13 − 1).
+_HYP_MOD = 8191
+_HYP_OFF = 4095
+
+
+def _hyp_coeffs(i: int) -> tuple[int, int, int]:
+    """The ONE derivation of hyperplane i's congruential coefficients
+    (c0 quadratic, c1 linear, c2 constant term over j), precomputed as
+    Python ints so both engine and SQL renderings embed the same small
+    literals."""
+    c0 = (29 + i * 211 + i * i * 101) % _HYP_MOD
+    c1 = 1 + (17 + i * 4099) % (_HYP_MOD - 1)
+    c2 = (i * 31 + i * i * 5903) % _HYP_MOD
+    return c0, c1, c2
+
+
+def hyperplane_weights_py(i: int, dim: int) -> list[float]:
+    """Python-side rendering of hyperplane ``i`` over ``dim`` components
+    (1-based j, matching the engines) — for tests and diagnostics that
+    need to craft vectors against the REAL weights instead of
+    hard-coding values the formula could invalidate."""
+    c0, c1, c2 = _hyp_coeffs(i)
+    return [
+        float((c2 + j * c1 + j * j * c0) % _HYP_MOD - _HYP_OFF)
+        for j in range(1, dim + 1)
+    ]
+
+
 def _hyperplane_weights(i: int, size: Column) -> Column:
-    """Hyperplane i as a formula, not literals: component j (1-based) is
-    ``((i·31 + j·17) mod 7) − 3`` ∈ [−3, 3] — a fixed quasi-random ±
-    pattern both engines restate as an expression, so the oracle needs
-    no 768-literal matrix."""
+    """Hyperplane i as a formula, not literals (family note above) —
+    a fixed quasi-random pattern both engines restate as an expression,
+    so the oracle needs no dim-sized literal matrix per plane."""
+    c0, c1, c2 = _hyp_coeffs(i)
     return F.transform(
         F.sequence(F.lit(1), size),
-        lambda j: ((F.lit(i * 31) + j * 17) % 7 - 3).cast("double"),
+        lambda j: (
+            (F.lit(c2) + j * c1 + j * j * c0) % _HYP_MOD - _HYP_OFF
+        ).cast("double"),
     )
 
 
 def hyperplane_bit_sql(i: int, vec_expr: str = "e") -> str:
     """The DuckDB twin of bit ``i`` of :func:`hyperplane_signature` /
     :func:`signature_cell` over a double-list column ``vec_expr`` — the
-    ONE rendering of the ``((i·31 + j·17) mod 7) − 3`` weight formula,
-    shared by every signature oracle so the engine expression and its
-    SQL twin cannot drift."""
+    ONE rendering of the quadratic congruential weight formula (family
+    note above), shared by every signature oracle so the engine
+    expression and its SQL twin cannot drift."""
+    c0, c1, c2 = _hyp_coeffs(i)
     return (
         f"CASE WHEN list_sum(list_transform(range(1, len({vec_expr}) + 1), "
-        f"j -> {vec_expr}[j] * ((({i} * 31 + j * 17) % 7) - 3))) >= 0 "
+        f"j -> {vec_expr}[j] * ((({c2} + j * {c1} + j * j * {c0}) % {_HYP_MOD})"
+        f" - {_HYP_OFF}))) >= 0 "
         "THEN 1 ELSE 0 END"
     )
 

@@ -64,19 +64,30 @@ def main() -> None:
         t0 = time.perf_counter()
         coarse, fines = cb.train_two_level_codebook(emb, k1=K1, k2=K2)
         t_train = time.perf_counter() - t0
-        for variant, bits in [
-            ("two_level", 0),
-            (f"partitioned_b{SIG_BITS}", SIG_BITS),
+        for variant, bits, bands in [
+            ("two_level", 0, 0),
+            (f"partitioned_b{SIG_BITS}", SIG_BITS, 0),
             # r11: full 1-flip multi-probe recovery — same composite
             # cells, pair join fanned out ≤(b+1)× (the recall-recovery
             # cost the operator prices; SCALING.md round-11)
-            (f"probed_b{SIG_BITS}", SIG_BITS),
+            (f"probed_b{SIG_BITS}", SIG_BITS, 0),
+            # r12: banded-OR at the SAME band width — r independent
+            # signatures ORed, r× fan-out with geometric miss decay;
+            # r=3 is the registered config (≈half the probed fan-out),
+            # r=7 matches probed_b6's (b+1)× fan-out exactly.
+            (f"banded_r3_b{SIG_BITS}", SIG_BITS, 3),
+            (f"banded_r7_b{SIG_BITS}", SIG_BITS, 7),
         ]:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             if bits == 0:
                 df = cb.semantic_dedup_two_level(
                     emb, coarse, fines, THRESHOLD, max_cell_size=CAP
+                )
+            elif bands:
+                df = cb.semantic_dedup_banded(
+                    emb, coarse, fines, THRESHOLD, n_bands=bands,
+                    band_bits=bits, max_cell_size=CAP,
                 )
             elif variant.startswith("probed"):
                 df = cb.semantic_dedup_probed(
@@ -94,11 +105,12 @@ def main() -> None:
             # occupied cells via the assignment expression alone (cheap
             # relative to the dedup; excluded from the timings above)
             a = emb.select(as_double(F.col("embedding")).alias("_v"))
-            a = (
-                cb.with_partitioned_cell(a, coarse, fines, bits)
-                if bits
-                else cb.with_two_level_cell(a, coarse, fines)
-            )
+            if bands:
+                a = cb.with_banded_cells(a, coarse, fines, bands, bits)
+            elif bits:
+                a = cb.with_partitioned_cell(a, coarse, fines, bits)
+            else:
+                a = cb.with_two_level_cell(a, coarse, fines)
             cells = a.select("cell").distinct().count()
             # sweep the operator's checkpoint blocks before the next variant
             jmap = spark.sparkContext._jsc.getPersistentRDDs()

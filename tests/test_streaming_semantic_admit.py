@@ -358,13 +358,34 @@ def test_require_success_probes_both_sides():
     assert "index_dir" in src.split("_require_success(")[2]
 
 
+def _cross_bit_pair():
+    """A near-duplicate pair (cosine ~0.995) straddling signature bit 0
+    ONLY, crafted against the REAL hyperplane family (u, v = x +- eps*w0_hat
+    with x perpendicular to w0 and mostly x-axis so both land in coarse cell 0).
+    The properties are re-validated here against hyperplane_weights_py so
+    a future family change fails loudly instead of silently invalidating
+    the fixture (the r12 family fix caught exactly that hazard)."""
+    from forgettable_spark.extensions.similarity import hyperplane_weights_py
+
+    u = (0.699333, -0.292868, -0.280761, -0.264347)
+    v = (0.744147, -0.249217, -0.238914, -0.224946)
+    w0 = hyperplane_weights_py(0, 4)
+    w1 = hyperplane_weights_py(1, 4)
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    assert dot(u, w0) > 0 > dot(v, w0), "bit 0 must flip"
+    assert (dot(u, w1) > 0) == (dot(v, w1) > 0), "bit 1 must agree"
+    assert u[0] > abs(u[1]) and v[0] > abs(v[1]), "must share coarse cell 0"
+    c = dot(u, v) / (dot(u, u) ** 0.5 * dot(v, v) ** 0.5)
+    assert c > 0.95, c
+    return u, v
+
+
 def test_loop_probe_flips_catch_cross_bit_duplicate(spark, dirs):
     """r11 multi-probe admission through the LOOP: a near-duplicate pair
-    straddling one signature bit (crafted from the hyperplane weight
-    formula: w0=[0,3,-1,2], so [1,0,±0.1,0] flips bit 0 only, cosine
-    ≈0.98) is silently ADMITTED by the unprobed partitioned loop and
-    caught with probe_flips set. Also: probe_flips without probe_n_fine
-    must raise."""
+    straddling one signature bit (``_cross_bit_pair`` — property-locked
+    against the real hyperplane family) is silently ADMITTED by the
+    unprobed partitioned loop and caught with probe_flips set. Also:
+    probe_flips without probe_n_fine must raise."""
     from forgettable_spark.extensions import codebook as cb
 
     coarse = [list(c) for c in CENTS]
@@ -374,7 +395,7 @@ def test_loop_probe_flips_catch_cross_bit_duplicate(spark, dirs):
         df, coarse, fines, bits
     )
     fp = assigner_fingerprint("partitioned", coarse, fines, bits)
-    u, v = (1.0, 0.0, 0.1, 0.0), (1.0, 0.0, -0.1, 0.0)
+    u, v = _cross_bit_pair()
 
     with pytest.raises(ValueError, match="probe_n_fine"):
         semantic_admit_batch(
@@ -509,7 +530,7 @@ def test_structured_assigner_defaults_probes_on(spark, dirs):
     fines = [[list(CENTS[0])], [list(CENTS[1])]]
     assigner = cb.PartitionedAssigner(coarse, fines, 2)
     assert assigner.n_fine == 2  # ragged-aware: sum(len(f)), never k1*k2
-    u, v = (1.0, 0.0, 0.1, 0.0), (1.0, 0.0, -0.1, 0.0)
+    u, v = _cross_bit_pair()
 
     with pytest.raises(ValueError, match="contradicts"):
         semantic_admit_batch(
