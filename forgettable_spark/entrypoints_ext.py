@@ -1380,80 +1380,22 @@ def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
     b = _partitioned_sig_bits(sf_dir)
 
-    def build() -> DataFrame:
-        # The cap-free pair scans are the most expensive plans in the
-        # family and each drop set feeds two branches (count + semi
-        # join, truth additionally once per arm) — cache them so every
-        # scan runs once (review r11; run_released sweeps on exit).
-        truth = scoped_cache(
-            cb.semantic_dedup_two_level(
-                emb, coarse, fines, SEMDEDUP_COSINE, max_cell_size=None
-            ).select("vec_id")
-        )
-        t_agg = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-
-        def gauge_row(variant: str, setting: int, d: DataFrame) -> DataFrame:
-            d = scoped_cache(d.select("vec_id"))
-            return (
-                t_agg.crossJoin(
-                    d.agg(F.count("*").cast("bigint").alias("n_dropped"))
-                )
-                .crossJoin(
-                    d.join(truth, "vec_id", "left_semi").agg(
-                        F.count("*").cast("bigint").alias("n_recovered")
-                    )
-                )
-                .select(
-                    F.lit(variant).alias("variant"),
-                    F.lit(setting).cast("int").alias("setting"),
-                    "n_truth",
-                    "n_dropped",
-                    "n_recovered",
-                    F.when(
-                        F.col("n_truth") > 0,
-                        F.col("n_recovered").cast("double") / F.col("n_truth"),
-                    )
-                    .otherwise(F.lit(0.0))
-                    .alias("recall"),
-                )
-            )
-
-        out = None
-        for fl in _probed_recall_settings(sf_dir):
-            row = gauge_row(
-                "flips",
-                fl,
-                cb.semantic_dedup_probed(
-                    emb,
-                    coarse,
-                    fines,
-                    threshold=SEMDEDUP_COSINE,
-                    n_sig_bits=b,
-                    n_flip=fl,
-                    max_cell_size=None,
-                ),
-            )
-            out = row if out is None else out.unionByName(row)
-        # r12 banded-OR arm at the SAME band width b: n_bands× fan-out
-        # (vs (b+1)× for full 1-flip), geometric miss decay in r.
-        out = out.unionByName(
-            gauge_row(
-                "bands",
-                SEMDEDUP_BANDS,
-                cb.semantic_dedup_banded(
-                    emb,
-                    coarse,
-                    fines,
-                    threshold=SEMDEDUP_COSINE,
-                    n_bands=SEMDEDUP_BANDS,
-                    band_bits=b,
-                    max_cell_size=None,
-                ),
-            )
-        )
-        return out
-
-    return run_released(spark, build)
+    # r12: ONE shared assignment scan feeds every arm
+    # (codebook.probed_recall_gauge) — per-arm operator calls re-compiled
+    # the literal-codebook fold five times and doubled the gauge's wall.
+    return run_released(
+        spark,
+        lambda: cb.probed_recall_gauge(
+            emb,
+            coarse,
+            fines,
+            threshold=SEMDEDUP_COSINE,
+            n_sig_bits=b,
+            flip_settings=_probed_recall_settings(sf_dir),
+            n_bands=SEMDEDUP_BANDS,
+            band_bits=b,
+        ),
+    )
 
 
 def _oracle_semantic_probed_recall(sf_dir: str) -> str:

@@ -1454,6 +1454,148 @@ def n_fine_sql(fines: list[list[list[float]]]) -> int:
     return sum(len(f) for f in fines)
 
 
+def probed_recall_gauge(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    threshold: float,
+    n_sig_bits: int,
+    flip_settings: list[int],
+    n_bands: int,
+    band_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The partition/probe family's recall gauge over ONE cap-free pair
+    scan (r12 — was one full operator call per arm, which repeated the
+    quadratic within-cell scan five times and read 2× the sum of its
+    arms at sf0.1). Every arm's candidate pairs are a SUBSET of the
+    truth's: truth compares pairs agreeing on the trained two-level id,
+    and the composite/probed/banded constructions only ever tighten that
+    with a signature condition (probe cells flip sig bits but keep the
+    trained id; band cells share it by construction). So the gauge scans
+    trained-cell pairs ONCE — carrying both sides' signature and band
+    values — and each arm is a row-local FILTER over the qualifying
+    pairs:
+
+    - ``flips=f``: sides agree on all sig bits (home cell) or differ in
+      exactly one of the first ``f`` (the probe meet) — ``x = sigₐ XOR
+      sig_b``; ``x = 0`` or ``x`` a power of two below ``2^f``, the
+      closed form of :func:`_probe_cells`'s flip set (parity
+      test-locked against the standalone operators).
+    - ``bands``: ANY band's signatures agree (the OR).
+
+    A drop set is the distinct right-side ids of an arm's pairs —
+    identical as a SET to the standalone operator's output (the
+    operator's min-witness window only picks WHICH witness survives),
+    and the gauge counts sets. One quadratic scan instead of five is
+    also the 100 TB shape: the truth side is the gauge's documented
+    count-bounded cost, and it should be paid once. All arms are
+    CAP-FREE; the truth semi-join is kept (not asserted away) so
+    recovered ⊆ truth stays self-evidencing. Returns one row per arm:
+    (variant 'flips'|'bands', setting, n_truth, n_dropped, n_recovered,
+    recall)."""
+    from forgettable_spark.extensions.similarity import signature_cell
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = with_two_level_cell(c, coarse, fines, out_col="_tl")
+    c = c.withColumn("_sig", signature_cell(F.col("_v"), n_sig_bits))
+    for t in range(n_bands):
+        c = c.withColumn(
+            f"_band{t}",
+            signature_cell(F.col("_v"), band_bits, bit_offset=t * band_bits),
+        )
+    if not _plan_audit_active():
+        c = c.localCheckpoint(eager=True)
+    c = c.withColumn("_n", norm(F.col("_v")))
+
+    bands_a = [F.col(f"_band{t}").alias(f"_aband{t}") for t in range(n_bands)]
+    bands_b = [F.col(f"_band{t}").alias(f"_bband{t}") for t in range(n_bands)]
+    a = c.select(
+        F.col("vec_id").alias("dup_of"),
+        "_tl",
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+        F.col("_sig").alias("_asig"),
+        *bands_a,
+    )
+    b = c.select(
+        "vec_id",
+        "_tl",
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+        F.col("_sig").alias("_bsig"),
+        *bands_b,
+    )
+    pairs = (
+        a.join(b, "_tl")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .filter(
+            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+            >= F.lit(threshold)
+        )
+        .select(
+            "vec_id",
+            F.col("_asig").bitwiseXOR(F.col("_bsig")).alias("_x"),
+            *[
+                (F.col(f"_aband{t}") == F.col(f"_bband{t}")).alias(f"_beq{t}")
+                for t in range(n_bands)
+            ],
+        )
+    )
+    if not _plan_audit_active():
+        pairs = pairs.localCheckpoint(eager=True)
+
+    def drop_ids(d: DataFrame) -> DataFrame:
+        d = d.select("vec_id").distinct()
+        if not _plan_audit_active():
+            d = d.localCheckpoint(eager=True)
+        return d
+
+    truth = drop_ids(pairs)
+    t_agg = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+
+    def gauge_row(variant: str, setting: int, d: DataFrame) -> DataFrame:
+        return (
+            t_agg.crossJoin(d.agg(F.count("*").cast("bigint").alias("n_dropped")))
+            .crossJoin(
+                d.join(truth, "vec_id", "left_semi").agg(
+                    F.count("*").cast("bigint").alias("n_recovered")
+                )
+            )
+            .select(
+                F.lit(variant).alias("variant"),
+                F.lit(setting).cast("int").alias("setting"),
+                "n_truth",
+                "n_dropped",
+                "n_recovered",
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_recovered").cast("double") / F.col("n_truth"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("recall"),
+            )
+        )
+
+    x = F.col("_x")
+    one_flip = (x != 0) & (x.bitwiseAND(x - 1) == 0)
+    out = None
+    for fl in flip_settings:
+        cond = (x == 0) | (one_flip & (x < F.lit(1 << fl))) if fl > 0 else x == 0
+        row = gauge_row("flips", fl, drop_ids(pairs.filter(cond)))
+        out = row if out is None else out.unionByName(row)
+    band_cond = None
+    for t in range(n_bands):
+        eq = F.col(f"_beq{t}")
+        band_cond = eq if band_cond is None else (band_cond | eq)
+    return out.unionByName(
+        gauge_row("bands", n_bands, drop_ids(pairs.filter(band_cond)))
+    )
+
+
 def semantic_admit(
     index: DataFrame,
     batch: DataFrame,

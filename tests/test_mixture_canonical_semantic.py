@@ -682,3 +682,52 @@ def test_banded_recall_monotone_and_bounded_by_two_level(spark):
     assert drops[0] <= drops[1] <= drops[2], "not monotone in n_bands"
     assert drops[2] <= truth, "banded drop escaped the two-level truth"
     assert drops[0] < drops[2], "3 bands recovered nothing over 1 (vacuous)"
+
+
+def test_probed_recall_gauge_matches_standalone_operators(spark):
+    """r12: the registered recall gauge computes all arms from ONE
+    cap-free trained-cell pair scan with per-arm signature FILTERS
+    (codebook.probed_recall_gauge) — this locks that shortcut to the
+    standalone operators: every arm's n_dropped must equal the distinct
+    drop-set size of the full operator it stands for (probe-meet closed
+    form == _probe_cells semantics; band-OR filter == banded explode),
+    n_truth the two-level truth's, and recovered == dropped (subset by
+    construction, verified not asserted)."""
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = cb.train_two_level_codebook(emb, k1=4, k2=2)
+    rows = {
+        (r["variant"], r["setting"]): r
+        for r in cb.probed_recall_gauge(
+            emb, coarse, fines, 0.38, n_sig_bits=2,
+            flip_settings=[0, 1, 2], n_bands=3, band_bits=2,
+        ).collect()
+    }
+    truth = {
+        r["vec_id"]
+        for r in cb.semantic_dedup_two_level(emb, coarse, fines, 0.38).collect()
+    }
+    expected = {}
+    for fl in (0, 1, 2):
+        expected[("flips", fl)] = {
+            r["vec_id"]
+            for r in cb.semantic_dedup_probed(
+                emb, coarse, fines, 0.38, n_sig_bits=2, n_flip=fl
+            ).collect()
+        }
+    expected[("bands", 3)] = {
+        r["vec_id"]
+        for r in cb.semantic_dedup_banded(
+            emb, coarse, fines, 0.38, n_bands=3, band_bits=2
+        ).collect()
+    }
+    assert set(rows) == set(expected)
+    for key, drop in expected.items():
+        row = rows[key]
+        assert row["n_truth"] == len(truth), key
+        assert row["n_dropped"] == len(drop), key
+        assert row["n_recovered"] == len(drop & truth) == row["n_dropped"], key
