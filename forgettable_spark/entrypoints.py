@@ -882,6 +882,10 @@ def secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal-codebook oracle; the registered recall gauge's new
         # 'bands' arm prices it against the probed form every round.
         "semantic_dedup_banded": entrypoints_ext.q_semantic_dedup_banded,
+        # NEW r12, secondary from birth: the banded recovery's ADMISSION
+        # arm (as semantic_admit_probed is the probed one's) — same
+        # verdict contract, per-band-bucket caps, generated oracle.
+        "semantic_admit_banded": entrypoints_ext.q_semantic_admit_banded,
     }
 
 
@@ -1041,6 +1045,12 @@ def secondary_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         out,
         "semantic_dedup_banded",
         entrypoints_ext._oracle_semantic_dedup_banded,
+        corpus,
+    )
+    entrypoints_ext._add_generated_oracle(
+        out,
+        "semantic_admit_banded",
+        entrypoints_ext._oracle_semantic_admit_banded,
         corpus,
     )
     return out

@@ -1585,6 +1585,61 @@ def _oracle_semantic_admit_probed(sf_dir: str) -> str:
     )
 
 
+def q_semantic_admit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12 (secondary from birth): :func:`q_semantic_admit` over the
+    BANDED-OR construction (`codebook.semantic_admit_banded`) — the
+    admission arm of the banded recovery, as `semantic_admit_probed` is
+    of the probed one: a batch vector finds a stored near-duplicate iff
+    ANY of the r independent band signatures agrees on its trained
+    cell, the measured-better trade at matched fan-out (SCALING.md r12:
+    banded 0.673 vs probed 0.577 recall at the same 7× at sf1/b=6).
+    Same count-bounded batch device, same verdict contract; codebook
+    memo, corpus-aware band width and band count shared with the dedup
+    family."""
+    from forgettable_spark.extensions import codebook as cb
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fines = _two_level_codebook_for(spark, sf_dir)
+
+    def build() -> DataFrame:
+        idx, bat = _admit_member_split(emb)
+        return cb.semantic_admit_banded(
+            idx,
+            bat,
+            coarse,
+            fines,
+            n_bands=SEMDEDUP_BANDS,
+            band_bits=_partitioned_sig_bits(sf_dir),
+            threshold=SEMDEDUP_COSINE,
+            max_cell_size=SEMDEDUP_CAP,
+            broadcast_batch=True,
+        )
+
+    return run_released(spark, build)
+
+
+def _oracle_semantic_admit_banded(sf_dir: str) -> str:
+    """Generated banded-OR twin of :func:`q_semantic_admit_banded`
+    (same codebook memo, corpus-derived band width/count, same
+    count-bounded member device)."""
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse, fines = _two_level_codebook_local_for(sf_dir)
+    limit_sql = (
+        f"SELECT LEAST({SEM_ADMIT_BATCH}, (COUNT(*) + 7) // 8) FROM embeddings"
+    )
+    return cb.semantic_admit_banded_oracle_sql(
+        coarse,
+        fines,
+        n_bands=SEMDEDUP_BANDS,
+        band_bits=_partitioned_sig_bits(sf_dir),
+        threshold=SEMDEDUP_COSINE,
+        batch_limit_sql=limit_sql,
+        salt=INCR_SALT,
+        max_cell_size=SEMDEDUP_CAP,
+    )
+
+
 #: Multi-probe list: indices of the n_probes largest |components|, ties by
 #: index asc — the struct list_sort mirrors Spark's top_p_buckets exactly.
 _PROBES_SQL = (

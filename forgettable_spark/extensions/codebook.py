@@ -2121,3 +2121,186 @@ SELECT b.vec_id, best.match_id IS NOT NULL AS is_dup,
        COALESCE(best.match_id, -1) AS match_id,
        COALESCE(best.cosine, 0e0) AS cosine
 FROM bat b LEFT JOIN best USING (vec_id)"""
+
+
+def assign_cells_banded(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_bands: int,
+    band_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`assign_cells` over the banded-OR construction — the SAME
+    (vec_id, _v, cell, n) contract but ``n_bands`` rows per vector (one
+    per band cell, :func:`with_banded_cells`), so a stored banded index
+    persists r narrow rows per vector and every downstream step stays
+    the standard capped cell equi-join."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = with_banded_cells(c, coarse, fines, n_bands, band_bits)
+    return c.withColumn("n", norm(F.col("_v")))
+
+
+def semantic_admit_banded(
+    index: DataFrame,
+    batch: DataFrame,
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_bands: int,
+    band_bits: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """:func:`semantic_admit` over the banded-OR signature construction
+    (the admission arm of :func:`semantic_dedup_banded`, as
+    :func:`semantic_admit_probed` is of the probed dedup): a batch
+    vector finds a stored near-duplicate iff ANY of the ``n_bands``
+    independent ``band_bits``-bit signatures agrees on its trained cell
+    — misses decay geometrically in r instead of being confined to
+    Hamming radius 1, the measured-better trade at matched fan-out
+    (SCALING.md r12: banded r=7 recall 0.673 vs full 1-flip's 0.577 at
+    the same 7× at sf1/b=6). Both sides explode to their band cells
+    (r× rows, vs the probed form's target-side (n_flip+1)×); a pair
+    agreeing in several bands meets once per agreeing band and the
+    min-witness window keeps one deterministic verdict. Cap semantics
+    are PER BAND BUCKET on the index side (the banded dedup posture —
+    a vector capped out of one band still witnesses through its
+    others). Verdict contract identical to :func:`semantic_admit`.
+    ``n_bands=1, band_bits=b`` is bit-equal to the unprobed partitioned
+    admission (band 0 folds hyperplanes [0, b), exactly
+    :func:`assign_cells_partitioned`'s bits — test-locked)."""
+    return semantic_admit_assigned_banded(
+        assign_cells_banded(
+            index, coarse, fines, n_bands, band_bits,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        assign_cells_banded(
+            batch, coarse, fines, n_bands, band_bits,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        threshold,
+        max_cell_size=max_cell_size,
+        broadcast_batch=broadcast_batch,
+    )
+
+
+def semantic_admit_assigned_banded(
+    idx: DataFrame,
+    bat: DataFrame,
+    threshold: float,
+    max_cell_size: int | None = None,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """:func:`semantic_admit_assigned` over PRE-ASSIGNED banded frames
+    (the :func:`assign_cells_banded` shape, r rows per vector): same
+    witness/target wiring, with the two banded deltas — the verdict
+    spine is the batch's DISTINCT ids (each batch vector carries r
+    rows), and duplicate (witness, target) meetings across agreeing
+    bands collapse in the existing min-witness window (the repeated
+    rows are identical, so the pick stays deterministic)."""
+    if max_cell_size is not None:
+        idx = _sample_cells_to_cap(idx, max_cell_size, id_col="vec_id")
+    wit = idx.withColumn("_src", F.lit(0)).unionByName(
+        bat.withColumn("_src", F.lit(1))
+    )
+    wit = wit.select(
+        F.col("vec_id").alias("match_id"),
+        "cell",
+        F.col("_v").alias("_wv"),
+        F.col("n").alias("_wn"),
+        "_src",
+    )
+    tgt = bat.select(
+        "vec_id", "cell", F.col("_v").alias("_bv"), F.col("n").alias("_bn")
+    )
+    if broadcast_batch:
+        tgt = F.broadcast(tgt)
+    pairs = (
+        wit.join(tgt, "cell")
+        .filter((F.col("_src") == 0) | (F.col("match_id") < F.col("vec_id")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_wv"), F.col("_bv")) / (F.col("_wn") * F.col("_bn")),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("match_id"))
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "match_id", "cosine")
+    )
+    return (
+        bat.select("vec_id")
+        .distinct()
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("match_id").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("match_id"), F.lit(-1).cast("bigint")).alias("match_id"),
+            F.coalesce(F.col("cosine"), F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
+def semantic_admit_banded_oracle_sql(
+    coarse: list[list[float]],
+    fines: list[list[list[float]]],
+    n_bands: int,
+    band_bits: int,
+    threshold: float,
+    batch_limit_sql: str,
+    salt: str,
+    max_cell_size: int | None = None,
+) -> str:
+    """The DuckDB twin of :func:`semantic_admit_banded` over the
+    pre-registered ``embeddings`` view — the banded assignment CTEs
+    (each band's sig bits through the ONE shared
+    ``similarity.hyperplane_bit_sql`` formula), the text family's
+    count-bounded member device, the per-band-bucket cap on the index
+    side, and the DISTINCT batch spine."""
+    prefix, banded_src = banded_assignment_cte_sql(
+        coarse, fines, n_bands, band_bits, None
+    )
+    dot_ab = "list_sum(list_transform(range(1, len(w.e) + 1), j -> w.e[j] * b.e[j]))"
+    cap, idx_src = _cap_cte_sql(max_cell_size, src="idx0", name="idx")
+    return f"""WITH {prefix},
+member AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5('{salt}:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT ({batch_limit_sql})
+),
+bat AS (SELECT a.* FROM {banded_src} a JOIN member USING (vec_id)),
+idx0 AS (SELECT a.* FROM {banded_src} a ANTI JOIN member USING (vec_id)){cap},
+wit AS (
+  SELECT vec_id, e, cell, 0 AS src FROM {idx_src}
+  UNION ALL
+  SELECT vec_id, e, cell, 1 AS src FROM bat
+),
+sw AS (SELECT vec_id, e, cell, src,
+       sqrt(list_sum(list_transform(e, y -> y * y))) AS n FROM wit),
+sb AS (SELECT vec_id, e, cell,
+       sqrt(list_sum(list_transform(e, y -> y * y))) AS n FROM bat),
+pairs AS (
+  SELECT w.vec_id AS match_id, b.vec_id AS vec_id,
+         ({dot_ab}) / (w.n * b.n) AS cosine
+  FROM sw w JOIN sb b ON w.cell = b.cell
+   AND (w.src = 0 OR w.vec_id < b.vec_id)
+  WHERE ({dot_ab}) / (w.n * b.n) >= {_sql_double(threshold)}
+),
+best AS (
+  SELECT vec_id, match_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY match_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT b.vec_id, best.match_id IS NOT NULL AS is_dup,
+       COALESCE(best.match_id, -1) AS match_id,
+       COALESCE(best.cosine, 0e0) AS cosine
+FROM (SELECT DISTINCT vec_id FROM bat) b LEFT JOIN best USING (vec_id)"""

@@ -731,3 +731,72 @@ def test_probed_recall_gauge_matches_standalone_operators(spark):
         assert row["n_truth"] == len(truth), key
         assert row["n_dropped"] == len(drop), key
         assert row["n_recovered"] == len(drop & truth) == row["n_dropped"], key
+
+
+def test_admit_banded_one_band_equals_partitioned_admit(spark):
+    """n_bands=1 at band_bits=b must be bit-equal to the unprobed
+    partitioned admission (band 0 folds hyperplanes [0, b) — exactly
+    assign_cells_partitioned's bits) — capped config, the production
+    shape."""
+    from forgettable_spark import entrypoints_ext as ext
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = ext._two_level_codebook_for(spark, SF_ORACLE)
+    b = ext._partitioned_sig_bits(SF_ORACLE)
+    idx, bat = ext._admit_member_split(emb)
+    banded = sorted(
+        map(
+            tuple,
+            cb.semantic_admit_banded(
+                idx, bat, coarse, fines, n_bands=1, band_bits=b,
+                threshold=ext.SEMDEDUP_COSINE,
+                max_cell_size=ext.SEMDEDUP_CAP, broadcast_batch=True,
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            cb.semantic_admit_assigned(
+                cb.assign_cells_partitioned(idx, coarse, fines, b),
+                cb.assign_cells_partitioned(bat, coarse, fines, b),
+                threshold=ext.SEMDEDUP_COSINE,
+                max_cell_size=ext.SEMDEDUP_CAP, broadcast_batch=True,
+            ).collect(),
+        )
+    )
+    assert banded == plain
+
+
+def test_admit_banded_monotone_recovery(spark):
+    """Cap-free banded-admission law: the caught-duplicate set grows
+    monotonically in n_bands (more bands only add candidate pairs) and
+    the registered 3-band config catches strictly more than one band on
+    this corpus (non-vacuous) — the admission-side restatement of the
+    banded dedup's monotonicity."""
+    from forgettable_spark import entrypoints_ext as ext
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    coarse, fines = ext._two_level_codebook_for(spark, SF_ORACLE)
+    b = ext._partitioned_sig_bits(SF_ORACLE)
+    idx, bat = ext._admit_member_split(emb)
+    dups = {}
+    for r_ in (1, 2, 3):
+        dups[r_] = {
+            row["vec_id"]
+            for row in cb.semantic_admit_banded(
+                idx, bat, coarse, fines, n_bands=r_, band_bits=b,
+                threshold=ext.SEMDEDUP_COSINE, broadcast_batch=True,
+            ).collect()
+            if row["is_dup"]
+        }
+    assert dups[1] <= dups[2] <= dups[3], "not monotone in n_bands"
+    assert dups[1] < dups[3], "3 bands caught nothing over 1 (vacuous)"
