@@ -1465,12 +1465,22 @@ def _oracle_semantic_probed_recall(sf_dir: str) -> str:
 SEM_ADMIT_BATCH = 200
 
 
-def _admit_member_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _admit_member_split(
+    emb: DataFrame, frame: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """The count-bounded admission batch device shared by every
     semantic-admit query arm and mirrored by the oracle member CTE
     (``md5('incr:'||id), id LIMIT LEAST(SEM_ADMIT_BATCH, ceil(n/8))``):
     returns (index, batch). ONE definition so the flat and probed arms
-    cannot drift from the shared oracle text (review r11)."""
+    cannot drift from the shared oracle text (review r11).
+
+    ``frame`` (r12): an ASSIGNED view of the same id universe to split
+    instead of ``emb`` — assignment is row-local, so it commutes with
+    the id filter and assign-ONCE + split is bit-identical to split +
+    assign-per-side while folding the codebook scan into one plan
+    branch (the oracle's own member-CTE shape; measured 5.2 → 3.9 s on
+    the probed arm at sf0.1). Works unchanged for exploded (banded)
+    assignments — the split keys on ``vec_id`` alone."""
     n = emb.count()
     bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
     new_ids = scoped_cache(
@@ -1484,9 +1494,10 @@ def _admit_member_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         .limit(bound)
         .select("vec_id")
     )
+    tgt = frame if frame is not None else emb
     return (
-        emb.join(F.broadcast(new_ids), "vec_id", "left_anti"),
-        emb.join(F.broadcast(new_ids), "vec_id", "left_semi"),
+        tgt.join(F.broadcast(new_ids), "vec_id", "left_anti"),
+        tgt.join(F.broadcast(new_ids), "vec_id", "left_semi"),
     )
 
 
@@ -1503,11 +1514,12 @@ def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
 
     def build() -> DataFrame:
-        idx, bat = _admit_member_split(emb)
-        return cb.semantic_admit(
+        # Assign ONCE, split the assigned frame (r12 — the oracle's
+        # member-CTE shape; bit-identical, one codebook scan not two).
+        idx, bat = _admit_member_split(emb, frame=cb.assign_cells(emb, cents))
+        return cb.semantic_admit_assigned(
             idx,
             bat,
-            cents,
             threshold=SEMDEDUP_COSINE,
             max_cell_size=SEMDEDUP_CAP,
             broadcast_batch=True,
@@ -1549,14 +1561,18 @@ def q_semantic_admit_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
 
     def build() -> DataFrame:
-        idx, bat = _admit_member_split(emb)
-        return cb.semantic_admit_probed(
+        # Assign ONCE, split the assigned frame (r12 — the oracle's
+        # member-CTE shape; bit-identical, one codebook scan not two).
+        b = _partitioned_sig_bits(sf_dir)
+        idx, bat = _admit_member_split(
+            emb, frame=cb.assign_cells_partitioned(emb, coarse, fines, b)
+        )
+        return cb.semantic_admit_assigned_probed(
             idx,
             bat,
-            coarse,
-            fines,
-            n_sig_bits=_partitioned_sig_bits(sf_dir),
             threshold=SEMDEDUP_COSINE,
+            n_fine=cb.n_fine_sql(fines),
+            n_flip=b,
             max_cell_size=SEMDEDUP_CAP,
             broadcast_batch=True,
         )
@@ -1602,14 +1618,23 @@ def q_semantic_admit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
 
     def build() -> DataFrame:
-        idx, bat = _admit_member_split(emb)
-        return cb.semantic_admit_banded(
+        # Assign ONCE, split the assigned frame (r12 — the oracle's
+        # member-CTE shape; bit-identical, one codebook scan not two;
+        # the banded explode rides the single assignment and the split
+        # keys on vec_id alone).
+        idx, bat = _admit_member_split(
+            emb,
+            frame=cb.assign_cells_banded(
+                emb,
+                coarse,
+                fines,
+                n_bands=SEMDEDUP_BANDS,
+                band_bits=_partitioned_sig_bits(sf_dir),
+            ),
+        )
+        return cb.semantic_admit_assigned_banded(
             idx,
             bat,
-            coarse,
-            fines,
-            n_bands=SEMDEDUP_BANDS,
-            band_bits=_partitioned_sig_bits(sf_dir),
             threshold=SEMDEDUP_COSINE,
             max_cell_size=SEMDEDUP_CAP,
             broadcast_batch=True,
