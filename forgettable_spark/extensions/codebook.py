@@ -1728,6 +1728,53 @@ class PartitionedAssigner:
         )
 
 
+class BandedAssigner:
+    """Structured assigner for the banded-OR construction (r12): a
+    ``(vec_id, embedding) frame → (vec_id, _v, cell, n)`` callable that
+    EXPLODES each vector to its ``n_bands`` band cells
+    (:func:`assign_cells_banded` — the stored index persists r narrow
+    rows per vector) and carries the literals defining its cell space
+    plus a canonical :meth:`fingerprint`.
+
+    The streaming loop detects ``n_bands`` and switches to the banded
+    verdict (:func:`semantic_admit_assigned_banded`'s DISTINCT batch
+    spine — the flat verdict over an exploded batch would emit r rows
+    per vector). Multi-probe stays OFF by design: banded recovery lives
+    in the bands themselves (misses decay geometrically in r —
+    SCALING.md r12: at sf30 banded r=3 catches 336k duplicates vs full
+    1-flip probing's 314k at 43% the fan-out), and band-cell ids embed
+    the band index, so flip arithmetic over them would corrupt cells;
+    the loop raises on an explicit ``probe_flips > 0``."""
+
+    def __init__(
+        self,
+        coarse: list[list[float]],
+        fines: list[list[list[float]]],
+        n_bands: int,
+        band_bits: int,
+    ) -> None:
+        self.coarse = coarse
+        self.fines = fines
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return assign_cells_banded(
+            df, self.coarse, self.fines, self.n_bands, self.band_bits
+        )
+
+    def fingerprint(self) -> str:
+        """Canonical assigner fingerprint over every literal that
+        defines the banded cell space."""
+        from forgettable_spark.streaming.semantic_admit import (
+            assigner_fingerprint,
+        )
+
+        return assigner_fingerprint(
+            "banded", self.coarse, self.fines, self.n_bands, self.band_bits
+        )
+
+
 def semantic_admit_assigned(
     idx: DataFrame,
     bat: DataFrame,

@@ -344,6 +344,17 @@ def semantic_admit_batch(
     the index-side posture is unchanged (targets fan out, the stored
     index still pays one scan + cap window).
 
+    A BANDED assigner (``codebook.BandedAssigner``, r12) plugs in the
+    same way: it explodes each vector to its ``n_bands`` band cells, so
+    the stored index persists r narrow rows per vector (bucket pruning,
+    folds and replay compose unchanged — everything downstream keys on
+    ``cell``), and the loop switches to the banded verdict
+    (``codebook.semantic_admit_assigned_banded``'s DISTINCT batch
+    spine). Probes stay 0 — banded recovery lives in the bands (misses
+    decay geometrically in r; SCALING.md r12 measured banded r=3 beating
+    full 1-flip probes at 43% the fan-out at sf30), and an explicit
+    ``probe_flips > 0`` beside a banded assigner raises.
+
     Probes are ON BY DEFAULT when the assigner is structured (VERDICT
     r11 #1b — the measured-correct default: −4.4% throughput for +65%
     duplicates caught, SCALING.md r11): ``probe_flips=None`` (AUTO)
@@ -448,6 +459,21 @@ def semantic_admit_batch(
                 "fingerprint is authoritative."
             )
         fingerprint = computed
+    # Banded assigner (codebook.BandedAssigner, r12): the batch and the
+    # stored index carry n_bands rows per vector, so the verdict must be
+    # the banded one (DISTINCT batch spine) — and probes are structurally
+    # meaningless (band-cell ids embed the band index; flip arithmetic
+    # over them would corrupt cells, and banded recovery lives in the
+    # bands themselves).
+    a_bands = getattr(assigner, "n_bands", None)
+    if a_bands and probe_flips:
+        raise ValueError(
+            "semantic_admit_batch: probe_flips > 0 with a banded assigner "
+            "— band-cell ids embed the band index, so ÷/mod/xor flip "
+            "arithmetic over them would silently compare wrong cells, and "
+            "banded recovery comes from the bands (OR over r independent "
+            "signatures), not from probing. Drop probe_flips."
+        )
     if probe_flips and assigner is None:
         raise ValueError(
             "semantic_admit_batch: probe_flips > 0 requires a composite "
@@ -561,7 +587,15 @@ def semantic_admit_batch(
             # The batch is a production micro-trigger — bounded by
             # construction — so the batch-side broadcast is honest here
             # (the semantic_admit guard's documented opt-in condition).
-            if probe_flips:
+            if a_bands:
+                verdicts = cb.semantic_admit_assigned_banded(
+                    idx,
+                    batch.select("vec_id", "_v", "cell", "n"),
+                    threshold=threshold,
+                    max_cell_size=max_cell_size,
+                    broadcast_batch=True,
+                ).localCheckpoint(eager=True)
+            elif probe_flips:
                 verdicts = cb.semantic_admit_assigned_probed(
                     idx,
                     batch.select("vec_id", "_v", "cell", "n"),

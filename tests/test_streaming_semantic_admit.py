@@ -693,3 +693,117 @@ def test_layout_marker_pins_bucket_count_and_pruning_is_exact(spark, dirs):
             os.path.join(dirs["root"], "p64", "verdicts"),
             CENTS, threshold=0.95, cell_buckets=8,
         )
+
+
+def test_banded_assigner_loop_matches_batch_operator(spark, dirs):
+    """r12 BandedAssigner in the loop: (1) verdicts match batch-mode
+    replay of `semantic_admit_assigned_banded` over the same exploded
+    assignment, (2) the stored index persists r rows per admitted
+    vector (the banded shape), (3) an explicit probe_flips > 0 beside a
+    banded assigner raises, (4) a band-count swap on the existing index
+    raises at attach (the one-index-one-assigner law)."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark.extensions import codebook as cb
+
+    coarse = [list(c) for c in CENTS]
+    fines = [[list(CENTS[0])], [list(CENTS[1])]]
+    assigner = cb.BandedAssigner(coarse, fines, n_bands=3, band_bits=2)
+    b1 = [(1, VX), (2, VY), (3, VX)]
+    b2 = [(10, VY), (11, VZ)]
+    with pytest.raises(ValueError, match="banded"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, b1), 0, dirs["index"], dirs["verdicts"],
+            None, threshold=0.95, assigner=assigner, probe_flips=1,
+        )
+    for bid, rows in enumerate([b1, b2]):
+        semantic_admit_batch(
+            spark, _vec_df(spark, rows), bid, dirs["index"], dirs["verdicts"],
+            None, threshold=0.95, assigner=assigner,
+        )
+    streamed = {
+        k: (r["is_dup"], r["match_id"], round(r["cosine"], 9))
+        for k, r in _verdicts(spark, dirs).items()
+    }
+    empty = spark.createDataFrame([], INDEX_SCHEMA).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v"), "cell", "n"
+    )
+    v1 = cb.semantic_admit_assigned_banded(
+        empty, assigner(_vec_df(spark, b1)), threshold=0.95
+    ).collect()
+    admitted1 = assigner(
+        _vec_df(spark, [r for r in b1 if not streamed[r[0]][0]])
+    )
+    v2 = cb.semantic_admit_assigned_banded(
+        admitted1, assigner(_vec_df(spark, b2)), threshold=0.95
+    ).collect()
+    batch_mode = {
+        r["vec_id"]: (r["is_dup"], r["match_id"], round(r["cosine"], 9))
+        for r in v1 + v2
+    }
+    assert streamed == batch_mode
+    # one verdict row per batch VECTOR (the distinct spine), not per band
+    assert sorted(streamed) == [1, 2, 3, 10, 11]
+    # stored index: 3 rows per admitted vector, cells exactly the
+    # assigner's banded mint
+    idx = spark.read.schema(INDEX_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(dirs["index"]).collect()
+    admitted_ids = {k for k, v in streamed.items() if not v[0]}
+    from collections import Counter
+
+    per_vec = Counter(r["vec_id"] for r in idx)
+    assert set(per_vec) == admitted_ids
+    assert all(c == 3 for c in per_vec.values())
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in assigner(_vec_df(spark, b1 + b2)).collect()
+    }
+    assert all((r["vec_id"], r["cell"]) in want for r in idx)
+    # band-count swap on the stored index fails at attach
+    with pytest.raises(RuntimeError, match="assigner"):
+        semantic_admit_batch(
+            spark, _vec_df(spark, [(20, VX)]), 2, dirs["index"],
+            dirs["verdicts"], None, threshold=0.95,
+            assigner=cb.BandedAssigner(coarse, fines, n_bands=2, band_bits=2),
+        )
+
+
+def test_banded_assigner_loop_catches_cross_bit_duplicate(spark, dirs):
+    """The banded loop's reason to exist: a near-duplicate pair whose
+    FULL signatures differ (so the partitioned loop without probes
+    would admit it) is still caught when ANY band agrees — band
+    signatures over disjoint hyperplane slices make agreement a
+    per-band event. Built from the real hyperplane weights (the
+    test_mixture_canonical_semantic crafting device): find two
+    near-identical vectors whose band-0 sigs agree; with 3 bands the
+    OR catches what the single full signature may split."""
+    import numpy as np
+
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.extensions.similarity import hyperplane_weights_py
+
+    dim = 8
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    # near-duplicate: tiny perturbation, cosine ~0.999
+    near = base + 0.02 * rng.normal(size=dim)
+    near /= np.linalg.norm(near)
+    coarse = [list(base)]
+    fines = [[list(base)]]
+    assigner = cb.BandedAssigner(coarse, fines, n_bands=3, band_bits=2)
+    a1 = assigner(_vec_df(spark, [(1, tuple(base))])).collect()
+    a2 = assigner(_vec_df(spark, [(2, tuple(near))])).collect()
+    agree = {r["cell"] for r in a1} & {r["cell"] for r in a2}
+    assert agree, "fixture degenerate: no band agrees for a near-dup pair"
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(1, tuple(base))]), 0, dirs["index"],
+        dirs["verdicts"], None, threshold=0.9, assigner=assigner,
+    )
+    semantic_admit_batch(
+        spark, _vec_df(spark, [(2, tuple(near))]), 1, dirs["index"],
+        dirs["verdicts"], None, threshold=0.9, assigner=assigner,
+    )
+    v = _verdicts(spark, dirs)
+    assert v[2]["is_dup"] and v[2]["match_id"] == 1
