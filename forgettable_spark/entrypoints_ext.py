@@ -1075,33 +1075,47 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("accuracy"),
         ).select(F.lit(source).alias("label_source"), "*")
 
-    # 'column' arm: score exactly the registered operator — any config
-    # drift between the gauge and q_knn_label is impossible by
-    # construction (review r10; the oracle twin wraps the same way).
-    col_arm = arm(
-        "column",
-        q_knn_label(spark, sf_dir),
-        _queries_subset(emb).select(
-            "vec_id", F.col("label").cast("int").alias("_true")
-        ),
-    )
-    # 'geo' arm: same operator, same split/k/probes/cap — only the
-    # label column is the geometry fixture.
-    geo = emb.withColumn("_geo", _geo_label(F.col("embedding")))
-    geo_arm = arm(
-        "geo",
-        cb.knn_label(
-            geo.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
-            _queries_subset(geo),
+    def build() -> DataFrame:
+        # ONE kNN search feeds both arms (r12, `codebook.knn_label_multi`
+        # — the candidate top-k is label-independent, so the two operator
+        # calls paid the same search twice); each source's prediction
+        # slice is row-identical to the standalone operator's output
+        # (test-locked), so the arms still score exactly the registered
+        # `knn_label` semantics and the oracle twin is unchanged.
+        preds = cb.knn_label_multi(
+            emb.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
+            _queries_subset(emb),
             cents,
             k=KNN_K,
+            label_cols={
+                "column": F.col("label"),
+                "geo": _geo_label(F.col("embedding")),
+            },
             n_probes=KMEANS_PROBES,
             max_bucket_size=KMEANS_CAP,
-            label_col="_geo",
-        ),
-        _queries_subset(geo).select("vec_id", F.col("_geo").alias("_true")),
-    )
-    return col_arm.unionByName(geo_arm)
+        )
+        col_arm = arm(
+            "column",
+            preds.filter(F.col("label_source") == "column").select(
+                "vec_id", "pred_label"
+            ),
+            _queries_subset(emb).select(
+                "vec_id", F.col("label").cast("int").alias("_true")
+            ),
+        )
+        geo_arm = arm(
+            "geo",
+            preds.filter(F.col("label_source") == "geo").select(
+                "vec_id", "pred_label"
+            ),
+            _queries_subset(emb).select(
+                "vec_id", _geo_label(F.col("embedding")).alias("_true")
+            ),
+        )
+        return col_arm.unionByName(geo_arm)
+
+    # run_released sweeps the shared top-k checkpoint.
+    return run_released(spark, build)
 
 
 def _geo_label_sql(vec_expr: str) -> str:

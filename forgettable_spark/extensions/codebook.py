@@ -838,6 +838,91 @@ def knn_label(
     )
 
 
+def knn_label_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_cols: dict[str, Column] | None = None,
+    n_probes: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`knn_label` for SEVERAL label sources over ONE search
+    (r12): the candidate generation — cell equi-join, cosine, top-k
+    rank — is label-INDEPENDENT (the cap samples on (cell, id) and the
+    rank orders on (cosine, neighbor_id)), so scoring two label columns
+    as two operator calls pays the expensive search twice for the same
+    neighbor sets. This computes the top-k ONCE (checkpointed), carries
+    every source's label through the one corpus-side join, and runs the
+    cheap vote/argmax tail per source. ``label_cols`` maps source name →
+    label Column over the corpus frame. Returns one row per (query,
+    source): (vec_id, label_source, pred_label, votes, k_used) — each
+    source's slice is ROW-IDENTICAL to the standalone
+    :func:`knn_label` with that label column (test-locked)."""
+    if not label_cols:
+        raise ValueError("knn_label_multi: label_cols must name ≥1 source")
+    names = list(label_cols)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+        *[
+            expr.cast("int").alias(f"_lab_{i}")
+            for i, expr in enumerate(label_cols.values())
+        ],
+    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    if max_bucket_size is not None:
+        c = _sample_cells_to_cap(c, max_bucket_size)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", norm(F.col("_qv")))
+    if n_probes <= 1:
+        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+    else:
+        q = q.withColumn(
+            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+        )
+    c = c.withColumn("_cn", norm(F.col("_cv")))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", *[f"_lab_{i}" for i in range(len(names))])
+    )
+    if not _plan_audit_active():
+        topk = topk.localCheckpoint(eager=True)
+    out = None
+    for i, name in enumerate(names):
+        votes = topk.groupBy("query_id", F.col(f"_lab_{i}").alias("_lab")).agg(
+            F.count("*").alias("votes")
+        )
+        best = votes.groupBy("query_id").agg(
+            F.max(
+                F.struct(F.col("votes").alias("v"), (-F.col("_lab")).alias("nl"))
+            ).alias("_b"),
+            F.sum("votes").cast("bigint").alias("k_used"),
+        )
+        row = best.select(
+            F.col("query_id").alias("vec_id"),
+            F.lit(name).alias("label_source"),
+            (-F.col("_b")["nl"]).cast("int").alias("pred_label"),
+            F.col("_b")["v"].alias("votes"),
+            "k_used",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def prototype_prune(
     corpus: DataFrame,
     centroids: list[list[float]],

@@ -95,13 +95,23 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         n_vecs = emb.count()
         sig_bits = int(os.environ.get("SPARK_GRAFT_SIG_BITS", "0"))
+        # SPARK_GRAFT_BANDS > 0 (with SIG_BITS as the band width) runs
+        # the BANDED arm (r12): r independent sig_bits-wide band
+        # signatures ORed — the loop switches to the banded verdict and
+        # probes stay structurally 0 (BandedAssigner docstring).
+        n_bands = int(os.environ.get("SPARK_GRAFT_BANDS", "0"))
         if sig_bits:
             coarse, fines = cb.train_two_level_codebook(emb, k1=K, k2=K)
             centroids = None  # the assigner drives assignment
             # Structured assigner (r12): carries its own fingerprint and
             # the RAGGED-fines probe modulus, so the loop derives both —
             # restating k1·k2 here was exactly the ADVICE r11 bug.
-            assigner = cb.PartitionedAssigner(coarse, fines, sig_bits)
+            if n_bands:
+                assigner = cb.BandedAssigner(
+                    coarse, fines, n_bands=n_bands, band_bits=sig_bits
+                )
+            else:
+                assigner = cb.PartitionedAssigner(coarse, fines, sig_bits)
         else:
             centroids = cb.train_codebook(emb, k=K)  # untimed model setup
             assigner = None
@@ -193,10 +203,14 @@ def main() -> None:
                     "value": round(n_vecs / wall, 1),
                     "unit": "vecs/sec",
                     "sig_bits": sig_bits,
-                    # resolved value: "auto" → full 1-flip recovery
-                    # when the assigner is structured, else 0
+                    "n_bands": n_bands,
+                    # resolved value: "auto" → full 1-flip recovery when
+                    # the assigner is structured (0 for banded: recovery
+                    # lives in the bands), else 0
                     "probe_flips": (
-                        sig_bits if probe_flips is None and sig_bits else (probe_flips or 0)
+                        sig_bits
+                        if probe_flips is None and sig_bits and not n_bands
+                        else (probe_flips or 0)
                     ),
                     "wall_s": round(wall, 2),
                     "cell_buckets": cell_buckets,

@@ -263,3 +263,66 @@ def test_knn_geo_label_gauge_reads_above_chance(spark):
     assert by["geo"]["accuracy"] >= by["column"]["accuracy"] + 0.2
     # the column arm stays the machinery check, not a quality claim
     assert 0.0 <= by["column"]["accuracy"] <= 1.0
+
+
+def test_knn_label_multi_slices_match_standalone_operator(spark):
+    """r12: the two-arm accuracy gauge runs ONE search via
+    `knn_label_multi` — this locks that shortcut to the operator: each
+    source's slice must be row-identical to the standalone `knn_label`
+    with that label column (same split, k, probes, cap — the registered
+    gauge config at the oracle SF)."""
+    from pyspark.sql import functions as F
+
+    from forgettable_spark import entrypoints_ext as ext
+    from forgettable_spark.extensions import codebook as cb
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = ext._codebook_for(spark, SF_ORACLE, ext.KMEANS_CELLS)
+    corpus = emb.filter(F.col("vec_id") % ext.ANN_QUERY_MOD != 0)
+    queries = ext._queries_subset(emb)
+    multi = cb.knn_label_multi(
+        corpus,
+        queries,
+        cents,
+        k=ext.KNN_K,
+        label_cols={
+            "column": F.col("label"),
+            "geo": ext._geo_label(F.col("embedding")),
+        },
+        n_probes=ext.KMEANS_PROBES,
+        max_bucket_size=ext.KMEANS_CAP,
+    ).collect()
+    got = {
+        src: sorted(
+            (r["vec_id"], r["pred_label"], r["votes"], r["k_used"])
+            for r in multi
+            if r["label_source"] == src
+        )
+        for src in ("column", "geo")
+    }
+    want_col = sorted(
+        map(
+            tuple,
+            cb.knn_label(
+                corpus, queries, cents, k=ext.KNN_K,
+                n_probes=ext.KMEANS_PROBES, max_bucket_size=ext.KMEANS_CAP,
+            ).collect(),
+        )
+    )
+    geo = emb.withColumn("_geo", ext._geo_label(F.col("embedding")))
+    want_geo = sorted(
+        map(
+            tuple,
+            cb.knn_label(
+                geo.filter(F.col("vec_id") % ext.ANN_QUERY_MOD != 0),
+                ext._queries_subset(geo),
+                cents, k=ext.KNN_K, n_probes=ext.KMEANS_PROBES,
+                max_bucket_size=ext.KMEANS_CAP, label_col="_geo",
+            ).collect(),
+        )
+    )
+    assert got["column"] == want_col
+    assert got["geo"] == want_geo
