@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from forgettable_spark.extensions import contamination, dedup, sampling, similarity, text
@@ -1942,57 +1942,41 @@ def q_ann_recall_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "neighbor_id"
             )
         )
-        v = similarity.as_double(F.col("embedding"))
-        # The quantized+capped corpus side is IDENTICAL across flip
-        # settings (flips explode the QUERY cells only) — build it ONCE
-        # and share it with all three topk evaluations (r8; previously
-        # each setting re-quantized and re-capped the whole corpus).
-        # The ids-only cells for the cost count are a projection of the
-        # same frame, so the gauge's candidate count and the headline's
-        # join see the exact same md5-window sample by construction.
-        c_side = scoped_cache(
-            similarity.quantized_signature_corpus_side(
-                emb, n_bits=SIG_ANN_BITS, max_bucket_size=SIG_ANN_CAP
-            )
-        )
-        cells = c_side.select("neighbor_id", "cell")
-        out = None
-        for flips in ANN_SIG_RECALL_FLIPS:
-            ap = similarity.quantized_signature_topk(
+        # ONE corpus join feeds the whole sweep (late r12,
+        # `similarity.quantized_signature_candidates_sweep` — probe sets
+        # are nested in n_flip, so the per-setting joins re-paid the
+        # same equi-join; per-setting top-k over the `_nf <= f` filter
+        # is row-identical to quantized_signature_topk, test-locked).
+        # The shared quantized+capped corpus side (r8) rides inside the
+        # one join; the candidate count per setting is a filter-count of
+        # the SAME frame, so cost and hits see the same md5-window
+        # sample by construction.
+        cand = scoped_cache(
+            similarity.quantized_signature_candidates_sweep(
                 emb,
                 qset,
-                k=ANN_K,
                 n_bits=SIG_ANN_BITS,
-                n_flip=flips,
+                flip_settings=ANN_SIG_RECALL_FLIPS,
                 max_bucket_size=SIG_ANN_CAP,
-                corpus_side=c_side,
-            ).select("query_id", "neighbor_id")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_q"), F.asc("neighbor_id")
+        )
+        out = None
+        for flips in ANN_SIG_RECALL_FLIPS:
+            sub = cand.filter(F.col("_nf") <= flips)
+            ap = (
+                sub.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= ANN_K)
+                .select("query_id", "neighbor_id")
+            )
             hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
-            qcells = qset.select(
-                F.col("vec_id").alias("query_id"),
-                similarity.signature_cell(v, SIG_ANN_BITS).alias("cell"),
-            )
-            if flips > 0:
-                qcells = qcells.withColumn(
-                    "cell",
-                    F.explode(
-                        F.array(
-                            F.col("cell"),
-                            *[
-                                F.col("cell").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-                                for i in range(flips)
-                            ],
-                        )
-                    ),
-                )
-            scored = qcells.join(cells, "cell").filter(
-                F.col("query_id") != F.col("neighbor_id")
-            )
             row = (
                 bf.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
                 .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
                 .crossJoin(
-                    scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_scored"))
+                    sub.agg(F.count(F.lit(1)).cast("bigint").alias("n_scored"))
                 )
                 .select(
                     F.lit(flips).cast("int").alias("n_flips"),

@@ -785,6 +785,75 @@ def quantized_signature_topk(
     )
 
 
+def quantized_signature_candidates_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = HYPERPLANE_BITS,
+    flip_settings: tuple[int, ...] = (0,),
+    max_bucket_size: int | None = None,
+    corpus_side: DataFrame | None = None,
+) -> DataFrame:
+    """Scored candidates for a FLIP SWEEP from ONE corpus join (r12):
+    probe sets are NESTED in ``n_flip`` (home cell plus the first f flip
+    cells), so a gauge evaluating several settings re-paid the same
+    query-corpus equi-join per setting. This emits every candidate at
+    the WIDEST setting tagged ``_nf`` = the smallest setting that
+    reaches it (0 = home cell, i+1 = bit-i flip); setting f's candidate
+    set is exactly the rows with ``_nf <= f`` - a corpus point matches
+    exactly one probed cell, so no dedup is needed - and a top-k window
+    over that filter is row-identical to
+    :func:`quantized_signature_topk` at the same (n_bits, f, cap)
+    (test-locked). Columns: (query_id, neighbor_id, cosine_q, _nf)."""
+    fmax = max(flip_settings)
+    if corpus_side is not None:
+        c = corpus_side
+    else:
+        c = quantized_signature_corpus_side(
+            corpus, id_col, vec_col, n_bits, max_bucket_size
+        )
+    v = as_double(F.col(vec_col))
+    q = with_quantization(queries, vec_col, "_qs", "_qq").select(
+        F.col(id_col).alias("query_id"),
+        "_qs",
+        "_qq",
+        norm(v).alias("_qn"),
+        signature_cell(v, n_bits).alias("_home"),
+    )
+    probes = [
+        F.struct(F.col("_home").alias("cell"), F.lit(0).alias("_nf"))
+    ] + [
+        F.struct(
+            F.col("_home").bitwiseXOR(F.lit(1 << i).cast("bigint")).alias("cell"),
+            F.lit(i + 1).alias("_nf"),
+        )
+        for i in range(fmax)
+    ]
+    q = q.withColumn("_p", F.explode(F.array(*probes))).select(
+        "query_id",
+        "_qs",
+        "_qq",
+        "_qn",
+        F.col("_p.cell").alias("cell"),
+        F.col("_p._nf").alias("_nf"),
+    )
+    return (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_q",
+            (
+                F.col("_qs")
+                * F.col("_cs")
+                * int_dot(F.col("_qq"), F.col("_cq")).cast("double")
+            )
+            / (F.col("_qn") * F.col("_cn")),
+        )
+        .select("query_id", "neighbor_id", "cosine_q", "_nf")
+    )
+
+
 def hyperplane_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -326,3 +326,53 @@ def test_knn_label_multi_slices_match_standalone_operator(spark):
     )
     assert got["column"] == want_col
     assert got["geo"] == want_geo
+
+
+def test_signature_candidates_sweep_matches_per_setting_topk(spark):
+    """r12: the signature recall gauge derives every flip setting from
+    ONE corpus join (`quantized_signature_candidates_sweep`) — this
+    locks the nesting shortcut to the operator: a top-k window over the
+    `_nf <= f` filter must be row-identical to
+    `quantized_signature_topk` at the same (n_bits, f, cap), for every
+    registered sweep setting."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from forgettable_spark import entrypoints_ext as ext
+    from forgettable_spark.extensions import similarity
+    from forgettable_spark.sources import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qset = ext._recall_queries(emb)
+    cand = similarity.quantized_signature_candidates_sweep(
+        emb, qset,
+        n_bits=ext.SIG_ANN_BITS,
+        flip_settings=ext.ANN_SIG_RECALL_FLIPS,
+        max_bucket_size=ext.SIG_ANN_CAP,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_q"), F.asc("neighbor_id")
+    )
+    for f in ext.ANN_SIG_RECALL_FLIPS:
+        got = sorted(
+            map(
+                tuple,
+                cand.filter(F.col("_nf") <= f)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= ext.ANN_K)
+                .select("query_id", "neighbor_id", "cosine_q", "rank")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                similarity.quantized_signature_topk(
+                    emb, qset, k=ext.ANN_K, n_bits=ext.SIG_ANN_BITS,
+                    n_flip=f, max_bucket_size=ext.SIG_ANN_CAP,
+                ).collect(),
+            )
+        )
+        assert got == want, f"sweep mismatch at n_flip={f}"
