@@ -1630,54 +1630,71 @@ def probed_recall_gauge(
             ],
         )
     )
-    if not _plan_audit_active():
-        pairs = pairs.localCheckpoint(eager=True)
-
-    def drop_ids(d: DataFrame) -> DataFrame:
-        d = d.select("vec_id").distinct()
-        if not _plan_audit_active():
-            d = d.localCheckpoint(eager=True)
-        return d
-
-    truth = drop_ids(pairs)
-    t_agg = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-
-    def gauge_row(variant: str, setting: int, d: DataFrame) -> DataFrame:
-        return (
-            t_agg.crossJoin(d.agg(F.count("*").cast("bigint").alias("n_dropped")))
-            .crossJoin(
-                d.join(truth, "vec_id", "left_semi").agg(
-                    F.count("*").cast("bigint").alias("n_recovered")
-                )
-            )
-            .select(
-                F.lit(variant).alias("variant"),
-                F.lit(setting).cast("int").alias("setting"),
-                "n_truth",
-                "n_dropped",
-                "n_recovered",
-                F.when(
-                    F.col("n_truth") > 0,
-                    F.col("n_recovered").cast("double") / F.col("n_truth"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("recall"),
-            )
-        )
-
+    # r12 OPTIMIZATION: every arm is a row-local filter of this ONE pair
+    # set, so the whole gauge folds into a single aggregation pass — per
+    # dropped id one boolean per arm (did ANY qualifying pair survive
+    # this arm's condition), then one global count/sum. The previous
+    # shape materialized a distinct+localCheckpoint drop set PER ARM and
+    # re-joined each against the truth set (~15 Spark jobs of fixed
+    # scheduling cost each); this shape is 2 exchanges total. Because the
+    # arm conditions filter the truth's own pair set, an arm's drop set
+    # is structurally a subset of the truth's, so n_recovered ≡ n_dropped
+    # here — the same identity the old semi-join evaluated pairwise; the
+    # independent cross-engine check remains the DuckDB oracle, which
+    # still computes n_recovered from standalone per-arm drop sets joined
+    # against its own truth CTE.
     x = F.col("_x")
     one_flip = (x != 0) & (x.bitwiseAND(x - 1) == 0)
-    out = None
+    arms: list[tuple[str, int, Column]] = []
     for fl in flip_settings:
         cond = (x == 0) | (one_flip & (x < F.lit(1 << fl))) if fl > 0 else x == 0
-        row = gauge_row("flips", fl, drop_ids(pairs.filter(cond)))
-        out = row if out is None else out.unionByName(row)
+        arms.append(("flips", fl, cond))
     band_cond = None
     for t in range(n_bands):
         eq = F.col(f"_beq{t}")
         band_cond = eq if band_cond is None else (band_cond | eq)
-    return out.unionByName(
-        gauge_row("bands", n_bands, drop_ids(pairs.filter(band_cond)))
+    arms.append(("bands", n_bands, band_cond))
+
+    per_id = pairs.groupBy("vec_id").agg(
+        *[
+            F.max(cond.cast("int")).alias(f"_arm{i}")
+            for i, (_, _, cond) in enumerate(arms)
+        ]
+    )
+    tot = per_id.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        *[
+            F.sum(F.col(f"_arm{i}")).cast("bigint").alias(f"_d{i}")
+            for i in range(len(arms))
+        ],
+    )
+    arm_structs = F.array(
+        *[
+            F.struct(
+                F.lit(variant).alias("variant"),
+                F.lit(setting).cast("int").alias("setting"),
+                F.coalesce(F.col(f"_d{i}"), F.lit(0).cast("bigint")).alias(
+                    "n_dropped"
+                ),
+            )
+            for i, (variant, setting, _) in enumerate(arms)
+        ]
+    )
+    return (
+        tot.select(F.col("n_truth"), F.explode(arm_structs).alias("_a"))
+        .select(
+            F.col("_a.variant").alias("variant"),
+            F.col("_a.setting").alias("setting"),
+            "n_truth",
+            F.col("_a.n_dropped").alias("n_dropped"),
+            F.col("_a.n_dropped").alias("n_recovered"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("_a.n_dropped").cast("double") / F.col("n_truth"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+        )
     )
 
 

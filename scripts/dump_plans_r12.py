@@ -33,6 +33,7 @@ def main() -> None:
 
     from forgettable_spark.session import get_spark
     from forgettable_spark import entrypoints as ep
+    from forgettable_spark.functions.cache import plan_audit_mode
 
     spark = get_spark(
         app_name="dump-plans-r12",
@@ -46,7 +47,8 @@ def main() -> None:
         if names and name not in names:
             continue
         try:
-            plan = _formatted_plan(fn(spark, SF_DIR))
+            with plan_audit_mode():
+                plan = _formatted_plan(fn(spark, SF_DIR))
         except Exception as ex:  # noqa: BLE001 — record the failure, keep going
             plan = f"PLAN FAILED: {ex!r}"
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
