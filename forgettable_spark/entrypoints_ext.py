@@ -1951,45 +1951,88 @@ def q_ann_recall_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one join; the candidate count per setting is a filter-count of
         # the SAME frame, so cost and hits see the same md5-window
         # sample by construction.
-        cand = scoped_cache(
-            similarity.quantized_signature_candidates_sweep(
-                emb,
-                qset,
-                n_bits=SIG_ANN_BITS,
-                flip_settings=ANN_SIG_RECALL_FLIPS,
-                max_bucket_size=SIG_ANN_CAP,
-            )
+        cand = similarity.quantized_signature_candidates_sweep(
+            emb,
+            qset,
+            n_bits=SIG_ANN_BITS,
+            flip_settings=ANN_SIG_RECALL_FLIPS,
+            max_bucket_size=SIG_ANN_CAP,
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine_q"), F.asc("neighbor_id")
+        # r12 OPTIMIZATION: the three settings share ONE sort order
+        # (desc cosine_q, asc neighbor_id) and nested candidate sets
+        # (_nf <= f), so the per-setting row_number/top-k/semi-join/agg
+        # rounds fold into one window pass: a running conditional count
+        # over the shared sort IS setting f's row_number (candidates are
+        # unique per (query, neighbor), so the ordering is total), one
+        # broadcast join flags truth pairs, and one aggregate produces
+        # every setting's counts. Was 3 window sorts + 3 semi-joins +
+        # 9 aggregates over a cached frame (25 Exchanges); now 1 window
+        # + 1 broadcast join + 1 aggregate.
+        w = (
+            Window.partitionBy("query_id")
+            .orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = None
+        proj = cand
         for flips in ANN_SIG_RECALL_FLIPS:
-            sub = cand.filter(F.col("_nf") <= flips)
-            ap = (
-                sub.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= ANN_K)
-                .select("query_id", "neighbor_id")
+            proj = proj.withColumn(
+                f"_rk{flips}",
+                F.sum(F.when(F.col("_nf") <= flips, 1).otherwise(0)).over(w),
             )
-            hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi")
-            row = (
-                bf.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-                .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
-                .crossJoin(
-                    sub.agg(F.count(F.lit(1)).cast("bigint").alias("n_scored"))
+        j = proj.join(
+            F.broadcast(bf.withColumn("_t", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        agg = j.agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("_nf") <= flips)
+                            & (F.col(f"_rk{flips}") <= ANN_K)
+                            & F.col("_t").isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
-                .select(
+                .cast("bigint")
+                .alias(f"_hit{flips}")
+                for flips in ANN_SIG_RECALL_FLIPS
+            ],
+            *[
+                F.count(F.when(F.col("_nf") <= flips, F.lit(1)))
+                .cast("bigint")
+                .alias(f"_sc{flips}")
+                for flips in ANN_SIG_RECALL_FLIPS
+            ],
+        )
+        rows = F.array(
+            *[
+                F.struct(
                     F.lit(flips).cast("int").alias("n_flips"),
-                    "n_truth",
-                    "n_hit",
-                    (
-                        F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
-                    ).alias("recall"),
-                    "n_scored",
+                    F.col(f"_hit{flips}").alias("n_hit"),
+                    F.col(f"_sc{flips}").alias("n_scored"),
                 )
+                for flips in ANN_SIG_RECALL_FLIPS
+            ]
+        )
+        return (
+            bf.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+            .crossJoin(agg)
+            .select(F.col("n_truth"), F.explode(rows).alias("_r"))
+            .select(
+                F.col("_r.n_flips").alias("n_flips"),
+                "n_truth",
+                F.col("_r.n_hit").alias("n_hit"),
+                (
+                    F.col("_r.n_hit").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+                F.col("_r.n_scored").alias("n_scored"),
             )
-            out = row if out is None else out.unionByName(row)
-        return out
+        )
 
     return run_released(spark, build)
 
