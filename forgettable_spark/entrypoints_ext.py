@@ -1089,7 +1089,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=KNN_K,
             label_cols={
                 "column": F.col("label"),
-                "geo": _geo_label(F.col("embedding")),
+                "geo": _geo_label("embedding"),
             },
             n_probes=KMEANS_PROBES,
             max_bucket_size=KMEANS_CAP,
@@ -1109,7 +1109,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "pred_label"
             ),
             _queries_subset(emb).select(
-                "vec_id", _geo_label(F.col("embedding")).alias("_true")
+                "vec_id", _geo_label("embedding").alias("_true")
             ),
         )
         return col_arm.unionByName(geo_arm)

@@ -189,6 +189,70 @@ def _codebook_lit(centroids: list[list[float]]) -> Column:
     )
 
 
+#: Rendered-SQL memo for the literal codebook (keyed on the codebook
+#: values): the string is ~20 KB for k=8·dim=64 and costs ~1 ms to
+#: build, vs ~0.8 s of py4j round-trips for the Column form — and every
+#: semantic-family query builds it several times per call.
+_LIT_SQL_MEMO: dict[tuple, str] = {}
+
+
+def _py_double_sql(x: float) -> str:
+    """A Spark-SQL DOUBLE literal that round-trips ``x`` exactly:
+    ``repr`` emits the shortest uniquely-identifying decimal and
+    ``Double.parseDouble`` returns the nearest double = ``x`` (the same
+    contract as the DuckDB ``_sql_double`` rendering)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _codebook_lit_sql(centroids: list[list[float]]) -> str:
+    """Spark-SQL rendering of :func:`_codebook_lit` — the same nested
+    (c, h, i) struct array, parsed into the same Catalyst literals."""
+    key = tuple(tuple(c) for c in centroids)
+    if key not in _LIT_SQL_MEMO:
+        halves = _half_norms(centroids)
+        entries = ", ".join(
+            "named_struct('c', array({vals}), 'h', {h}, 'i', CAST({i} AS BIGINT))".format(
+                vals=", ".join(_py_double_sql(x) for x in c),
+                h=_py_double_sql(h),
+                i=i,
+            )
+            for i, (c, h) in enumerate(zip(centroids, halves))
+        )
+        _LIT_SQL_MEMO[key] = f"array({entries})"
+    return _LIT_SQL_MEMO[key]
+
+
+def _scored_struct_sql(vec_sql: str, centroids: list[list[float]], fields: str) -> str:
+    """``transform(<codebook>, e -> named_struct(<fields>))`` with the
+    score ``s`` available as ``{s}`` in the fields template — the shared
+    body of the two rendered assigners below. ``vec_sql`` must already
+    be a double array (the Column path has the same contract)."""
+    from forgettable_spark.extensions.similarity import _dot_expr_sql
+
+    s = f"({_dot_expr_sql(vec_sql, 'e.c')} - e.h)"
+    return (
+        f"transform({_codebook_lit_sql(centroids)}, "
+        f"e -> named_struct({fields.format(s=s)}))"
+    )
+
+
+def centroid_cell_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """Spark-SQL rendering of :func:`centroid_cell` over a raw SQL
+    double-array expression — identical (score, −index) max semantics."""
+    scored = _scored_struct_sql(vec_sql, centroids, "'s', {s}, 'ni', -e.i")
+    return f"CAST((-(array_max({scored}).ni)) AS BIGINT)"
+
+
+def top_p_centroid_cells_sql(
+    vec_sql: str, centroids: list[list[float]], n_probes: int
+) -> str:
+    """Spark-SQL rendering of :func:`top_p_centroid_cells`."""
+    scored = _scored_struct_sql(vec_sql, centroids, "'negs', -({s}), 'idx', e.i")
+    return (
+        f"slice(transform(array_sort({scored}), s -> s.idx), 1, {n_probes})"
+    )
+
+
 def _scored_structs(vec: Column, centroids: list[list[float]]) -> Column:
     """(score, index) per centroid via one transform over the literal
     codebook; score = ``dot(v, c) − ‖c‖²/2`` with the engines' shared
@@ -200,11 +264,18 @@ def _scored_structs(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
-def centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def centroid_cell(vec: Column | str, centroids: list[list[float]]) -> Column:
     """0-based index of the nearest centroid (ties → lowest index).
     ``array_max`` over (score, −index) structs compares score first,
     then −index — so equal scores pick the smallest index, mirroring the
-    oracle's ``ORDER BY s DESC, ci ASC`` window."""
+    oracle's ``ORDER BY s DESC, ci ASC`` window.
+
+    ``vec`` may be a Column or a raw SQL expression string over an
+    already-double array; the string form assembles the whole literal
+    fold as ONE ``F.expr`` (r12 — the Column form cost ~0.23 s of py4j
+    chatter per call and every semantic query built it 5×)."""
+    if isinstance(vec, str):
+        return F.expr(centroid_cell_sql(vec, centroids))
     scored = F.transform(
         _scored_structs(vec, centroids),
         lambda e: F.struct(e["s"].alias("s"), (-e["i"]).alias("ni")),
@@ -213,11 +284,14 @@ def centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
 
 
 def top_p_centroid_cells(
-    vec: Column, centroids: list[list[float]], n_probes: int
+    vec: Column | str, centroids: list[list[float]], n_probes: int
 ) -> Column:
     """The query's ``n_probes`` nearest centroid indices, nearest first —
     multi-probe IVF over the trained codebook. Sorted (−score, index)
-    structs, same determinism as ``similarity.top_p_buckets``."""
+    structs, same determinism as ``similarity.top_p_buckets``. String
+    input takes the rendered-SQL fast path (see :func:`centroid_cell`)."""
+    if isinstance(vec, str):
+        return F.expr(top_p_centroid_cells_sql(vec, centroids, n_probes))
     scored = F.transform(
         _scored_structs(vec, centroids),
         lambda e: F.struct((-e["s"]).alias("negs"), e["i"].alias("idx")),
@@ -243,7 +317,7 @@ def kmeans_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
-    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    ).withColumn("cell", centroid_cell("_cv", centroids))
     if max_bucket_size is not None:
         c = _sample_cells_to_cap(c, max_bucket_size)
     q = queries.select(
@@ -257,10 +331,10 @@ def kmeans_ann_topk(
     # per probed cell (the r9 GEN-RECOMPUTE audit class).
     q = q.withColumn("_qn", norm(F.col("_qv")))
     if n_probes <= 1:
-        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+        q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
         q = q.withColumn(
-            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+            "cell", F.explode(top_p_centroid_cells("_qv", centroids, n_probes))
         )
     c = c.withColumn("_cn", norm(F.col("_cv")))
     scored = (
@@ -435,7 +509,7 @@ def semantic_dedup(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    ).withColumn("cell", centroid_cell("_v", centroids))
     return _celled_pair_dedup(c, threshold, max_cell_size)
 
 
@@ -636,13 +710,21 @@ def with_two_level_cell(
     is folded — CaseWhen branches are lazy, so the per-row cost is
     k1 + k2 folds for k1·k2 cells."""
     offs = _fine_offsets(fines)
-    df = df.withColumn("_coarse", centroid_cell(F.col(vec_col), coarse))
-    expr = None
-    for i, fine in enumerate(fines):
-        branch = F.lit(offs[i]).cast("bigint") + centroid_cell(F.col(vec_col), fine)
-        cond = F.col("_coarse") == i
-        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
-    return df.withColumn(out_col, expr.cast("bigint")).drop("_coarse")
+    df = df.withColumn("_coarse", centroid_cell(vec_col, coarse))
+    # ONE rendered CASE expression (r12): the Column form built k1+1
+    # literal codebooks through py4j per call (~1.3 s of driver-side
+    # socket chatter); the SQL string parses to the same Catalyst tree
+    # (WHEN conditions on the materialized _coarse column, lazy fine
+    # folds, no ELSE → NULL, final BIGINT cast).
+    branches = " ".join(
+        "WHEN (_coarse = {i}) THEN (CAST({off} AS BIGINT) + {cc})".format(
+            i=i, off=offs[i], cc=centroid_cell_sql(vec_col, fine)
+        )
+        for i, fine in enumerate(fines)
+    )
+    return df.withColumn(
+        out_col, F.expr(f"CAST(CASE {branches} END AS BIGINT)")
+    ).drop("_coarse")
 
 
 def semantic_dedup_two_level(
@@ -799,7 +881,7 @@ def knn_label(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
         F.col(label_col).cast("int").alias("_lab"),
-    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    ).withColumn("cell", centroid_cell("_cv", centroids))
     if max_bucket_size is not None:
         c = _sample_cells_to_cap(c, max_bucket_size)
     q = queries.select(
@@ -807,10 +889,10 @@ def knn_label(
         as_double(F.col(vec_col)).alias("_qv"),
     ).withColumn("_qn", norm(F.col("_qv")))
     if n_probes <= 1:
-        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+        q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
         q = q.withColumn(
-            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+            "cell", F.explode(top_p_centroid_cells("_qv", centroids, n_probes))
         )
     c = c.withColumn("_cn", norm(F.col("_cv")))
     scored = (
@@ -871,7 +953,7 @@ def knn_label_multi(
             expr.cast("int").alias(f"_lab_{i}")
             for i, expr in enumerate(label_cols.values())
         ],
-    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    ).withColumn("cell", centroid_cell("_cv", centroids))
     if max_bucket_size is not None:
         c = _sample_cells_to_cap(c, max_bucket_size)
     q = queries.select(
@@ -879,10 +961,10 @@ def knn_label_multi(
         as_double(F.col(vec_col)).alias("_qv"),
     ).withColumn("_qn", norm(F.col("_qv")))
     if n_probes <= 1:
-        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+        q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
         q = q.withColumn(
-            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+            "cell", F.explode(top_p_centroid_cells("_qv", centroids, n_probes))
         )
     c = c.withColumn("_cn", norm(F.col("_cv")))
     scored = (
@@ -954,7 +1036,7 @@ def prototype_prune(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    ).withColumn("cell", centroid_cell("_v", centroids))
     # cosine(v, centroid[cell]): one element_at into the literal
     # codebook picks the assigned centroid's vector; norms fold per row.
     cb = _codebook_lit(centroids)
@@ -1125,7 +1207,7 @@ def with_partitioned_cell(
             f"column(s) {sorted(clash)} — rename them before calling"
         )
     n_fine = sum(len(f) for f in fines)
-    df = df.withColumn("_sig", signature_cell(F.col(vec_col), n_sig_bits))
+    df = df.withColumn("_sig", signature_cell(vec_col, n_sig_bits))
     df = with_two_level_cell(df, coarse, fines, vec_col=vec_col, out_col="_tl")
     return df.withColumn(
         out_col,
@@ -1440,7 +1522,7 @@ def with_banded_cells(
         (
             (
                 F.lit(t << band_bits).cast("bigint")
-                + signature_cell(F.col(vec_col), band_bits, bit_offset=t * band_bits)
+                + signature_cell(vec_col, band_bits, bit_offset=t * band_bits)
             )
             * F.lit(n_fine).cast("bigint")
             + F.col("_tl")
@@ -1586,11 +1668,11 @@ def probed_recall_gauge(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
     )
     c = with_two_level_cell(c, coarse, fines, out_col="_tl")
-    c = c.withColumn("_sig", signature_cell(F.col("_v"), n_sig_bits))
+    c = c.withColumn("_sig", signature_cell("_v", n_sig_bits))
     for t in range(n_bands):
         c = c.withColumn(
             f"_band{t}",
-            signature_cell(F.col("_v"), band_bits, bit_offset=t * band_bits),
+            signature_cell("_v", band_bits, bit_offset=t * band_bits),
         )
     if not _plan_audit_active():
         c = c.localCheckpoint(eager=True)
@@ -1754,7 +1836,7 @@ def assign_cells(
     rebuild this frame from storage bit-identically."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("cell", centroid_cell(F.col("_v"), centroids))
+    ).withColumn("cell", centroid_cell("_v", centroids))
     return c.withColumn("n", norm(F.col("_v")))
 
 
@@ -2016,17 +2098,17 @@ def decontaminate_semantic(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("_cv"),
-    ).withColumn("cell", centroid_cell(F.col("_cv"), centroids))
+    ).withColumn("cell", centroid_cell("_cv", centroids))
     c = c.withColumn("_cn", norm(F.col("_cv")))
     q = evals.select(
         F.col(id_col).alias("eval_vec_id"),
         as_double(F.col(vec_col)).alias("_qv"),
     ).withColumn("_qn", norm(F.col("_qv")))
     if n_probes <= 1:
-        q = q.withColumn("cell", centroid_cell(F.col("_qv"), centroids))
+        q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
         q = q.withColumn(
-            "cell", F.explode(top_p_centroid_cells(F.col("_qv"), centroids, n_probes))
+            "cell", F.explode(top_p_centroid_cells("_qv", centroids, n_probes))
         )
     flagged = (
         c.join(F.broadcast(q), "cell")

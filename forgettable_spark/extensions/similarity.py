@@ -512,6 +512,52 @@ def _hyperplane_weights(i: int, size: Column) -> Column:
     )
 
 
+def _dot_expr_sql(a: str, b: str) -> str:
+    """Spark-SQL rendering of :func:`dot` over two SQL array expressions
+    — the identical sequential fold (same zero literal, same lambda
+    shape), parsed by the engine into the same Catalyst tree. Exists so
+    the literal-heavy builders below can be assembled as ONE ``F.expr``
+    string instead of thousands of py4j round-trips (measured: ~1.5 s of
+    driver-side socket chatter per semantic-family query build)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _as_double_expr_sql(v: str) -> str:
+    """Spark-SQL rendering of :func:`as_double` over a SQL array
+    expression."""
+    return f"transform({v}, x -> CAST(x AS DOUBLE))"
+
+
+def _hyperplane_weights_expr_sql(i: int, size_sql: str) -> str:
+    """Spark-SQL rendering of :func:`_hyperplane_weights` — the same
+    quadratic congruential formula, same arithmetic order and types."""
+    c0, c1, c2 = _hyp_coeffs(i)
+    return (
+        f"transform(sequence(1, {size_sql}), j -> "
+        f"CAST((((({c2} + (j * {c1})) + ((j * j) * {c0})) % {_HYP_MOD})"
+        f" - {_HYP_OFF}) AS DOUBLE))"
+    )
+
+
+def signature_cell_expr_sql(vec_sql: str, n_bits: int, bit_offset: int = 0) -> str:
+    """Spark-SQL rendering of :func:`signature_cell` over a raw SQL
+    array expression (any element type — the as_double wrap is part of
+    the rendering, as in the Column path)."""
+    v = _as_double_expr_sql(vec_sql)
+    size_sql = f"size({v})"
+    terms = ["CAST(0 AS BIGINT)"]
+    for i in range(n_bits):
+        w = _hyperplane_weights_expr_sql(bit_offset + i, size_sql)
+        terms.append(
+            f"(CASE WHEN {_dot_expr_sql(v, w)} >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def hyperplane_bit_sql(i: int, vec_expr: str = "e") -> str:
     """The DuckDB twin of bit ``i`` of :func:`hyperplane_signature` /
     :func:`signature_cell` over a double-list column ``vec_expr`` — the
@@ -542,7 +588,7 @@ def hyperplane_signature(vec: Column) -> Column:
 
 
 def signature_cell(
-    vec: Column, n_bits: int = HYPERPLANE_BITS, bit_offset: int = 0
+    vec: Column | str, n_bits: int = HYPERPLANE_BITS, bit_offset: int = 0
 ) -> Column:
     """Sign-LSH coarse cell id: the ``n_bits``-bit hyperplane signature
     packed into one BIGINT. ``bit_offset`` shifts into a DISJOINT slice
@@ -564,6 +610,11 @@ def signature_cell(
     sequential dot fold; like the md5 token hash, a deployment without
     cross-engine verification would swap in a native vectorized dot.
     """
+    if isinstance(vec, str):
+        # Raw-SQL fast path (r12): assemble the whole fold as ONE
+        # F.expr — one py4j round-trip instead of ~40 per bit; parses
+        # to the same Catalyst tree as the Column form below.
+        return F.expr(signature_cell_expr_sql(vec, n_bits, bit_offset))
     v = as_double(vec)
     size = F.size(v)
     cell = F.lit(0).cast("bigint")
@@ -637,7 +688,7 @@ def signature_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
-    ).withColumn("cell", signature_cell(F.col("_cv"), n_bits))
+    ).withColumn("cell", signature_cell("_cv", n_bits))
     if max_bucket_size is not None and cap_mode == "sample":
         c = _sample_cells_to_cap(c, max_bucket_size)
     else:
@@ -647,7 +698,7 @@ def signature_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
-    ).withColumn("cell", signature_cell(F.col("_qv"), n_bits))
+    ).withColumn("cell", signature_cell("_qv", n_bits))
     # _qn BEFORE the flip explode: added after it, the O(dim) norm fold
     # lands in the Project above the Generate and re-evaluates once per
     # flipped cell (the r9 GEN-RECOMPUTE audit class); below it, the
@@ -702,7 +753,7 @@ def quantized_signature_corpus_side(
         "_cs",
         "_cq",
         norm(v).alias("_cn"),
-        signature_cell(v, n_bits).alias("cell"),
+        signature_cell(vec_col, n_bits).alias("cell"),
     )
     if max_bucket_size is not None:
         c = _sample_cells_to_cap(c, max_bucket_size)
@@ -749,7 +800,7 @@ def quantized_signature_topk(
         "_qs",
         "_qq",
         norm(v).alias("_qn"),
-        signature_cell(v, n_bits).alias("cell"),
+        signature_cell(vec_col, n_bits).alias("cell"),
     )
     if n_flip > 0:
         q = q.withColumn(
@@ -819,7 +870,7 @@ def quantized_signature_candidates_sweep(
         "_qs",
         "_qq",
         norm(v).alias("_qn"),
-        signature_cell(v, n_bits).alias("_home"),
+        signature_cell(vec_col, n_bits).alias("_home"),
     )
     probes = [
         F.struct(F.col("_home").alias("cell"), F.lit(0).alias("_nf"))
