@@ -573,11 +573,22 @@ def hyperplane_bit_sql(i: int, vec_expr: str = "e") -> str:
     )
 
 
-def hyperplane_signature(vec: Column) -> Column:
+def hyperplane_signature(vec: Column | str) -> Column:
     """Sign-LSH signature: bit i = [dot(v, h_i) >= 0]. For unit-ish
     vectors, P[bit_a = bit_b] = 1 − θ(a,b)/π — the classic cosine
     sketch. Row-local fold per bit; deterministic sign at exactly 0
-    because the dot is the engines' bit-identical sequential fold."""
+    because the dot is the engines' bit-identical sequential fold.
+    String input takes the rendered-SQL fast path (one ``F.expr``; see
+    :func:`signature_cell`)."""
+    if isinstance(vec, str):
+        v = _as_double_expr_sql(vec)
+        size_sql = f"size({v})"
+        bits = ", ".join(
+            f"(CASE WHEN {_dot_expr_sql(v, _hyperplane_weights_expr_sql(i, size_sql))}"
+            " >= 0 THEN 1 ELSE 0 END)"
+            for i in range(HYPERPLANE_BITS)
+        )
+        return F.expr(f"array({bits})")
     v = as_double(vec)
     size = F.size(v)
     bits = [
@@ -949,7 +960,7 @@ def hyperplane_near_dup_pairs(
         emb.select(
             F.col(id_col).alias("_id"),
             v.alias("_v"),
-            hyperplane_signature(F.col(vec_col)).alias("_sig"),
+            hyperplane_signature(vec_col).alias("_sig"),
         )
         .withColumn("_n", norm(F.col("_v")))
         .withColumn("_vn", F.transform(F.col("_v"), lambda x: x / F.col("_n")))
