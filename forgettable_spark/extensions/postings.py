@@ -61,6 +61,10 @@ from forgettable_spark.extensions.text import shingles_from_tokens, tokens
 #: dedup family — extensions/sketches.py) from colliding.
 _MATERIALIZED: dict[tuple[str, str, str, str], str] = {}
 
+#: Lazy reader-DataFrame memo over _MATERIALIZED roots (same key) —
+#: see materialize_table_set.
+_MATERIALIZED_DFS: dict[tuple[str, str, str, str], dict[str, DataFrame]] = {}
+
 _TABLES = ("postings", "doc_stats", "bigrams")
 
 
@@ -257,9 +261,21 @@ def materialize_table_set(
         with open(os.path.join(root, "_SPINE_COMPLETE"), "w") as fh:
             fh.write(corpus_key)
         _MATERIALIZED[key] = root
-    return {
-        name: spark.read.parquet(os.path.join(root, name)) for name in table_names
-    }
+        _MATERIALIZED_DFS.pop(key, None)
+    # r12 OPTIMIZATION: memoize the reader DataFrames too — they are
+    # lazy, immutable handles onto the parquet files, but creating them
+    # costs a py4j round-trip + file listing per table per call
+    # (~0.45 s for the 5-table spine), paid by every spine-fed query.
+    # The memo key already pins (app, corpus, kind, fingerprint), so a
+    # rebuilt spine gets fresh readers.
+    dfs = _MATERIALIZED_DFS.get(key)
+    if dfs is None:
+        dfs = {
+            name: spark.read.parquet(os.path.join(root, name))
+            for name in table_names
+        }
+        _MATERIALIZED_DFS[key] = dfs
+    return dict(dfs)
 
 
 #: Every table the combined corpus-spine build materializes: the token
