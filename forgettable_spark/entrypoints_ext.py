@@ -1209,6 +1209,16 @@ def table_footer_rows(sf_dir: str, name: str) -> int:
     return int(pads.dataset(path).count_rows())
 
 
+def _emb_rows_or_none(sf_dir: str) -> int | None:
+    """Footer row count for the admit arms' batch bound, or None to
+    degrade to the ``count()`` action (box without pyarrow, absent
+    table — the generated-oracle degrade classes)."""
+    try:
+        return _embeddings_count(sf_dir)
+    except (FileNotFoundError, OSError, ValueError, ImportError):
+        return None
+
+
 def _embeddings_count(sf_dir: str) -> int:
     """Memoized :func:`table_footer_rows` over the embeddings table."""
     if sf_dir not in _EMB_COUNTS:
@@ -1480,7 +1490,9 @@ SEM_ADMIT_BATCH = 200
 
 
 def _admit_member_split(
-    emb: DataFrame, frame: DataFrame | None = None
+    emb: DataFrame,
+    frame: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The count-bounded admission batch device shared by every
     semantic-admit query arm and mirrored by the oracle member CTE
@@ -1494,8 +1506,16 @@ def _admit_member_split(
     assign-per-side while folding the codebook scan into one plan
     branch (the oracle's own member-CTE shape; measured 5.2 → 3.9 s on
     the probed arm at sf0.1). Works unchanged for exploded (banded)
-    assignments — the split keys on ``vec_id`` alone."""
-    n = emb.count()
+    assignments — the split keys on ``vec_id`` alone.
+
+    ``n_rows`` (r12 optimization): the table's exact row count when the
+    caller already has it from the parquet footer (the memoized
+    ``_embeddings_count``) — skips the one-job ``count()`` action each
+    admit arm otherwise pays per call. Identical bound by construction:
+    the footer count of an unfiltered single-table read IS ``count()``,
+    and the oracle's ``LEAST(..., (COUNT(*)+7)//8)`` computes the same
+    number its own way."""
+    n = emb.count() if n_rows is None else n_rows
     bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
     new_ids = scoped_cache(
         emb.select(
@@ -1530,7 +1550,11 @@ def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         # Assign ONCE, split the assigned frame (r12 — the oracle's
         # member-CTE shape; bit-identical, one codebook scan not two).
-        idx, bat = _admit_member_split(emb, frame=cb.assign_cells(emb, cents))
+        idx, bat = _admit_member_split(
+            emb,
+            frame=cb.assign_cells(emb, cents),
+            n_rows=_emb_rows_or_none(sf_dir),
+        )
         return cb.semantic_admit_assigned(
             idx,
             bat,
@@ -1579,7 +1603,9 @@ def q_semantic_admit_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # member-CTE shape; bit-identical, one codebook scan not two).
         b = _partitioned_sig_bits(sf_dir)
         idx, bat = _admit_member_split(
-            emb, frame=cb.assign_cells_partitioned(emb, coarse, fines, b)
+            emb,
+            frame=cb.assign_cells_partitioned(emb, coarse, fines, b),
+            n_rows=_emb_rows_or_none(sf_dir),
         )
         return cb.semantic_admit_assigned_probed(
             idx,
@@ -1645,6 +1671,7 @@ def q_semantic_admit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_bands=SEMDEDUP_BANDS,
                 band_bits=_partitioned_sig_bits(sf_dir),
             ),
+            n_rows=_emb_rows_or_none(sf_dir),
         )
         return cb.semantic_admit_assigned_banded(
             idx,
@@ -3323,7 +3350,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, sp = _sketch_spine(spark, sf_dir)
 
     def build() -> DataFrame:
-        n_docs = docs.count()
+        # Footer row count when available (r12 — same device as the
+        # admit arms' _emb_rows_or_none): skips the one-job count()
+        # action; identical bound (footer count of the unfiltered
+        # single-table read IS count()).
+        try:
+            n_docs = table_footer_rows(sf_dir, "documents")
+        except (FileNotFoundError, OSError, ValueError, ImportError):
+            n_docs = docs.count()
         bound = min(INCR_BATCH_DOCS, (n_docs + 7) // 8)
         new_ids = scoped_cache(
             docs.select(
