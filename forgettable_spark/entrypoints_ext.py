@@ -1061,20 +1061,6 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
 
-    def arm(source: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
-        joined = truth.join(pred, "vec_id", "left")
-        return joined.agg(
-            F.count("*").cast("bigint").alias("n_queries"),
-            F.count("pred_label").cast("bigint").alias("n_predicted"),
-            F.sum(
-                F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0)
-            ).cast("bigint").alias("n_correct"),
-            (
-                F.sum(F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0))
-                / F.count("*")
-            ).cast("double").alias("accuracy"),
-        ).select(F.lit(source).alias("label_source"), "*")
-
     def build() -> DataFrame:
         # ONE kNN search feeds both arms (r12, `codebook.knn_label_multi`
         # — the candidate top-k is label-independent, so the two operator
@@ -1094,25 +1080,44 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_probes=KMEANS_PROBES,
             max_bucket_size=KMEANS_CAP,
         )
-        col_arm = arm(
-            "column",
-            preds.filter(F.col("label_source") == "column").select(
-                "vec_id", "pred_label"
-            ),
-            _queries_subset(emb).select(
-                "vec_id", F.col("label").cast("int").alias("_true")
-            ),
+        # r12 OPTIMIZATION: both arms score the SAME query slice against
+        # the same prediction frame, so the per-arm join+agg+union folds
+        # into one: explode each query row to its two (source, truth)
+        # pairs, one left join on (vec_id, label_source), one grouped
+        # aggregate. Row values are unchanged (identical per-arm
+        # aggregates over identical joined sets — the group key just
+        # replaces the literal column).
+        truth_all = _queries_subset(emb).select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("column").alias("label_source"),
+                        F.col("label").cast("int").alias("_true"),
+                    ),
+                    F.struct(
+                        F.lit("geo").alias("label_source"),
+                        _geo_label("embedding").alias("_true"),
+                    ),
+                )
+            ).alias("_t"),
+        ).select("vec_id", F.col("_t.label_source").alias("label_source"), F.col("_t._true").alias("_true"))
+        joined = truth_all.join(
+            preds.select("vec_id", "label_source", "pred_label"),
+            ["vec_id", "label_source"],
+            "left",
         )
-        geo_arm = arm(
-            "geo",
-            preds.filter(F.col("label_source") == "geo").select(
-                "vec_id", "pred_label"
-            ),
-            _queries_subset(emb).select(
-                "vec_id", _geo_label("embedding").alias("_true")
-            ),
+        return joined.groupBy("label_source").agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.count("pred_label").cast("bigint").alias("n_predicted"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            (
+                F.sum(F.when(F.col("pred_label") == F.col("_true"), 1).otherwise(0))
+                / F.count("*")
+            ).cast("double").alias("accuracy"),
         )
-        return col_arm.unionByName(geo_arm)
 
     # run_released sweeps the shared top-k checkpoint.
     return run_released(spark, build)

@@ -983,26 +983,44 @@ def knn_label_multi(
     )
     if not _plan_audit_active():
         topk = topk.localCheckpoint(eager=True)
-    out = None
-    for i, name in enumerate(names):
-        votes = topk.groupBy("query_id", F.col(f"_lab_{i}").alias("_lab")).agg(
-            F.count("*").alias("votes")
-        )
-        best = votes.groupBy("query_id").agg(
-            F.max(
-                F.struct(F.col("votes").alias("v"), (-F.col("_lab")).alias("nl"))
-            ).alias("_b"),
-            F.sum("votes").cast("bigint").alias("k_used"),
-        )
-        row = best.select(
-            F.col("query_id").alias("vec_id"),
-            F.lit(name).alias("label_source"),
-            (-F.col("_b")["nl"]).cast("int").alias("pred_label"),
-            F.col("_b")["v"].alias("votes"),
-            "k_used",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    # r12 OPTIMIZATION: one vote chain for ALL sources — explode each
+    # top-k row to its (source, label) pairs and group with the source
+    # in the key, instead of one groupBy→groupBy→select chain per
+    # source unioned together. Per-source slices are value-identical
+    # (identical per-(query, source) aggregates; the source literal
+    # just moved into the group key).
+    melted = topk.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("_src"),
+                        F.col(f"_lab_{i}").alias("_lab"),
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        ).alias("_m"),
+    ).select(
+        "query_id", F.col("_m._src").alias("_src"), F.col("_m._lab").alias("_lab")
+    )
+    votes = melted.groupBy("query_id", "_src", "_lab").agg(
+        F.count("*").alias("votes")
+    )
+    best = votes.groupBy("query_id", "_src").agg(
+        F.max(
+            F.struct(F.col("votes").alias("v"), (-F.col("_lab")).alias("nl"))
+        ).alias("_b"),
+        F.sum("votes").cast("bigint").alias("k_used"),
+    )
+    return best.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("_src").alias("label_source"),
+        (-F.col("_b")["nl"]).cast("int").alias("pred_label"),
+        F.col("_b")["v"].alias("votes"),
+        "k_used",
+    )
 
 
 def prototype_prune(
