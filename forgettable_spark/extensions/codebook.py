@@ -95,7 +95,7 @@ def train_codebook(
     result is a pure function of the sample.
     """
     rows = (
-        corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        corpus.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(sample_size)
         .collect()
@@ -316,33 +316,33 @@ def kmeans_ann_topk(
     rank), ties on neighbor_id."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
+        as_double(vec_col).alias("_cv"),
     ).withColumn("cell", centroid_cell("_cv", centroids))
     if max_bucket_size is not None:
         c = _sample_cells_to_cap(c, max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
+        as_double(vec_col).alias("_qv"),
     )
     # per-vector norms before the join (similarity.brute_force_topk's
     # rationale): one dot + divide per pair instead of three folds —
     # and _qn BEFORE the probe explode: added after it, the O(dim) norm
     # fold lands in the Project above the Generate and re-evaluates once
     # per probed cell (the r9 GEN-RECOMPUTE audit class).
-    q = q.withColumn("_qn", norm(F.col("_qv")))
+    q = q.withColumn("_qn", norm("_qv"))
     if n_probes <= 1:
         q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
         q = q.withColumn(
             "cell", F.explode(top_p_centroid_cells("_qv", centroids, n_probes))
         )
-    c = c.withColumn("_cn", norm(F.col("_cv")))
+    c = c.withColumn("_cn", norm("_cv"))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -508,7 +508,7 @@ def semantic_dedup(
     reference engine has no embedding surface).
     """
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     ).withColumn("cell", centroid_cell("_v", centroids))
     return _celled_pair_dedup(c, threshold, max_cell_size)
 
@@ -531,7 +531,7 @@ def _celled_pair_dedup(
         c = _sample_cells_to_cap(c, max_cell_size, id_col="vec_id")
     # Norm once per row BEFORE the self-join (similarity.brute_force_topk's
     # rationale): one dot + one divide per candidate pair.
-    c = c.withColumn("_n", norm(F.col("_v")))
+    c = c.withColumn("_n", norm("_v"))
     a = c.select(
         F.col("vec_id").alias("dup_of"),
         "cell",
@@ -544,7 +544,7 @@ def _celled_pair_dedup(
         .filter(F.col("dup_of") < F.col("vec_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+            dot("_av", "_bv") / (F.col("_an") * F.col("_bn")),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
@@ -633,7 +633,7 @@ def train_two_level_codebook(
     up). Returns (coarse, fines); both are pure functions of the
     corpus, bit-reproducible — the oracle regenerates them."""
     rows = (
-        corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        corpus.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(sample_size)
         .collect()
@@ -750,7 +750,7 @@ def semantic_dedup_two_level(
     at sf1, 32×16) — result-identical either way, and callers that
     persist results release the blocks through ``run_released``."""
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
     c = with_two_level_cell(c, coarse, fines)
     if materialize_assignment and not _plan_audit_active():
@@ -879,28 +879,28 @@ def knn_label(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
+        as_double(vec_col).alias("_cv"),
         F.col(label_col).cast("int").alias("_lab"),
     ).withColumn("cell", centroid_cell("_cv", centroids))
     if max_bucket_size is not None:
         c = _sample_cells_to_cap(c, max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm(F.col("_qv")))
+        as_double(vec_col).alias("_qv"),
+    ).withColumn("_qn", norm("_qv"))
     if n_probes <= 1:
         q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
         q = q.withColumn(
             "cell", F.explode(top_p_centroid_cells("_qv", centroids, n_probes))
         )
-    c = c.withColumn("_cn", norm(F.col("_cv")))
+    c = c.withColumn("_cn", norm("_cv"))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -948,7 +948,7 @@ def knn_label_multi(
     names = list(label_cols)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
+        as_double(vec_col).alias("_cv"),
         *[
             expr.cast("int").alias(f"_lab_{i}")
             for i, expr in enumerate(label_cols.values())
@@ -958,21 +958,21 @@ def knn_label_multi(
         c = _sample_cells_to_cap(c, max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm(F.col("_qv")))
+        as_double(vec_col).alias("_qv"),
+    ).withColumn("_qn", norm("_qv"))
     if n_probes <= 1:
         q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
         q = q.withColumn(
             "cell", F.explode(top_p_centroid_cells("_qv", centroids, n_probes))
         )
-    c = c.withColumn("_cn", norm(F.col("_cv")))
+    c = c.withColumn("_cn", norm("_cv"))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1053,7 +1053,7 @@ def prototype_prune(
     reference engine has no embedding surface).
     """
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     ).withColumn("cell", centroid_cell("_v", centroids))
     # cosine(v, centroid[cell]): one element_at into the literal
     # codebook picks the assigned centroid's vector; norms fold per row.
@@ -1061,7 +1061,7 @@ def prototype_prune(
     cvec = F.element_at(cb, (F.col("cell") + 1).cast("int"))["c"]
     c = c.withColumn(
         "proto_score",
-        dot(F.col("_v"), cvec) / (norm(F.col("_v")) * norm(cvec)),
+        dot(F.col("_v"), cvec) / (norm("_v") * norm(cvec)),
     )
     w = Window.partitionBy("cell").orderBy(F.asc("proto_score"), F.asc("vec_id"))
     wn = Window.partitionBy("cell")
@@ -1253,7 +1253,7 @@ def semantic_dedup_partitioned(
     extra plan literals, so occupancy can track corpus/cells at any
     scale with a FIXED-size trained codebook (SCALING.md r10)."""
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
     c = with_partitioned_cell(c, coarse, fines, n_sig_bits)
     if materialize_assignment and not _plan_audit_active():
@@ -1349,7 +1349,7 @@ def semantic_dedup_probed(
             f"semantic_dedup_probed: n_flip={n_flip} outside [0, {n_sig_bits}]"
         )
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
     c = with_partitioned_cell(c, coarse, fines, n_sig_bits)
     if materialize_assignment and not _plan_audit_active():
@@ -1405,7 +1405,7 @@ def _celled_pair_dedup_probed(
         return _celled_pair_dedup(c, threshold, max_cell_size)
     if max_cell_size is not None:
         c = _sample_cells_to_cap(c, max_cell_size, id_col="vec_id")
-    c = c.withColumn("_n", norm(F.col("_v")))
+    c = c.withColumn("_n", norm("_v"))
     a = c.select(
         F.col("vec_id").alias("dup_of"),
         "cell",
@@ -1431,7 +1431,7 @@ def _celled_pair_dedup_probed(
         .filter(F.col("dup_of") < F.col("vec_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+            dot("_av", "_bv") / (F.col("_an") * F.col("_bn")),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
@@ -1576,7 +1576,7 @@ def semantic_dedup_banded(
     :func:`semantic_dedup_partitioned` drop set with band-0 hyperplanes
     (test-locked)."""
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
     c = with_banded_cells(c, coarse, fines, n_bands, band_bits)
     if materialize_assignment and not _plan_audit_active():
@@ -1683,7 +1683,7 @@ def probed_recall_gauge(
     from forgettable_spark.extensions.similarity import signature_cell
 
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
     c = with_two_level_cell(c, coarse, fines, out_col="_tl")
     c = c.withColumn("_sig", signature_cell("_v", n_sig_bits))
@@ -1694,7 +1694,7 @@ def probed_recall_gauge(
         )
     if not _plan_audit_active():
         c = c.localCheckpoint(eager=True)
-    c = c.withColumn("_n", norm(F.col("_v")))
+    c = c.withColumn("_n", norm("_v"))
 
     bands_a = [F.col(f"_band{t}").alias(f"_aband{t}") for t in range(n_bands)]
     bands_b = [F.col(f"_band{t}").alias(f"_bband{t}") for t in range(n_bands)]
@@ -1718,7 +1718,7 @@ def probed_recall_gauge(
         a.join(b, "_tl")
         .filter(F.col("dup_of") < F.col("vec_id"))
         .filter(
-            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+            dot("_av", "_bv") / (F.col("_an") * F.col("_bn"))
             >= F.lit(threshold)
         )
         .select(
@@ -1853,9 +1853,9 @@ def assign_cells(
     literals), so a caller may persist them alongside the vectors and
     rebuild this frame from storage bit-identically."""
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     ).withColumn("cell", centroid_cell("_v", centroids))
-    return c.withColumn("n", norm(F.col("_v")))
+    return c.withColumn("n", norm("_v"))
 
 
 def assign_cells_partitioned(
@@ -1876,10 +1876,10 @@ def assign_cells_partitioned(
     — and composite cells grow 2^b-fold with zero extra plan literals
     (SCALING.md r10)."""
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
     c = with_partitioned_cell(c, coarse, fines, n_sig_bits)
-    return c.withColumn("n", norm(F.col("_v")))
+    return c.withColumn("n", norm("_v"))
 
 
 class PartitionedAssigner:
@@ -2010,7 +2010,7 @@ def semantic_admit_assigned(
         .filter((F.col("_src") == 0) | (F.col("match_id") < F.col("vec_id")))
         .withColumn(
             "cosine",
-            dot(F.col("_wv"), F.col("_bv")) / (F.col("_wn") * F.col("_bn")),
+            dot("_wv", "_bv") / (F.col("_wn") * F.col("_bn")),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
@@ -2115,13 +2115,13 @@ def decontaminate_semantic(
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
+        as_double(vec_col).alias("_cv"),
     ).withColumn("cell", centroid_cell("_cv", centroids))
-    c = c.withColumn("_cn", norm(F.col("_cv")))
+    c = c.withColumn("_cn", norm("_cv"))
     q = evals.select(
         F.col(id_col).alias("eval_vec_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm(F.col("_qv")))
+        as_double(vec_col).alias("_qv"),
+    ).withColumn("_qn", norm("_qv"))
     if n_probes <= 1:
         q = q.withColumn("cell", centroid_cell("_qv", centroids))
     else:
@@ -2133,7 +2133,7 @@ def decontaminate_semantic(
         .filter(F.col("vec_id") != F.col("eval_vec_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+            dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
@@ -2280,7 +2280,7 @@ def semantic_admit_assigned_probed(
         .filter((F.col("_src") == 0) | (F.col("match_id") < F.col("vec_id")))
         .withColumn(
             "cosine",
-            dot(F.col("_wv"), F.col("_bv")) / (F.col("_wn") * F.col("_bn")),
+            dot("_wv", "_bv") / (F.col("_wn") * F.col("_bn")),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
@@ -2387,10 +2387,10 @@ def assign_cells_banded(
     persists r narrow rows per vector and every downstream step stays
     the standard capped cell equi-join."""
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
     c = with_banded_cells(c, coarse, fines, n_bands, band_bits)
-    return c.withColumn("n", norm(F.col("_v")))
+    return c.withColumn("n", norm("_v"))
 
 
 def semantic_admit_banded(
@@ -2475,7 +2475,7 @@ def semantic_admit_assigned_banded(
         .filter((F.col("_src") == 0) | (F.col("match_id") < F.col("vec_id")))
         .withColumn(
             "cosine",
-            dot(F.col("_wv"), F.col("_bv")) / (F.col("_wn") * F.col("_bn")),
+            dot("_wv", "_bv") / (F.col("_wn") * F.col("_bn")),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )

@@ -27,12 +27,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def as_double(vec: Column) -> Column:
+def as_double(vec: Column | str) -> Column:
+    """``transform(vec, x -> CAST(x AS DOUBLE))``. String input (a column
+    name or any SQL array expression) takes the rendered-SQL fast path —
+    ONE ``F.expr`` round-trip instead of ~10 of py4j lambda assembly;
+    parses to the same Catalyst tree (value-equality test-locked,
+    tests/test_extensions.py::test_rendered_sql_fast_paths)."""
+    if isinstance(vec, str):
+        return F.expr(_as_double_expr_sql(vec))
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (DOUBLE) — order-stable, codegen-only."""
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product (DOUBLE) — order-stable, codegen-only.
+    Two string inputs take the rendered-SQL fast path (one ``F.expr``
+    instead of ~30 py4j round-trips; see :func:`as_double`)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_expr_sql(a, b))
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -40,7 +55,11 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    """``SQRT(dot(a, a))``; string input takes the rendered-SQL fast
+    path (see :func:`as_double`)."""
+    if isinstance(a, str):
+        return F.expr(_norm_expr_sql(a))
     return F.sqrt(dot(a, a))
 
 
@@ -66,17 +85,17 @@ def brute_force_topk(
     # folds (dot + two norms) to one dot + a divide — bit-identical
     # values (same expression, same order, evaluated earlier).
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("_cn", norm(F.col("_cv")))
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
+    ).withColumn("_cn", norm("_cv"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv")))
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    ).withColumn("_qn", norm("_qv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -125,11 +144,11 @@ def bucketed_ann_corpus_side(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
+        as_double(vec_col).alias("_cv"),
     ).withColumn("bucket", argmax_bucket(F.col("_cv")))
     c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "bucketed_ann_topk", log_dropped)
     # per-vector norms before the join (brute_force_topk's rationale)
-    return c.withColumn("_cn", norm(F.col("_cv")))
+    return c.withColumn("_cn", norm("_cv"))
 
 
 def bucketed_ann_topk(
@@ -170,8 +189,8 @@ def bucketed_ann_topk(
         )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm(F.col("_qv")))
+        as_double(vec_col).alias("_qv"),
+    ).withColumn("_qn", norm("_qv"))
     if n_probes <= 1:
         q = q.withColumn("bucket", argmax_bucket(F.col("_qv")))
     else:
@@ -183,7 +202,7 @@ def bucketed_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -231,8 +250,8 @@ def embedding_near_dup_pairs(
 
     cells = F.array_sort(top_p_buckets(F.col("_v"), 2))
     v = (
-        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-        .withColumn("_n", norm(F.col("_v")))
+        corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_n", norm("_v"))
         .withColumn("_c1", F.element_at(cells, 1))
         .withColumn("_c2", F.element_at(cells, 2))
     )
@@ -253,7 +272,7 @@ def embedding_near_dup_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .withColumn(
-            "cosine", dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+            "cosine", dot("a._v", "b._v") / (F.col("a._n") * F.col("b._n"))
         )
         .filter(F.col("cosine") >= threshold)
         .select(
@@ -314,24 +333,38 @@ def with_quantization(
     reference inside the code lambda instead of an inlined O(dim)
     subexpression per element (see :func:`quantize_embedding`). Same
     values bit-for-bit; the oracle's ``sc → qc`` CTE chain mirrors this
-    structure exactly."""
-    v = as_double(F.col(vec_col))
+    structure exactly.
+
+    Rendered as two ``F.expr`` strings (r12 plan-construction cost —
+    same expressions, same when/round/cast chain, value-equality
+    test-locked)."""
+    v = _as_double_expr_sql(vec_col)
     df = df.withColumn(
-        s_name, F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(float(QUANT_MAX))
+        s_name,
+        F.expr(
+            f"array_max(transform({v}, x -> abs(x))) / "
+            f"CAST({float(QUANT_MAX)!r} AS DOUBLE)"
+        ),
     )
     return df.withColumn(
         q_name,
-        F.transform(
-            v,
-            lambda x: F.when(F.col(s_name) == 0.0, F.lit(0))
-            .otherwise(F.round(x / F.col(s_name)))
-            .cast("int"),
+        F.expr(
+            f"transform({v}, x -> CAST(CASE WHEN ({s_name} = CAST(0.0 AS DOUBLE)) "
+            f"THEN 0 ELSE round(x / {s_name}, 0) END AS INT))"
         ),
     )
 
 
-def int_dot(a: Column, b: Column) -> Column:
-    """Exact BIGINT dot of two int-code arrays (order-independent)."""
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact BIGINT dot of two int-code arrays (order-independent).
+    Two string inputs take the rendered-SQL fast path (see
+    :func:`as_double`)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_int_dot_expr_sql(a, b))
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
         F.lit(0).cast("bigint"),
@@ -359,20 +392,20 @@ def quantized_topk(
         F.col(id_col).alias("neighbor_id"),
         "_cs",
         "_cq",
-        norm(as_double(F.col(vec_col))).alias("_cn"),
+        norm(_as_double_expr_sql(vec_col)).alias("_cn"),
     )
     q = with_quantization(queries, vec_col, "_qs", "_qq").select(
         F.col(id_col).alias("query_id"),
         "_qs",
         "_qq",
-        norm(as_double(F.col(vec_col))).alias("_qn"),
+        norm(_as_double_expr_sql(vec_col)).alias("_qn"),
     )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_q",
-            (F.col("_qs") * F.col("_cs") * int_dot(F.col("_qq"), F.col("_cq")).cast("double"))
+            (F.col("_qs") * F.col("_cs") * int_dot("_qq", "_cq").cast("double"))
             / (F.col("_qn") * F.col("_cn")),
         )
     )
@@ -412,7 +445,7 @@ def quantized_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         "_cs",
         "_cq",
-        norm(v).alias("_cn"),
+        norm(_as_double_expr_sql(vec_col)).alias("_cn"),
         argmax_bucket(v).alias("bucket"),
     )
     c = cap_hot_buckets(c, ["bucket"], max_bucket_size, "quantized_bucketed_topk", log_dropped)
@@ -420,7 +453,7 @@ def quantized_bucketed_topk(
         F.col(id_col).alias("query_id"),
         "_qs",
         "_qq",
-        norm(v).alias("_qn"),
+        norm(_as_double_expr_sql(vec_col)).alias("_qn"),
         v.alias("_qv"),
     )
     if n_probes <= 1:
@@ -434,7 +467,7 @@ def quantized_bucketed_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_q",
-            (F.col("_qs") * F.col("_cs") * int_dot(F.col("_qq"), F.col("_cq")).cast("double"))
+            (F.col("_qs") * F.col("_cs") * int_dot("_qq", "_cq").cast("double"))
             / (F.col("_qn") * F.col("_cn")),
         )
     )
@@ -529,6 +562,21 @@ def _as_double_expr_sql(v: str) -> str:
     """Spark-SQL rendering of :func:`as_double` over a SQL array
     expression."""
     return f"transform({v}, x -> CAST(x AS DOUBLE))"
+
+
+def _norm_expr_sql(v: str) -> str:
+    """Spark-SQL rendering of :func:`norm` over a SQL array expression —
+    the same ``SQRT`` over the same sequential dot fold."""
+    return f"SQRT({_dot_expr_sql(v, v)})"
+
+
+def _int_dot_expr_sql(a: str, b: str) -> str:
+    """Spark-SQL rendering of :func:`int_dot` over two SQL array
+    expressions — same BIGINT casts, same fold shape."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x * y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
 
 
 def _hyperplane_weights_expr_sql(i: int, size_sql: str) -> str:
@@ -698,7 +746,7 @@ def signature_ann_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
+        as_double(vec_col).alias("_cv"),
     ).withColumn("cell", signature_cell("_cv", n_bits))
     if max_bucket_size is not None and cap_mode == "sample":
         c = _sample_cells_to_cap(c, max_bucket_size)
@@ -708,13 +756,13 @@ def signature_ann_topk(
         )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
+        as_double(vec_col).alias("_qv"),
     ).withColumn("cell", signature_cell("_qv", n_bits))
     # _qn BEFORE the flip explode: added after it, the O(dim) norm fold
     # lands in the Project above the Generate and re-evaluates once per
     # flipped cell (the r9 GEN-RECOMPUTE audit class); below it, the
     # Generate replicates the computed value.
-    q = q.withColumn("_qn", norm(F.col("_qv")))
+    q = q.withColumn("_qn", norm("_qv"))
     if n_flip > 0:
         q = q.withColumn(
             "cell",
@@ -728,13 +776,13 @@ def signature_ann_topk(
                 )
             ),
         )
-    c = c.withColumn("_cn", norm(F.col("_cv")))
+    c = c.withColumn("_cn", norm("_cv"))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
         )
     )
     # a query probing several cells can meet the same neighbor once per
@@ -758,12 +806,11 @@ def quantized_signature_corpus_side(
     """The corpus side of :func:`quantized_signature_topk` — int8 codes
     + scale + norm + signature cell, sample-capped — split out so a
     multi-configuration caller can build (and cache) it once."""
-    v = as_double(F.col(vec_col))
     c = with_quantization(corpus, vec_col, "_cs", "_cq").select(
         F.col(id_col).alias("neighbor_id"),
         "_cs",
         "_cq",
-        norm(v).alias("_cn"),
+        norm(_as_double_expr_sql(vec_col)).alias("_cn"),
         signature_cell(vec_col, n_bits).alias("cell"),
     )
     if max_bucket_size is not None:
@@ -805,12 +852,11 @@ def quantized_signature_topk(
         c = quantized_signature_corpus_side(
             corpus, id_col, vec_col, n_bits, max_bucket_size
         )
-    v = as_double(F.col(vec_col))
     q = with_quantization(queries, vec_col, "_qs", "_qq").select(
         F.col(id_col).alias("query_id"),
         "_qs",
         "_qq",
-        norm(v).alias("_qn"),
+        norm(_as_double_expr_sql(vec_col)).alias("_qn"),
         signature_cell(vec_col, n_bits).alias("cell"),
     )
     if n_flip > 0:
@@ -834,7 +880,7 @@ def quantized_signature_topk(
             (
                 F.col("_qs")
                 * F.col("_cs")
-                * int_dot(F.col("_qq"), F.col("_cq")).cast("double")
+                * int_dot("_qq", "_cq").cast("double")
             )
             / (F.col("_qn") * F.col("_cn")),
         )
@@ -875,12 +921,11 @@ def quantized_signature_candidates_sweep(
         c = quantized_signature_corpus_side(
             corpus, id_col, vec_col, n_bits, max_bucket_size
         )
-    v = as_double(F.col(vec_col))
     q = with_quantization(queries, vec_col, "_qs", "_qq").select(
         F.col(id_col).alias("query_id"),
         "_qs",
         "_qq",
-        norm(v).alias("_qn"),
+        norm(_as_double_expr_sql(vec_col)).alias("_qn"),
         signature_cell(vec_col, n_bits).alias("_home"),
     )
     probes = [
@@ -908,7 +953,7 @@ def quantized_signature_candidates_sweep(
             (
                 F.col("_qs")
                 * F.col("_cs")
-                * int_dot(F.col("_qq"), F.col("_cq")).cast("double")
+                * int_dot("_qq", "_cq").cast("double")
             )
             / (F.col("_qn") * F.col("_cn")),
         )
@@ -955,30 +1000,36 @@ def hyperplane_near_dup_pairs(
     """
     from forgettable_spark.extensions.dedup import cap_hot_buckets
 
-    v = as_double(F.col(vec_col))
     sig = (
         emb.select(
             F.col(id_col).alias("_id"),
-            v.alias("_v"),
+            as_double(vec_col).alias("_v"),
             hyperplane_signature(vec_col).alias("_sig"),
         )
-        .withColumn("_n", norm(F.col("_v")))
-        .withColumn("_vn", F.transform(F.col("_v"), lambda x: x / F.col("_n")))
+        .withColumn("_n", norm("_v"))
+        .withColumn("_vn", F.expr("transform(_v, x -> x / _n)"))
         .select("_id", "_vn", "_sig")
     )
     if persist:
         from forgettable_spark.functions.cache import scoped_cache
 
         sig = scoped_cache(sig)
-    band_vals = F.array(
-        *[
-            sum(
-                F.element_at(F.col("_sig"), b * _BITS_PER_BAND + k + 1)
-                * F.lit(1 << k)
+    # ONE rendered array expression (r12 plan-construction cost): the
+    # Python sum-of-element_at Columns built ~100 py4j round-trips; the
+    # SQL string restates the identical integer adds (exact in any
+    # association, same left-assoc order anyway).
+    band_vals = F.expr(
+        "array("
+        + ", ".join(
+            "("
+            + " + ".join(
+                f"(element_at(_sig, {b * _BITS_PER_BAND + k + 1}) * {1 << k})"
                 for k in range(_BITS_PER_BAND)
             )
+            + ")"
             for b in range(HYPERPLANE_BANDS)
-        ]
+        )
+        + ")"
     )
     banded = sig.select("_id", F.posexplode(band_vals).alias("band", "bval"))
     banded = cap_hot_buckets(
@@ -1001,7 +1052,7 @@ def hyperplane_near_dup_pairs(
     return (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
-        .withColumn("cosine", dot(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", dot("_va", "_vb"))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )

@@ -862,3 +862,69 @@ def test_sample_per_group_budget_bounds_and_floor(spark):
     small = {r["doc_id"] for r in sampling.sample_per_group_budget(docs, 500).collect()}
     big = {r["doc_id"] for r in sampling.sample_per_group_budget(docs, 2000).collect()}
     assert small < big  # nested
+
+
+def test_rendered_sql_fast_paths(emb):
+    """The r12 string fast paths of as_double/dot/norm/int_dot and the
+    rendered with_quantization are bit-identical to the Column forms
+    they replaced (same expressions, parsed from SQL instead of built
+    through py4j) — the plan-construction optimization must not move a
+    single bit anywhere in the ANN/semantic family."""
+    col_ad = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def col_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    col_norm = F.sqrt(col_dot(col_ad, col_ad))
+    df = emb.select(
+        similarity.as_double("embedding").alias("n_ad"),
+        col_ad.alias("o_ad"),
+        similarity.norm(similarity._as_double_expr_sql("embedding")).alias("n_n"),
+        col_norm.alias("o_n"),
+    )
+    assert (
+        df.filter((F.col("n_ad") != F.col("o_ad")) | (F.col("n_n") != F.col("o_n"))).count()
+        == 0
+    )
+    # with_quantization: rendered vs the pre-r12 Column construction,
+    # values AND dtypes (the CAST chain must keep codes array<int>)
+    old = (
+        emb.withColumn(
+            "_s",
+            F.array_max(F.transform(col_ad, lambda x: F.abs(x)))
+            / F.lit(float(similarity.QUANT_MAX)),
+        ).withColumn(
+            "_q",
+            F.transform(
+                col_ad,
+                lambda x: F.when(F.col("_s") == 0.0, F.lit(0))
+                .otherwise(F.round(x / F.col("_s")))
+                .cast("int"),
+            ),
+        )
+    )
+    new = similarity.with_quantization(emb, "embedding", "_s2", "_q2")
+    assert dict(new.dtypes)["_q2"] == dict(old.dtypes)["_q"] == "array<int>"
+    j = old.select("vec_id", "_s", "_q").join(
+        new.select("vec_id", "_s2", "_q2"), "vec_id"
+    )
+    assert j.filter((F.col("_s") != F.col("_s2")) | (F.col("_q") != F.col("_q2"))).count() == 0
+    # int_dot over the quantized codes, string vs Column form
+    a = new.select("vec_id", "_q2").alias("a")
+    b = new.select("vec_id", "_q2").alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).limit(2000)
+
+    def col_int_dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, w: (u * w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, u: acc + u,
+        )
+
+    p2 = pairs.select(
+        similarity.int_dot("a._q2", "b._q2").alias("n"),
+        col_int_dot(F.col("a._q2"), F.col("b._q2")).alias("o"),
+    )
+    assert p2.filter(F.col("n") != F.col("o")).count() == 0
