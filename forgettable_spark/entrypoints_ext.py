@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from forgettable_spark.extensions import contamination, dedup, sampling, similarity, text
 from forgettable_spark.extensions.multimodal import extract_image_features, synthetic_media
-from forgettable_spark.functions.cache import run_released, scoped_cache
+from forgettable_spark.functions.cache import (
+    run_released,
+    run_released_cpu_dense,
+    scoped_cache,
+)
 from forgettable_spark.sources import load_table
 
 JACCARD_THRESHOLD = 0.8
@@ -892,7 +896,7 @@ def q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
-    return run_released(
+    return run_released_cpu_dense(
         spark,
         lambda: cb.semantic_dedup_two_level(
             emb,
@@ -1120,7 +1124,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # run_released sweeps the shared top-k checkpoint.
-    return run_released(spark, build)
+    return run_released_cpu_dense(spark, build)
 
 
 def _geo_label_sql(vec_expr: str) -> str:
@@ -1264,7 +1268,7 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
-    return run_released(
+    return run_released_cpu_dense(
         spark,
         lambda: cb.semantic_dedup_partitioned(
             emb,
@@ -1315,7 +1319,7 @@ def q_semantic_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
-    return run_released(
+    return run_released_cpu_dense(
         spark,
         lambda: cb.semantic_dedup_banded(
             emb,
@@ -1358,7 +1362,7 @@ def q_semantic_dedup_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
-    return run_released(
+    return run_released_cpu_dense(
         spark,
         lambda: cb.semantic_dedup_probed(
             emb,
@@ -1412,7 +1416,7 @@ def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: ONE shared assignment scan feeds every arm
     # (codebook.probed_recall_gauge) — per-arm operator calls re-compiled
     # the literal-codebook fold five times and doubled the gauge's wall.
-    return run_released(
+    return run_released_cpu_dense(
         spark,
         lambda: cb.probed_recall_gauge(
             emb,
@@ -1568,7 +1572,7 @@ def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             broadcast_batch=True,
         )
 
-    return run_released(spark, build)
+    return run_released_cpu_dense(spark, build)
 
 
 def _oracle_semantic_admit(sf_dir: str) -> str:
@@ -1622,7 +1626,7 @@ def q_semantic_admit_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
             broadcast_batch=True,
         )
 
-    return run_released(spark, build)
+    return run_released_cpu_dense(spark, build)
 
 
 def _oracle_semantic_admit_probed(sf_dir: str) -> str:
@@ -1686,7 +1690,7 @@ def q_semantic_admit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             broadcast_batch=True,
         )
 
-    return run_released(spark, build)
+    return run_released_cpu_dense(spark, build)
 
 
 def _oracle_semantic_admit_banded(sf_dir: str) -> str:
@@ -1814,7 +1818,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = row if out is None else out.unionByName(row)
         return out
 
-    return run_released(spark, build)
+    return run_released_cpu_dense(spark, build)
 
 
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2066,7 +2070,7 @@ def q_ann_recall_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return run_released(spark, build)
+    return run_released_cpu_dense(spark, build)
 
 
 def _oracle_ann_recall_signature() -> str:
@@ -2161,7 +2165,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-argmax cell's self-join at 98× time for 10× rows (uniform
     growth makes every one of only ``dim`` cells 10× hotter; see
     SCALING.md sf1 table)."""
-    return run_released(
+    return run_released_cpu_dense(
         spark,
         lambda: similarity.embedding_near_dup_pairs(
             load_table(spark, sf_dir, "embeddings"),
@@ -2203,7 +2207,7 @@ def q_embedding_near_dup_hyperplane(spark: SparkSession, sf_dir: str) -> DataFra
     """Cosine near-dup pairs via banded sign-LSH (12 bits, 4 bands) —
     the direction-bucketed complement to the IVF path; exact cosine
     verification keeps precision unconditional."""
-    return run_released(
+    return run_released_cpu_dense(
         spark,
         lambda: similarity.hyperplane_near_dup_pairs(
             load_table(spark, sf_dir, "embeddings"),

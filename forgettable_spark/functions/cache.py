@@ -245,6 +245,47 @@ def run_released(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
     return _local_result_df(spark, rows, schema)
 
 
+#: AQE coalescing floor for byte-light, CPU-dense executions
+#: (:func:`run_released_cpu_dense`). Override via
+#: SPARK_GRAFT_CPU_DENSE_MIN_PARTITION.
+CPU_DENSE_MIN_PARTITION_SIZE_DEFAULT = "64k"
+
+
+def run_released_cpu_dense(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
+    """:func:`run_released` with the AQE partition-coalescing floor
+    lowered for this one execution (r12 optimization, guide §2.5).
+
+    AQE coalesces post-shuffle partitions by BYTES
+    (``coalescePartitions.minPartitionSize``, default 1m, under
+    ``parallelismFirst``), which is the right model for byte-dense
+    relational work. The embedding family's candidate-verification
+    stages are the opposite: a few hundred KB of (id, vector) pairs
+    carrying a 64-wide double fold per row — AQE packs them into 1-2
+    tasks and serializes minutes of per-element CPU behind one core
+    (measured: semantic_dedup_probed's pair scan 645 ms @ 2 tasks →
+    199 ms @ 14 tasks with the floor at 64k). At production scale the
+    floor is irrelevant by construction — coalescing targets
+    ``totalBytes / parallelism``, far above any floor once real data
+    volumes flow — so lowering it ONLY affects the byte-light regime
+    this family occupies at bench scale. Scoped to the one execution:
+    set before, restored after, so byte-dense queries (the text
+    family measurably regresses under a blanket 64k floor) keep the
+    default."""
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    value = os.environ.get(
+        "SPARK_GRAFT_CPU_DENSE_MIN_PARTITION", CPU_DENSE_MIN_PARTITION_SIZE_DEFAULT
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        return run_released(spark, build)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 class released_scope:
     """Context manager twin of :func:`run_released` for callers whose
     results are NOT driver-small (per-document verdict logs, table

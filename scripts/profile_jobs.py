@@ -42,6 +42,11 @@ def main() -> None:
             "spark.eventLog.dir": evdir,
             "spark.eventLog.compress": "false",
             "spark.eventLog.rolling.enabled": "false",
+            **(
+                {"spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ["MINPART"]}
+                if os.environ.get("MINPART")
+                else {}
+            ),
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         },
     )
