@@ -67,6 +67,13 @@ _MATERIALIZED_DFS: dict[tuple[str, str, str, str], dict[str, DataFrame]] = {}
 
 _TABLES = ("postings", "doc_stats", "bigrams")
 
+#: Docs per partition for the spine build's cached-base spread (r12,
+#: guide §2.5): sized so one partition's tokenize-derived work (shingle
+#: windows + md5 folds, ~0.5-1 ms/doc) is a sub-second task. Small
+#: corpora get min(cores, n/1000)-way builds; large corpora arrive
+#: pre-split and the spread gate never fires.
+_DOCS_PER_BUILD_PARTITION = 1000
+
 
 #: (applicationId, corpus_key) -> (directory signature, fingerprint).
 #: The full fingerprint stats EVERY corpus input file — at 100 TB that
@@ -337,7 +344,31 @@ def materialized_corpus_spine(
         # the cache BEFORE the concurrent writes so no two jobs race to
         # compute the same partition.
         base = _full_base(docs, text_col, id_col, block_col).persist()
-        base.count()
+        n_docs = base.count()
+        # r12 OPTIMIZATION (guide §2.5 input parallelism): a small corpus
+        # arrives as ONE scan split (single file, single row group), so
+        # every downstream table build — explode, shingle windows, md5
+        # folds, bit votes — inherits a single partition and the thread
+        # pool tops out at 5-way (one core per table). Spread the CACHED
+        # tokenized base by doc_id once (~docs_per_partition docs per
+        # task; keyed, so no sort-before-repartition) and all five
+        # builds parallelize. Gated on the spread RAISING parallelism:
+        # a production corpus arrives pre-split in many files and the
+        # gate never fires — which is also why repartitioning the RAW
+        # text pre-tokenize (the r12 first attempt, reverted) is the
+        # wrong layer: this spread moves the already-tokenized cache,
+        # costs one tiny shuffle of it, and was measured 3.3 -> 2.5 s
+        # at sf0.1 (higher counts regress on per-file write overhead:
+        # P=32 read 8.6 s).
+        target = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, n_docs // _DOCS_PER_BUILD_PARTITION),
+        )
+        if target > base.rdd.getNumPartitions():
+            spread = base.repartition(target, F.col("doc_id")).persist()
+            spread.count()
+            base.unpersist()
+            base = spread
         try:
             tables = {
                 **_tables_from_base(base),
