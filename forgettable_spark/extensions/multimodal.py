@@ -352,21 +352,27 @@ def media_near_dup_pairs(
 
     n_bands = max(1, dim // bits_per_band)
     feats = extract_feature_histograms(media, dim=dim, use_fake_decoder=use_fake_decoder)
-    phash = None
-    for i in range(dim):
-        bit = F.when(
-            F.element_at(F.col("counts"), i + 1) * dim >= F.col("n_chars"),
-            F.lit(1 << i).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        phash = bit if phash is None else phash + bit
-    f = scoped_cache(feats.withColumn("phash", phash))
+    # ONE rendered expression per fold below (r12 plan-construction
+    # cost, the codebook/similarity treatment): the Column loops built
+    # ~6k py4j round-trips (~1.1 s per query build); each SQL string
+    # parses to the same Catalyst tree — same left-associated sums,
+    # same literals, same casts — so every value is unchanged
+    # (oracle-hash-matched).
+    phash_sql = " + ".join(
+        f"(CASE WHEN (element_at(counts, {i + 1}) * {dim}) >= n_chars "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dim)
+    )
+    f = scoped_cache(feats.withColumn("phash", F.expr(phash_sql)))
 
     mask = (1 << bits_per_band) - 1
-    band_vals = F.array(
-        *[
-            F.shiftright(F.col("phash"), b * bits_per_band).bitwiseAND(F.lit(mask))
+    band_vals = F.expr(
+        "array("
+        + ", ".join(
+            f"(shiftright(phash, {b * bits_per_band}) & CAST({mask} AS BIGINT))"
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     banded = f.select("media_id", F.posexplode(band_vals).alias("band", "bval"))
     banded = cap_hot_buckets(
@@ -395,15 +401,20 @@ def media_near_dup_pairs(
         F.col("sha256").alias("_sb"),
     )
     joined = cand.join(fa, "media_a").join(fb, "media_b")
-    term = lambda i: F.abs(  # noqa: E731
-        F.element_at(F.col("_ca"), i + 1).cast("double")
-        / F.greatest(F.col("_na"), F.lit(1)).cast("double")
-        - F.element_at(F.col("_cb"), i + 1).cast("double")
-        / F.greatest(F.col("_nb"), F.lit(1)).cast("double")
-    )
-    l1 = term(0)
+
+    def term_sql(i: int) -> str:
+        return (
+            f"abs(CAST(element_at(_ca, {i + 1}) AS DOUBLE) "
+            f"/ CAST(greatest(_na, 1) AS DOUBLE) "
+            f"- CAST(element_at(_cb, {i + 1}) AS DOUBLE) "
+            f"/ CAST(greatest(_nb, 1) AS DOUBLE))"
+        )
+
+    # Left-associated sum, exactly the shape the Column loop built.
+    l1_sql = term_sql(0)
     for i in range(1, dim):
-        l1 = l1 + term(i)
+        l1_sql = f"({l1_sql} + {term_sql(i)})"
+    l1 = F.expr(l1_sql)
     return (
         joined.withColumn("l1", l1)
         .filter(F.col("l1") <= l1_max)
