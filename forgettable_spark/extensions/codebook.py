@@ -709,22 +709,30 @@ def with_two_level_cell(
     re-evaluate it), then only the SELECTED coarse cell's fine codebook
     is folded — CaseWhen branches are lazy, so the per-row cost is
     k1 + k2 folds for k1·k2 cells."""
+    cols = df.columns
+    return df.withColumn("_coarse", centroid_cell(vec_col, coarse)).select(
+        *cols, F.expr(two_level_case_sql(vec_col, fines)).alias(out_col)
+    )
+
+
+def two_level_case_sql(
+    vec_sql: str, fines: list[list[list[float]]], coarse_col: str = "_coarse"
+) -> str:
+    """ONE rendered CASE expression for the two-level fine assignment
+    (r12): the Column form built k1+1 literal codebooks through py4j per
+    call (~1.3 s of driver-side socket chatter); the SQL string parses
+    to the same Catalyst tree (WHEN conditions on the materialized
+    ``coarse_col``, lazy fine folds, no ELSE → NULL, final BIGINT
+    cast). Shared by :func:`with_two_level_cell` and the single-select
+    assignment builders so the rendering cannot drift."""
     offs = _fine_offsets(fines)
-    df = df.withColumn("_coarse", centroid_cell(vec_col, coarse))
-    # ONE rendered CASE expression (r12): the Column form built k1+1
-    # literal codebooks through py4j per call (~1.3 s of driver-side
-    # socket chatter); the SQL string parses to the same Catalyst tree
-    # (WHEN conditions on the materialized _coarse column, lazy fine
-    # folds, no ELSE → NULL, final BIGINT cast).
     branches = " ".join(
-        "WHEN (_coarse = {i}) THEN (CAST({off} AS BIGINT) + {cc})".format(
-            i=i, off=offs[i], cc=centroid_cell_sql(vec_col, fine)
+        "WHEN ({c} = {i}) THEN (CAST({off} AS BIGINT) + {cc})".format(
+            c=coarse_col, i=i, off=offs[i], cc=centroid_cell_sql(vec_sql, fine)
         )
         for i, fine in enumerate(fines)
     )
-    return df.withColumn(
-        out_col, F.expr(f"CAST(CASE {branches} END AS BIGINT)")
-    ).drop("_coarse")
+    return f"CAST(CASE {branches} END AS BIGINT)"
 
 
 def semantic_dedup_two_level(
@@ -936,7 +944,7 @@ def knn_label_multi(
     rank — is label-INDEPENDENT (the cap samples on (cell, id) and the
     rank orders on (cosine, neighbor_id)), so scoring two label columns
     as two operator calls pays the expensive search twice for the same
-    neighbor sets. This computes the top-k ONCE (checkpointed), carries
+    neighbor sets. This computes the top-k ONCE, carries
     every source's label through the one corpus-side join, and runs the
     cheap vote/argmax tail per source. ``label_cols`` maps source name →
     label Column over the corpus frame. Returns one row per (query,
@@ -981,8 +989,12 @@ def knn_label_multi(
         .filter(F.col("rank") <= k)
         .select("query_id", *[f"_lab_{i}" for i in range(len(names))])
     )
-    if not _plan_audit_active():
-        topk = topk.localCheckpoint(eager=True)
+    # No materialization (late r12): the melted vote tail below is this
+    # frame's ONLY consumer — the arm fold moved the sharing into the
+    # group key, so the eager localCheckpoint that shared the search
+    # between two per-arm plans had become a pure extra job (~0.25 s
+    # measured; a future multi-consumer caller should checkpoint the
+    # returned frame itself).
     # r12 OPTIMIZATION: one vote chain for ALL sources — explode each
     # top-k row to its (source, label) pairs and group with the source
     # in the key, instead of one groupBy→groupBy→select chain per
@@ -1224,13 +1236,23 @@ def with_partitioned_cell(
             f"with_partitioned_cell: input carries reserved intermediate "
             f"column(s) {sorted(clash)} — rename them before calling"
         )
+    from forgettable_spark.extensions.similarity import signature_cell_expr_sql
+
+    # ONE select for the whole composite (late r12): the previous
+    # withColumn(_sig) → with_two_level_cell → withColumn(compose) chain
+    # eagerly re-analyzed the literal-heavy plan four times per call;
+    # the inlined expression is what CollapseProject produced anyway
+    # (same folds, same integer arithmetic), analyzed once.
     n_fine = sum(len(f) for f in fines)
-    df = df.withColumn("_sig", signature_cell(vec_col, n_sig_bits))
-    df = with_two_level_cell(df, coarse, fines, vec_col=vec_col, out_col="_tl")
-    return df.withColumn(
-        out_col,
-        (F.col("_sig") * F.lit(n_fine).cast("bigint") + F.col("_tl")).cast("bigint"),
-    ).drop("_sig", "_tl")
+    cols = df.columns
+    sig_sql = signature_cell_expr_sql(vec_col, n_sig_bits)
+    composite = (
+        f"CAST((({sig_sql}) * CAST({n_fine} AS BIGINT)) "
+        f"+ ({two_level_case_sql(vec_col, fines)}) AS BIGINT)"
+    )
+    return df.withColumn("_coarse", centroid_cell(vec_col, coarse)).select(
+        *cols, F.expr(composite).alias(out_col)
+    )
 
 
 def semantic_dedup_partitioned(
@@ -1680,18 +1702,28 @@ def probed_recall_gauge(
     recovered ⊆ truth stays self-evidencing. Returns one row per arm:
     (variant 'flips'|'bands', setting, n_truth, n_dropped, n_recovered,
     recall)."""
-    from forgettable_spark.extensions.similarity import signature_cell
+    from forgettable_spark.extensions.similarity import signature_cell_expr_sql
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_v")
     )
-    c = with_two_level_cell(c, coarse, fines, out_col="_tl")
-    c = c.withColumn("_sig", signature_cell("_v", n_sig_bits))
-    for t in range(n_bands):
-        c = c.withColumn(
-            f"_band{t}",
-            signature_cell("_v", band_bits, bit_offset=t * band_bits),
-        )
+    # ONE select for all the per-row folds (late r12): the previous
+    # with_two_level_cell → withColumn(_sig) → n_bands×withColumn chain
+    # eagerly re-analyzed the literal-heavy plan 7 times per build; the
+    # expressions are independent, so one projection computes them all
+    # (identical folds, analyzed once).
+    c = c.withColumn("_coarse", centroid_cell("_v", coarse)).select(
+        "vec_id",
+        "_v",
+        F.expr(two_level_case_sql("_v", fines)).alias("_tl"),
+        F.expr(signature_cell_expr_sql("_v", n_sig_bits)).alias("_sig"),
+        *[
+            F.expr(
+                signature_cell_expr_sql("_v", band_bits, bit_offset=t * band_bits)
+            ).alias(f"_band{t}")
+            for t in range(n_bands)
+        ],
+    )
     if not _plan_audit_active():
         c = c.localCheckpoint(eager=True)
     c = c.withColumn("_n", norm("_v"))
