@@ -10,6 +10,8 @@ tests/test_extensions.py before anything relies on them).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -436,7 +438,7 @@ def _queries_subset(df: DataFrame) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.brute_force_topk(emb, _queries_subset(emb), k=ANN_K)
 
 
@@ -472,7 +474,7 @@ def q_ann_signature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (argmax cells are capped at dim and measured quadratic on the sf3
     validation corpus; signature cells + deterministic subsampling
     measured near-linear with 100% query coverage — SCALING.md)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.signature_ann_topk(
         emb,
         _queries_subset(emb),
@@ -529,7 +531,7 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (SCALING.md). The signature+sample-cap config measured 3.6×
     on the same corpus with every query served. The argmax variant
     stays oracle-checked as secondary ``ann_argmax_multiprobe``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.quantized_signature_topk(
         emb,
         _queries_subset(emb),
@@ -597,7 +599,7 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism that genuinely regressed dedup_simhash before its rewrite.
     The float-scored twin stays oracle-checked as secondary
     ``ann_bucketed_float``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.quantized_bucketed_topk(emb, _queries_subset(emb), k=ANN_K)
 
 
@@ -605,7 +607,7 @@ def q_ann_bucketed_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The float-scored single-probe bucketed ANN (sequential-fold cosine)
     — secondary since r4; keeps the float bucket-join oracle pair alive
     after the registered queries moved to int8 scoring."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.bucketed_ann_topk(emb, _queries_subset(emb), k=ANN_K)
 
 
@@ -633,7 +635,7 @@ def q_ann_argmax_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked as the fixed-cell baseline the signature/codebook
     quantizers are judged against (same int8 scoring, same equi-join
     shape, cost ``n_probes · Σ_b |Q_b|·|C_b|``)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.quantized_bucketed_topk(
         emb, _queries_subset(emb), k=ANN_K, n_probes=ANN_PROBES
     )
@@ -642,7 +644,7 @@ def q_ann_argmax_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_multiprobe_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Float-scored multi-probe bucketed ANN — secondary since r4 (see
     :func:`q_ann_bucketed_float`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.bucketed_ann_topk(
         emb, _queries_subset(emb), k=ANN_K, n_probes=ANN_PROBES
     )
@@ -770,7 +772,7 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_kmeans_ann.py."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
     return cb.kmeans_ann_topk(
         emb,
@@ -819,7 +821,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per dropped doc with its minimal keep-witness."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
     return cb.semantic_dedup(
         emb, cents, threshold=SEMDEDUP_COSINE, max_cell_size=SEMDEDUP_CAP
@@ -894,7 +896,7 @@ def q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_released sweeps the assignment checkpoint blocks."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
     return run_released_cpu_dense(
         spark,
@@ -935,7 +937,7 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=8 codebook as the ANN/semantic queries."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
     return cb.prototype_prune(emb, cents, keep_frac=PROTO_KEEP_FRAC)
 
@@ -968,7 +970,7 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table's `label` column."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
     return cb.knn_label(
         emb.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
@@ -1005,7 +1007,7 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast eval side; corpus side never shuffles for the match."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
     return cb.decontaminate_semantic(
         emb.filter(F.col("vec_id") % ANN_QUERY_MOD != 0),
@@ -1062,7 +1064,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled neighbor (abstention, counted, not hidden)."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
 
     def build() -> DataFrame:
@@ -1235,6 +1237,69 @@ def _embeddings_count(sf_dir: str) -> int:
     return _EMB_COUNTS[sf_dir]
 
 
+#: Embedding rows per partition for the small-scan spread (r12, guide
+#: §2.5): the vector folds are CPU-dense per byte, so a one-split scan
+#: serializes them behind one core. 250 rows/task keeps each task's fold
+#: work sub-100 ms; measured best at sf0.1 (P=8): the ANN family read
+#: 7.4 vs 9.0 s and the semantic family 7.9 vs 10.1 s same-window.
+_EMB_ROWS_PER_SPREAD_PARTITION = 250
+
+#: sf_dir -> spread partition count (0 = leave the scan alone). Pure
+#: function of the corpus footer + session parallelism, memoized like
+#: _EMB_COUNTS.
+_EMB_SPREAD: dict[str, int] = {}
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``load_table('embeddings')`` with the small-scan spread (r12,
+    guide §2.5 input parallelism): a bench-scale corpus arrives as ONE
+    parquet split (single file, single row group), so every per-row
+    vector fold — quantization, signature bits, codebook assignment,
+    norms — runs in a single task while the other cores idle. When the
+    file yields fewer scan splits than the rows-based target, hash-
+    repartition by vec_id (deterministic, value-neutral — no
+    partition-sensitive expression exists in the engine; keyed, so no
+    sort-before-repartition). A production corpus arrives pre-split in
+    many files, so the gate never fires there and the scan shape is
+    untouched; non-statable paths (object stores) skip the spread the
+    same way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _EMB_SPREAD:
+        parts = 0
+        try:
+            path = os.path.join(sf_dir, "embeddings.parquet")
+            if os.path.isfile(path):
+                nbytes = os.path.getsize(path)
+            else:
+                nbytes = sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, files in os.walk(path)
+                    for f in files
+                )
+            raw = spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "268435456"
+            ).lower().strip()
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+            if raw and raw[-1] in units:
+                max_pb = int(raw[:-1]) * units[raw[-1]]
+            else:
+                max_pb = int(raw)
+            splits = max(1, -(-nbytes // max(max_pb, 1)))
+            rows = _emb_rows_or_none(sf_dir) or 0
+            target = min(
+                spark.sparkContext.defaultParallelism,
+                max(2, rows // _EMB_ROWS_PER_SPREAD_PARTITION),
+            )
+            if rows and splits < target:
+                parts = target
+        except OSError:
+            parts = 0
+        _EMB_SPREAD[sf_dir] = parts
+    if _EMB_SPREAD[sf_dir]:
+        emb = emb.repartition(_EMB_SPREAD[sf_dir], F.col("vec_id"))
+    return emb
+
+
 def _partitioned_sig_bits(sf_dir: str) -> int:
     """Corpus-aware signature width (VERDICT r10 #6): size b so expected
     composite-cell occupancy tracks the cap — b ≈ log2(n / (k1·k2·cap))
@@ -1266,7 +1331,7 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. run_released sweeps the assignment checkpoint."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
     return run_released_cpu_dense(
         spark,
@@ -1317,7 +1382,7 @@ def q_semantic_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     same keep rule, per-band-bucket caps."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
     return run_released_cpu_dense(
         spark,
@@ -1360,7 +1425,7 @@ def q_semantic_dedup_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     form; n_flip defaults to all b bits."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
     return run_released_cpu_dense(
         spark,
@@ -1409,7 +1474,7 @@ def q_semantic_probed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_recovered, recall)."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
     b = _partitioned_sig_bits(sf_dir)
 
@@ -1553,7 +1618,7 @@ def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     match_id, cosine) row per batch vector, text-family sentinels."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     cents = _codebook_for(spark, sf_dir, KMEANS_CELLS)
 
     def build() -> DataFrame:
@@ -1604,7 +1669,7 @@ def q_semantic_admit_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-aware b shared with the dedup family."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
 
     def build() -> DataFrame:
@@ -1663,7 +1728,7 @@ def q_semantic_admit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     family."""
     from forgettable_spark.extensions import codebook as cb
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coarse, fines = _two_level_codebook_for(spark, sf_dir)
 
     def build() -> DataFrame:
@@ -1767,7 +1832,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the mix."""
 
     def build() -> DataFrame:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _load_emb(spark, sf_dir)
         qset = _recall_queries(emb)
         bf = scoped_cache(
             similarity.brute_force_topk(emb, qset, k=ANN_K).select(
@@ -1826,7 +1891,7 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reduced-precision twin of the brute-force baseline, measuring
     what 4× less vector I/O costs in ranking quality. The integer dots
     make scores order-independent AND bit-exact against the oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     return similarity.quantized_topk(emb, _recall_queries(emb), k=ANN_K)
 
 
@@ -1971,7 +2036,7 @@ def q_ann_recall_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(ANN_RECALL_N · |corpus|) at any scale."""
 
     def build() -> DataFrame:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _load_emb(spark, sf_dir)
         qset = _recall_queries(emb)
         bf = scoped_cache(
             similarity.brute_force_topk(emb, qset, k=ANN_K).select(
@@ -2168,7 +2233,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_released_cpu_dense(
         spark,
         lambda: similarity.embedding_near_dup_pairs(
-            load_table(spark, sf_dir, "embeddings"),
+            _load_emb(spark, sf_dir),
             threshold=IVF_NEAR_DUP_COSINE,
             max_bucket_size=EMBEDDING_CELL_CAP,
         ),
@@ -2210,7 +2275,7 @@ def q_embedding_near_dup_hyperplane(spark: SparkSession, sf_dir: str) -> DataFra
     return run_released_cpu_dense(
         spark,
         lambda: similarity.hyperplane_near_dup_pairs(
-            load_table(spark, sf_dir, "embeddings"),
+            _load_emb(spark, sf_dir),
             threshold=NEAR_DUP_COSINE,
             max_bucket_size=HYPERPLANE_BUCKET_CAP,
         ),
