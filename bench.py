@@ -41,7 +41,7 @@ def emit_report(
     retries: dict[str, list[float]],
     stale_floors: dict[str, dict[str, float]],
     sf: float,
-    detail_path: str | None = None,
+    detail_path: str | list[str] | None = None,
 ) -> str:
     """Print the bench report and return the final line.
 
@@ -50,6 +50,11 @@ def emit_report(
     in the sidecar), then the compact driver-facing summary. Keeping the
     final line tiny is the whole contract — never append per-query maps
     to it.
+
+    ``detail_path`` may be a list: the driver runs the bench at several
+    core counts back to back and a single sidecar name means the later
+    run clobbers the earlier one's per-query detail (VERDICT r12 #2) —
+    main() passes both the compatibility name and a per-cpus name.
     """
     total = round(sum(timings.values()), 4)
     detail: dict = {
@@ -60,9 +65,10 @@ def emit_report(
     }
     if stale_floors:
         detail["stale_floors"] = stale_floors
-    if detail_path:
+    paths = [detail_path] if isinstance(detail_path, str) else (detail_path or [])
+    for p in paths:
         try:
-            with open(detail_path, "w") as fh:
+            with open(p, "w") as fh:
                 json.dump(detail, fh, indent=1, sort_keys=True)
         except OSError:
             pass  # diagnostics sidecar is best-effort; the summary still prints
@@ -343,14 +349,20 @@ def main() -> None:
         for n in timings
         if n in floors and timings[n] < floors[n] * 0.98
     }
+    # Two sidecars (VERDICT r12 #2): the unsuffixed name for existing
+    # tooling, plus a per-core-count name so a c8+c32 driver pair leaves
+    # BOTH per-query details on disk instead of the later run clobbering
+    # the earlier one's.
+    _root = os.path.dirname(os.path.abspath(__file__))
     emit_report(
         timings,
         retries,
         stale,
         sf,
-        detail_path=os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        ),
+        detail_path=[
+            os.path.join(_root, "BENCH_DETAIL.json"),
+            os.path.join(_root, f"BENCH_DETAIL_c{cpus}.json"),
+        ],
     )
     spark.stop()
 

@@ -1279,7 +1279,12 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw = spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", "268435456"
             ).lower().strip()
-            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+            # Spark byte confs accept "128m" but also "128mb" and a bare
+            # "...b" suffix — cover both spellings (ADVICE r12: '128MB'
+            # previously raised an uncaught ValueError through int()).
+            if raw.endswith("b") and not raw[:-1].isdigit():
+                raw = raw[:-1]
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
             if raw and raw[-1] in units:
                 max_pb = int(raw[:-1]) * units[raw[-1]]
             else:
@@ -1292,7 +1297,10 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if rows and splits < target:
                 parts = target
-        except OSError:
+        except (OSError, ValueError):
+            # The spread is a best-effort optimization gate: an
+            # unparseable conf value must degrade to "leave the scan
+            # alone", never crash the embedding family (ADVICE r12).
             parts = 0
         _EMB_SPREAD[sf_dir] = parts
     if _EMB_SPREAD[sf_dir]:

@@ -708,7 +708,18 @@ def with_two_level_cell(
     (computed once, as its own column, so the CASE conditions don't
     re-evaluate it), then only the SELECTED coarse cell's fine codebook
     is folded — CaseWhen branches are lazy, so the per-row cost is
-    k1 + k2 folds for k1·k2 cells."""
+    k1 + k2 folds for k1·k2 cells.
+
+    ``_coarse`` is a RESERVED intermediate column name: an input already
+    carrying it would be silently overwritten by the withColumn and the
+    select would return clobbered values under ``out_col`` — raise
+    loudly instead (ADVICE r12, same contract as
+    :func:`with_partitioned_cell`)."""
+    if "_coarse" in df.columns:
+        raise ValueError(
+            "with_two_level_cell: input carries reserved intermediate "
+            "column '_coarse' — rename it before calling"
+        )
     cols = df.columns
     return df.withColumn("_coarse", centroid_cell(vec_col, coarse)).select(
         *cols, F.expr(two_level_case_sql(vec_col, fines)).alias(out_col)
@@ -1225,12 +1236,14 @@ def with_partitioned_cell(
     integer arithmetic, so the id is engine-portable. ``n_sig_bits=0``
     degenerates to the plain two-level id (one signature partition).
 
-    ``_sig`` and ``_tl`` are RESERVED intermediate column names — a
-    caller frame already carrying either would be silently clobbered
-    and then dropped, so the collision raises instead (ADVICE r10)."""
+    ``_sig``, ``_tl`` and ``_coarse`` are RESERVED intermediate column
+    names — a caller frame already carrying one would be silently
+    clobbered (the rewritten implementation materializes the coarse
+    argmax as ``_coarse``) and then returned under the caller's column
+    name, so the collision raises instead (ADVICE r10/r12)."""
     from forgettable_spark.extensions.similarity import signature_cell
 
-    clash = {"_sig", "_tl"} & set(df.columns)
+    clash = {"_sig", "_tl", "_coarse"} & set(df.columns)
     if clash:
         raise ValueError(
             f"with_partitioned_cell: input carries reserved intermediate "

@@ -142,6 +142,57 @@ def _release_scope(spark: SparkSession, scope: list[DataFrame], before: set[int]
             pass
 
 
+def _schema_contains(dt, target) -> bool:
+    """True when ``target`` (a DataType class) occurs anywhere in ``dt``
+    — through structs, arrays and maps."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, target):
+        return True
+    if isinstance(dt, StructType):
+        return any(_schema_contains(f.dataType, target) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _schema_contains(dt.elementType, target)
+    if isinstance(dt, MapType):
+        return _schema_contains(dt.keyType, target) or _schema_contains(
+            dt.valueType, target
+        )
+    return False
+
+
+def _tz_awareize(value, dt):
+    """Attach the driver's LOCAL timezone to every naive datetime under
+    a TimestampType in a collected value tree (ADVICE r12):
+    ``collect()`` yields TimestampType values as NAIVE datetimes in
+    driver-local time, but pyarrow treats naive datetimes as UTC wall
+    time when building a ``timestamp(us, tz='UTC')`` array — on a
+    non-UTC driver the Arrow fast path would silently shift every
+    timestamp by the UTC offset. ``astimezone()`` on a naive datetime
+    interprets it as local time, which is exactly the interpretation
+    ``createDataFrame`` (the fallback path) applies, so both paths agree
+    on every host. Schema-guided so TimestampNTZType values stay naive
+    (naive IS the NTZ semantic — Arrow's plain timestamp(us) reads them
+    as wall time, which is correct)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampType
+
+    if value is None:
+        return None
+    if isinstance(dt, TimestampType):
+        return value.astimezone() if value.tzinfo is None else value
+    if isinstance(dt, StructType):
+        return {
+            f.name: _tz_awareize(value.get(f.name), f.dataType) for f in dt.fields
+        }
+    if isinstance(dt, ArrayType):
+        return [_tz_awareize(v, dt.elementType) for v in value]
+    if isinstance(dt, MapType):
+        return {
+            _tz_awareize(k, dt.keyType): _tz_awareize(v, dt.valueType)
+            for k, v in value.items()
+        }
+    return value
+
+
 def _local_result_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     """Re-wrap collected rows as a DataFrame for the caller (r12
     optimization, guide §4 — eliminate the Python boundary).
@@ -167,11 +218,18 @@ def _local_result_df(spark: SparkSession, rows: list, schema) -> DataFrame:
             raise ValueError("duplicate column names")
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import TimestampType
 
+        payload = [r.asDict(recursive=True) for r in rows]
+        if _schema_contains(schema, TimestampType):
+            # tz-aware timestamps collect as NAIVE local datetimes; make
+            # them aware before Arrow reads them as UTC (ADVICE r12 —
+            # the _tz_awareize docstring has the full story). The walk
+            # is schema-guided, so NTZ fields elsewhere in the same
+            # schema stay naive.
+            payload = [_tz_awareize(r, schema) for r in payload]
         arrow_schema = to_arrow_schema(schema)
-        tbl = pa.Table.from_pylist(
-            [r.asDict(recursive=True) for r in rows], schema=arrow_schema
-        )
+        tbl = pa.Table.from_pylist(payload, schema=arrow_schema)
         return spark.createDataFrame(tbl, schema).coalesce(1)
     except Exception:  # noqa: BLE001 — fidelity fallback, never a failure
         return spark.createDataFrame(rows, schema)
@@ -270,7 +328,16 @@ def run_released_cpu_dense(spark: SparkSession, build: Callable[[], DataFrame]) 
     this family occupies at bench scale. Scoped to the one execution:
     set before, restored after, so byte-dense queries (the text
     family measurably regresses under a blanket 64k floor) keep the
-    default."""
+    default.
+
+    NOT concurrency-safe (ADVICE r12): the set/restore mutates the
+    SHARED session conf, so overlapping callers on one SparkSession can
+    leak the floor into a concurrent byte-dense query or restore the
+    default mid-run of another cpu-dense one. This module's documented
+    posture is one driver thread building queries at a time (module
+    docstring — the same assumption run_released's RDD sweep makes); a
+    concurrent-query deployment should give each worker its own
+    ``spark.newSession()`` (shared cache, isolated SQL conf)."""
     key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     value = os.environ.get(
         "SPARK_GRAFT_CPU_DENSE_MIN_PARTITION", CPU_DENSE_MIN_PARTITION_SIZE_DEFAULT

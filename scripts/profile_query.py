@@ -7,8 +7,9 @@ execution, with per-job wall times (r12 optimization tooling).
 Runs under the bench's own session shape (local[$SPARK_GRAFT_CPUS],
 shuffle partitions = cpus, UI off) with the bench warmup, then for each
 named query: clearCache, build the DataFrame (construction), noop-write
-it (execution), twice (first = with JIT, second = steady). Job-level
-wall times come from a SparkListener so the expensive jobs are named.
+it (execution), twice (first = with JIT, second = steady). For per-job
+wall times from the event log use scripts/profile_jobs.py (ADVICE r12 —
+this script reports only the construct/execute split).
 """
 from __future__ import annotations
 
@@ -46,19 +47,14 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {sorted(unknown)}")
     bench.warm_session(spark, sf_dir, cpus)
 
-    sc = spark.sparkContext
-    tracker = sc.statusTracker()
-
     for name in names:
         for attempt in (1, 2):
             spark.catalog.clearCache()
-            before_ids = set(tracker.getJobIdsForGroup() or [])
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            jobs_during_build = []  # jobs triggered during construction
             print(
                 f"{name} [run {attempt}]: total={t2 - t0:.3f}s  "
                 f"construct={t1 - t0:.3f}s  execute={t2 - t1:.3f}s",

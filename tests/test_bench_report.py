@@ -62,6 +62,21 @@ def test_diagnostics_on_earlier_line_and_sidecar(capsys, tmp_path):
         assert detail["total"] == round(sum(timings.values()), 4)
 
 
+def test_detail_path_list_writes_every_sidecar(capsys, tmp_path):
+    """VERDICT r12 #2: main() passes BOTH the compatibility sidecar name
+    and a per-cpus name so a c8+c32 driver pair keeps both details."""
+    timings, retries, stale = _fat_pass(n=3)
+    paths = [tmp_path / "BENCH_DETAIL.json", tmp_path / "BENCH_DETAIL_c32.json"]
+    final = bench.emit_report(
+        timings, retries, stale, sf=0.1, detail_path=[str(p) for p in paths]
+    )
+    assert len(final.encode()) <= bench.FINAL_LINE_MAX_BYTES
+    for p in paths:
+        on_disk = json.loads(p.read_text())
+        assert on_disk["queries"] == timings
+        assert on_disk["retries"] == retries
+
+
 def test_no_stale_floors_key_when_clean(capsys):
     timings = {"q": 1.0}
     final = bench.emit_report(timings, {}, {}, sf=0.1)

@@ -144,6 +144,51 @@ def test_local_result_df_arrow_path(spark):
     assert [tuple(r) for r in out.collect()] == [(1, 2)]
 
 
+def test_tz_awareize_non_utc_driver(monkeypatch):
+    """ADVICE r12: on a non-UTC driver, collect() yields TimestampType
+    values as naive LOCAL datetimes, and the Arrow fast path must not
+    read them as UTC wall time. _tz_awareize (schema-guided) attaches
+    the local zone — so the UTC instant pyarrow stores matches what the
+    fallback path's local-time interpretation produces — and leaves
+    TimestampNTZType values naive. Pure-Python: astimezone() consults
+    the process TZ, monkeypatched here to a non-UTC zone."""
+    import datetime
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from forgettable_spark.functions.cache import _tz_awareize
+
+    monkeypatch.setenv("TZ", "America/New_York")
+    _time.tzset()
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("tsn", T.TimestampNTZType()),
+                T.StructField("arr", T.ArrayType(T.TimestampType())),
+                T.StructField(
+                    "st", T.StructType([T.StructField("t", T.TimestampType())])
+                ),
+            ]
+        )
+        naive = datetime.datetime(2024, 6, 1, 6, 30)  # EDT, UTC-4
+        row = {"ts": naive, "tsn": naive, "arr": [naive, None], "st": {"t": naive}}
+        out = _tz_awareize(row, schema)
+        # TimestampType fields become aware at the same wall time, i.e.
+        # the 10:30 UTC instant — NOT 06:30 UTC (the pre-fix corruption).
+        for got in (out["ts"], out["arr"][0], out["st"]["t"]):
+            assert got.tzinfo is not None
+            assert got.utcoffset() == datetime.timedelta(hours=-4)
+            assert got.astimezone(datetime.timezone.utc).hour == 10
+        # NTZ stays naive (naive IS the NTZ semantic), NULLs survive.
+        assert out["tsn"] is naive
+        assert out["arr"][1] is None
+    finally:
+        monkeypatch.delenv("TZ", raising=False)
+        _time.tzset()
+
+
 def test_run_released_handles_empty_result(spark):
     from pyspark.sql import functions as F
 
