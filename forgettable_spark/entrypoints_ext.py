@@ -1596,10 +1596,26 @@ def _admit_member_split(
     admit arm otherwise pays per call. Identical bound by construction:
     the footer count of an unfiltered single-table read IS ``count()``,
     and the oracle's ``LEAST(..., (COUNT(*)+7)//8)`` computes the same
-    number its own way."""
+    number its own way.
+
+    r13 (guide §2.4 — don't run jobs you don't need): the member id SET
+    is driver-bounded by construction (≤ SEM_ADMIT_BATCH = 200 BIGINTs),
+    so it is collected ONCE and re-wrapped as a LOCAL one-partition
+    relation for the two semi/anti broadcast joins — the previous
+    scoped-cache subtree made each broadcast build re-evaluate the
+    cached top-K plan (cache fill + two distributed broadcast-build
+    jobs); a local relation broadcast-builds with no upstream stage and
+    the identical builds collapse to one ReusedExchange. Row-identical:
+    the joins see the exact same key set. (A 200-literal isin() filter
+    pair was measured too — a wash on wall clock; the local relation
+    keeps the join shape and avoids per-stage InSet codegen.)"""
+    from pyspark.sql import types as T
+
+    from forgettable_spark.functions.cache import _local_result_df
+
     n = emb.count() if n_rows is None else n_rows
     bound = min(SEM_ADMIT_BATCH, (n + 7) // 8)
-    new_ids = scoped_cache(
+    rows = (
         emb.select(
             "vec_id",
             F.md5(
@@ -1609,6 +1625,12 @@ def _admit_member_split(
         .orderBy("_k", "vec_id")
         .limit(bound)
         .select("vec_id")
+        .collect()
+    )
+    new_ids = _local_result_df(
+        emb.sparkSession,
+        rows,
+        T.StructType([T.StructField("vec_id", T.LongType())]),
     )
     tgt = frame if frame is not None else emb
     return (
@@ -1632,9 +1654,20 @@ def q_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         # Assign ONCE, split the assigned frame (r12 — the oracle's
         # member-CTE shape; bit-identical, one codebook scan not two).
+        # r13: MATERIALIZE the assignment (eager localCheckpoint, the
+        # semantic_dedup_partitioned device — value-neutral lineage
+        # truncation, blocks swept by run_released): the split's
+        # index/batch sides and the verdict join are separate plan
+        # branches, so without it the per-row codebook fold and the
+        # corpus scan execute once PER BRANCH (the two ~235 ms
+        # single-task stages the r12 event log left unattributed).
+        # Interleaved min-of-4 on the probed arm: 1.79 -> 1.12 s.
+        frame = cb.assign_cells(emb, cents)
+        if not cb._plan_audit_active():
+            frame = frame.localCheckpoint(eager=True)
         idx, bat = _admit_member_split(
             emb,
-            frame=cb.assign_cells(emb, cents),
+            frame=frame,
             n_rows=_emb_rows_or_none(sf_dir),
         )
         return cb.semantic_admit_assigned(
@@ -1683,10 +1716,15 @@ def q_semantic_admit_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         # Assign ONCE, split the assigned frame (r12 — the oracle's
         # member-CTE shape; bit-identical, one codebook scan not two).
+        # r13: materialize the assignment before the split (see
+        # q_semantic_admit) — the fold otherwise executes per branch.
         b = _partitioned_sig_bits(sf_dir)
+        frame = cb.assign_cells_partitioned(emb, coarse, fines, b)
+        if not cb._plan_audit_active():
+            frame = frame.localCheckpoint(eager=True)
         idx, bat = _admit_member_split(
             emb,
-            frame=cb.assign_cells_partitioned(emb, coarse, fines, b),
+            frame=frame,
             n_rows=_emb_rows_or_none(sf_dir),
         )
         return cb.semantic_admit_assigned_probed(
@@ -1743,16 +1781,21 @@ def q_semantic_admit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Assign ONCE, split the assigned frame (r12 — the oracle's
         # member-CTE shape; bit-identical, one codebook scan not two;
         # the banded explode rides the single assignment and the split
-        # keys on vec_id alone).
+        # keys on vec_id alone). r13: materialize the assignment before
+        # the split (see q_semantic_admit) — the fold otherwise
+        # executes per branch.
+        frame = cb.assign_cells_banded(
+            emb,
+            coarse,
+            fines,
+            n_bands=SEMDEDUP_BANDS,
+            band_bits=_partitioned_sig_bits(sf_dir),
+        )
+        if not cb._plan_audit_active():
+            frame = frame.localCheckpoint(eager=True)
         idx, bat = _admit_member_split(
             emb,
-            frame=cb.assign_cells_banded(
-                emb,
-                coarse,
-                fines,
-                n_bands=SEMDEDUP_BANDS,
-                band_bits=_partitioned_sig_bits(sf_dir),
-            ),
+            frame=frame,
             n_rows=_emb_rows_or_none(sf_dir),
         )
         return cb.semantic_admit_assigned_banded(
@@ -3284,6 +3327,12 @@ def _lsh_recall(
         found = dedup.minhash_lsh_pairs_from_sketches(
             sketched, k=MINHASH_K, bands=LSH_BANDS, threshold=JACCARD_THRESHOLD
         )
+        # r13 note: folding n_true/n_found into ONE aggregate (truth
+        # LEFT-joined to found markers, no crossJoin) was measured and
+        # REJECTED — interleaved min-of-4 read 1.51 vs 1.32 s for this
+        # cached semi-join shape: the cached truth makes both 1-row
+        # aggregates nearly free, while the fold forced the heavy PPJoin
+        # pipeline straight into a wider outer join.
         hit = truth.join(
             found.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
         )
@@ -3441,7 +3490,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         except (FileNotFoundError, OSError, ValueError, ImportError):
             n_docs = docs.count()
         bound = min(INCR_BATCH_DOCS, (n_docs + 7) // 8)
-        new_ids = scoped_cache(
+        # r13 (guide §2.4): the batch id set is driver-bounded by
+        # construction (≤ INCR_BATCH_DOCS = 1000 BIGINTs), so collect it
+        # ONCE and re-wrap it as a LOCAL one-partition relation for the
+        # four semi/anti broadcast joins — the previous scoped-cache
+        # subtree made every broadcast build re-read the cached top-K
+        # (cache fill + four distributed broadcast-build jobs); a local
+        # relation broadcast-builds without any upstream stage, and the
+        # four identical builds collapse to one ReusedExchange.
+        # Row-identical: the join sees the exact same key set. (A
+        # 1000-literal isin() filter was measured and rejected — four
+        # 1000-element InSet copies cost more in analysis/codegen than
+        # the broadcast builds they replaced: 1.33 -> 1.78 s min-of-3.)
+        from pyspark.sql import types as T
+
+        from forgettable_spark.functions.cache import _local_result_df
+
+        ids = (
             docs.select(
                 "doc_id",
                 F.md5(
@@ -3451,6 +3516,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("_k", "doc_id")
             .limit(bound)
             .select("doc_id")
+            .collect()
+        )
+        new_ids = _local_result_df(
+            spark, ids, T.StructType([T.StructField("doc_id", T.LongType())])
         )
         sigs = sp["shingled"].select("doc_id", "mh")
         return dedup.incremental_admit_from_sketches(

@@ -40,16 +40,13 @@ Model and score (shared bit-for-bit with the DuckDB oracle):
 
 Scale posture (100 TB):
 
-- One explode+aggregate produces (doc_id, gram, tf) — the SAME
-  aggregation feeds training and scoring, so the corpus is exploded
-  once (scope-cached: two consumers; registered queries release via
-  ``run_released``).
-- The model ``c(uv)`` is a rollup of that table; the prefix totals
-  ``c(u·)`` a rollup of the model — neither rescans the corpus.
-- Scoring is one equi-join on gram (fixed-width keys; the model is
-  corpus-vocabulary-sized, so it is NOT broadcast — a standard shuffle
-  join that AQE can skew-split) followed by a per-doc aggregation.
-  Text never rides any shuffle.
+- One explode+aggregate produces (doc_id, gram, tf); the model
+  ``c(uv)`` and prefix totals ``c(u·)`` are window sums over that table
+  partitioned by the prefix token (r13 — both are exact integer rollups
+  of the same rows the old model/prefix join chain aggregated, so every
+  score is bit-identical), which makes the whole computation ONE
+  exchange of the pairs table plus the final per-document aggregation.
+  Text never rides any shuffle; no cache is held.
 """
 
 from __future__ import annotations
@@ -58,7 +55,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from forgettable_spark.extensions.text import shingles
-from forgettable_spark.functions.cache import scoped_cache
 
 
 def bigram_lm_score(
@@ -72,10 +68,12 @@ def bigram_lm_score(
     With a prebuilt ``spine`` (extensions/postings.py) the corpus
     explode is skipped: ``pairs`` IS the spine's bigram table (same
     shingle contract, short-doc fallback included)."""
+    from pyspark.sql import Window
+
     if spine is not None:
-        pairs = scoped_cache(spine["bigrams"])
+        pairs = spine["bigrams"]
     else:
-        pairs = scoped_cache(
+        pairs = (
             docs.filter(F.col(text_col).isNotNull())
             .select(
                 F.col(id_col).alias("doc_id"),
@@ -84,32 +82,42 @@ def bigram_lm_score(
             .groupBy("doc_id", "gram")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-    model = pairs.groupBy("gram").agg(F.sum("tf").alias("c_uv"))
-    # Prefix totals from the model, not the corpus: c(u·) = Σ_v c(uv).
-    # The whole-text fallback gram of a 1-token document has itself as
-    # prefix — consistent on both sides by construction.
-    prefix = model.groupBy(F.split(F.col("gram"), " ")[0].alias("u")).agg(
-        F.sum("c_uv").alias("c_u")
-    )
-    # Fold the prefix totals INTO the model first (both model-sized,
-    # joined on u), so the corpus-sized pairs table is shuffled exactly
-    # once (on gram) — joining pairs→model→prefix instead would reshuffle
-    # the pairs-sized intermediate a second time by u.
-    model_p = (
-        model.withColumn("u", F.split(F.col("gram"), " ")[0])
-        .join(prefix, "u")
+    # r13 (guide §2.4 — remove shuffles outright): the model rollup
+    # c(uv), the prefix rollup c(u·) and the two joins that re-attached
+    # them to the pairs table are TWO WINDOW SUMS over ONE exchange.
+    # c(uv) = Σ tf over pairs sharing the gram; c(u·) = Σ_v c(uv) =
+    # Σ tf over pairs sharing the prefix token — both exact integer
+    # sums of the same operands, so every per-row double below is
+    # bit-identical to the join form (the oracle still computes the
+    # rollups as standalone CTEs and hash-matches). The gram window
+    # partitions by (_u, gram) — gram determines its prefix, so the
+    # extra key changes nothing — which lets hashpartitioning(_u) serve
+    # BOTH windows: one exchange of the pairs table (plus the final
+    # per-doc aggregation) instead of the previous six-exchange
+    # cache/rollup/join chain (before: 2 pairs-sized + 3 model-sized
+    # exchanges + a scope cache; after-plan: 2 Exchange total).
+    # Scale note: the c(u·) window buffers one prefix-token group per
+    # task; groups are bounded by the per-prefix distinct-(doc, gram)
+    # count, and WindowExec spills — the trade for dropping the
+    # corpus-sized pairs cache and four rollup/join stages.
+    w_u = Window.partitionBy("_u")
+    w_uv = Window.partitionBy("_u", "gram")
+    scored = (
+        pairs.withColumn("_u", F.split(F.col("gram"), " ")[0])
+        .withColumn("_c_u", F.sum("tf").over(w_u))
+        .withColumn("_c_uv", F.sum("tf").over(w_uv))
         .select(
+            "doc_id",
             "gram",
-            (F.col("c_uv").cast("double") / (F.col("c_u") + 1).cast("double")).alias(
-                "_p"
-            ),
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.col("_c_uv").cast("double")
+                    / (F.col("_c_u") + 1).cast("double")
+                )
+            ).alias("_s"),
         )
-    )
-    scored = pairs.join(model_p, "gram").select(
-        "doc_id",
-        "gram",
-        "tf",
-        (F.col("tf").cast("double") * F.col("_p")).alias("_s"),
     )
     return scored.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_bigrams"),
