@@ -272,6 +272,10 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup: duplicated 20-token chunks across the
     corpus (Lee et al. 2022's exact-substring motivation, fixed-window
     approximation). Lazy — output scales with duplicated chunks."""
+    # r13 note: the doc spread was measured and REJECTED here —
+    # chunk hashing is cheap per doc and the keyed shuffle costs more
+    # than the single-task scan saves (interleaved min-of-4: 0.45
+    # plain vs 0.66 spread).
     return dedup.chunk_dedup(
         load_table(spark, sf_dir, "documents"), width=CHUNK_DEDUP_WIDTH
     )
@@ -1250,24 +1254,23 @@ _EMB_ROWS_PER_SPREAD_PARTITION = 250
 _EMB_SPREAD: dict[str, int] = {}
 
 
-def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``load_table('embeddings')`` with the small-scan spread (r12,
-    guide §2.5 input parallelism): a bench-scale corpus arrives as ONE
-    parquet split (single file, single row group), so every per-row
-    vector fold — quantization, signature bits, codebook assignment,
-    norms — runs in a single task while the other cores idle. When the
-    file yields fewer scan splits than the rows-based target, hash-
-    repartition by vec_id (deterministic, value-neutral — no
-    partition-sensitive expression exists in the engine; keyed, so no
-    sort-before-repartition). A production corpus arrives pre-split in
-    many files, so the gate never fires there and the scan shape is
-    untouched; non-statable paths (object stores) skip the spread the
-    same way."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _EMB_SPREAD:
+def _spread_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    rows_per_partition: int,
+    memo: dict[str, int],
+) -> int:
+    """Partition count for the small-scan spread gate (r12, guide §2.5
+    input parallelism), memoized per (table memo, sf_dir): >0 when the
+    table's file yields FEWER scan splits than the rows-based target —
+    the single-file bench corpora — 0 (leave the scan alone) for
+    pre-split production corpora, non-statable paths (object stores)
+    and any sizing surprise."""
+    if sf_dir not in memo:
         parts = 0
         try:
-            path = os.path.join(sf_dir, "embeddings.parquet")
+            path = os.path.join(sf_dir, f"{table}.parquet")
             if os.path.isfile(path):
                 nbytes = os.path.getsize(path)
             else:
@@ -1290,22 +1293,69 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 max_pb = int(raw)
             splits = max(1, -(-nbytes // max(max_pb, 1)))
-            rows = _emb_rows_or_none(sf_dir) or 0
+            rows = table_footer_rows(sf_dir, table)
             target = min(
                 spark.sparkContext.defaultParallelism,
-                max(2, rows // _EMB_ROWS_PER_SPREAD_PARTITION),
+                max(2, rows // rows_per_partition),
             )
             if rows and splits < target:
                 parts = target
-        except (OSError, ValueError):
+        except (OSError, ValueError, ImportError, FileNotFoundError):
             # The spread is a best-effort optimization gate: an
-            # unparseable conf value must degrade to "leave the scan
-            # alone", never crash the embedding family (ADVICE r12).
+            # unparseable conf value or absent footer must degrade to
+            # "leave the scan alone", never crash a family (ADVICE r12).
             parts = 0
-        _EMB_SPREAD[sf_dir] = parts
-    if _EMB_SPREAD[sf_dir]:
-        emb = emb.repartition(_EMB_SPREAD[sf_dir], F.col("vec_id"))
+        memo[sf_dir] = parts
+    return memo[sf_dir]
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``load_table('embeddings')`` with the small-scan spread (r12,
+    guide §2.5 input parallelism): a bench-scale corpus arrives as ONE
+    parquet split (single file, single row group), so every per-row
+    vector fold — quantization, signature bits, codebook assignment,
+    norms — runs in a single task while the other cores idle. When the
+    file yields fewer scan splits than the rows-based target, hash-
+    repartition by vec_id (deterministic, value-neutral — no
+    partition-sensitive expression exists in the engine; keyed, so no
+    sort-before-repartition). A production corpus arrives pre-split in
+    many files, so the gate never fires there and the scan shape is
+    untouched; non-statable paths (object stores) skip the spread the
+    same way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = _spread_parts(
+        spark, sf_dir, "embeddings", _EMB_ROWS_PER_SPREAD_PARTITION, _EMB_SPREAD
+    )
+    if parts:
+        emb = emb.repartition(parts, F.col("vec_id"))
     return emb
+
+
+#: Documents per partition for the text-side spread (r13): the per-doc
+#: shingle windows + md5 hashing of the decontamination / repetition /
+#: chunk families run ~0.2 ms/doc, so ~150 docs keeps tasks tens of ms.
+_DOC_ROWS_PER_SPREAD_PARTITION = 150
+
+#: sf_dir -> documents spread partition count (0 = leave the scan
+#: alone), memoized like _EMB_SPREAD.
+_DOC_SPREAD: dict[str, int] = {}
+
+
+def _load_docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``load_table('documents')`` with the small-scan spread — the
+    text-side twin of :func:`_load_emb` (r13): row-local text queries
+    (n-gram decontamination, repetition stats, chunk hashing) otherwise
+    run their whole shingle+md5 workload in the corpus file's single
+    scan task. Same gate, same keyed (deterministic, value-neutral)
+    repartition, same production posture: pre-split corpora never
+    trigger it."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = _spread_parts(
+        spark, sf_dir, "documents", _DOC_ROWS_PER_SPREAD_PARTITION, _DOC_SPREAD
+    )
+    if parts:
+        docs = docs.repartition(parts, F.col("doc_id"))
+    return docs
 
 
 def _partitioned_sig_bits(sf_dir: str) -> int:
@@ -2647,8 +2697,12 @@ DECONTAM_MIN_SHARED = 2
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >= 2 distinct
     3-gram hashes with the deterministic eval subset. The eval gram set
-    is broadcast — the corpus never shuffles (plan-asserted)."""
-    docs = load_table(spark, sf_dir, "documents")
+    is broadcast — the corpus never shuffles (plan-asserted; the gated
+    doc spread below fires only on single-split bench corpora, where
+    both the broadcast build and the probe otherwise shingle+hash the
+    whole corpus in ONE task — r13, measured 0.9-1.4 s single-task
+    stages in the event log)."""
+    docs = _load_docs_spread(spark, sf_dir)
     eval_docs = docs.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
     return contamination.decontaminate(
         docs, eval_docs, min_shared=DECONTAM_MIN_SHARED
@@ -3022,7 +3076,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-bigram fractions per doc. Secondary registry — the driver
     cap holds the primary at 50; the local gate hash-matches this at both
     correctness SFs like any primary query."""
-    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+    return text.repetition_stats(_load_docs_spread(spark, sf_dir))
 
 
 #: Bigram twin of _SHINGLE_CTE (n=2, same whole-text fallback).

@@ -1393,11 +1393,30 @@ def semantic_dedup_probed(
     return _celled_pair_dedup_probed(c, threshold, max_cell_size, n_fine, n_flip)
 
 
-def _probe_cells(cell: Column, n_fine: int, n_flip: int) -> Column:
+def _probe_cells_sql(cell_sql: str, n_fine: int, n_flip: int) -> str:
+    """:func:`_probe_cells` rendered as ONE SQL array expression (r13,
+    the rendered-fold family — VERDICT r12 #5): the Column loop cost
+    ~36 py4j round-trips per build, repeated per streaming trigger in
+    the admission loop; the string parses to the identical Catalyst
+    tree (same decimal(38,0) division, same XOR/recompose per element,
+    value-identity test-locked beside the Column form)."""
+    sig = f"CAST(CAST(({cell_sql}) AS DECIMAL(38,0)) / {n_fine} AS BIGINT)"
+    tl = f"(({cell_sql}) % {n_fine})"
+    elems = ", ".join(
+        f"CAST((({sig} ^ {1 << i}) * {n_fine} + {tl}) AS BIGINT)"
+        for i in range(n_flip)
+    )
+    return f"array({elems})"
+
+
+def _probe_cells(cell: Column | str, n_fine: int, n_flip: int) -> Column:
     """The ``n_flip`` composite cells at signature Hamming distance 1
     from ``cell``: sig ÷/mod decomposition, bit i XOR, recompose —
     closed-form integer arithmetic on the stored id (no signature
-    re-fold), restated identically by the oracle twin.
+    re-fold), restated identically by the oracle twin. A STRING ``cell``
+    (column name / SQL fragment) takes the rendered fast path
+    (:func:`_probe_cells_sql`) — one expr parse instead of ~36 py4j
+    round-trips; the Column path remains for composed callers.
 
     Partial ``n_flip < b`` probes the FIXED PREFIX of signature bits
     ``i < n_flip``, not e.g. the least-confident ones — a sound
@@ -1415,6 +1434,8 @@ def _probe_cells(cell: Column, n_fine: int, n_flip: int) -> Column:
     # integer `//` above it (ADVICE r11) — decimal covers the full
     # bigint range and DuckDB's `//` restates the same closed form
     # bit-for-bit. cell ≥ 0, so truncation == floor on both engines.
+    if isinstance(cell, str):
+        return F.expr(_probe_cells_sql(cell, n_fine, n_flip))
     sig = (cell.cast("decimal(38,0)") / F.lit(n_fine)).cast("bigint")
     tl = cell % F.lit(n_fine)
     return F.array(
@@ -1450,7 +1471,7 @@ def _celled_pair_dedup_probed(
     # probe side: same projection, cell replaced by each 1-flip cell
     ap = c.select(
         F.col("vec_id").alias("dup_of"),
-        F.explode(_probe_cells(F.col("cell"), n_fine, n_flip)).alias("cell"),
+        F.explode(_probe_cells("cell", n_fine, n_flip)).alias("cell"),
         F.col("_v").alias("_av"),
         F.col("_n").alias("_an"),
     )
@@ -2312,7 +2333,7 @@ def semantic_admit_assigned_probed(
         F.explode(
             F.concat(
                 F.array(F.col("cell")),
-                _probe_cells(F.col("cell"), n_fine, n_flip),
+                _probe_cells("cell", n_fine, n_flip),
             )
         ).alias("cell"),
         F.col("_v").alias("_bv"),

@@ -65,6 +65,15 @@ _MATERIALIZED: dict[tuple[str, str, str, str], str] = {}
 #: see materialize_table_set.
 _MATERIALIZED_DFS: dict[tuple[str, str, str, str], dict[str, DataFrame]] = {}
 
+#: Spark schemas of the tables each build wrote (same key): the build
+#: KNOWS every table's schema, so the readers are created with it
+#: explicitly — a schema-less spark.read.parquet runs a one-task
+#: footer-inference job per table (5 × ~70 ms incl. scheduling on the
+#: 5-table spine, r13). The memo root is session-scoped tempdir, so a
+#: root always comes from a build in THIS session; absent entry (never
+#: happens today) degrades to inference.
+_MATERIALIZED_SCHEMAS: dict[tuple[str, str, str, str], dict] = {}
+
 _TABLES = ("postings", "doc_stats", "bigrams")
 
 #: Docs per partition for the spine build's cached-base spread (r12,
@@ -107,6 +116,26 @@ def invalidate_corpus(corpus_key: str | None = None) -> None:
     else:
         for k in [k for k in _FP_CACHE if k[1] == corpus_key]:
             del _FP_CACHE[k]
+
+
+def _input_footer_rows(docs: DataFrame) -> int | None:
+    """Total row count of ``docs``'s parquet input files from their
+    footers (no data read), or None when it can't be known that way —
+    non-parquet input, non-statable paths (object stores), no pyarrow,
+    in-memory frames. Used only to SIZE the spine build's partition
+    spread, so the degraded path just falls back to counting."""
+    try:
+        import pyarrow.dataset as pads
+
+        files = [
+            u[len("file:"):] if u.startswith("file:") else u
+            for u in docs.inputFiles()
+        ]
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        return int(pads.dataset(files).count_rows())
+    except Exception:  # noqa: BLE001 — sizing heuristic, never a failure
+        return None
 
 
 def _dir_sig(dirs) -> tuple:
@@ -236,9 +265,11 @@ def materialize_table_set(
     """Session-memoized spine materialization, shared by every spine
     kind: first call per (session, ``corpus_key``, ``kind``) invokes
     ``write_tables(root)`` — which must write one parquet directory per
-    name in ``table_names`` under ``root`` — and every later call (and
-    every later consumer in the same session) reads the parquet back
-    without recomputing. ``kind`` must encode every build parameter
+    name in ``table_names`` under ``root``, and may return a
+    {name: StructType} dict so the read-back skips per-table schema
+    inference jobs (r13) — and every later call (and every later
+    consumer in the same session) reads the parquet back without
+    recomputing. ``kind`` must encode every build parameter
     that changes table VALUES (the combined spine folds text/id/block
     cols and k into it) — the memo otherwise serves one caller's build
     to a differently-parameterized one. Stale-corpus protection and
@@ -261,26 +292,35 @@ def materialize_table_set(
             k for k in _MATERIALIZED if k[0] == app and k[1] == corpus_key and k[2] == kind
         ]:
             shutil.rmtree(_MATERIALIZED.pop(stale), ignore_errors=True)
+            _MATERIALIZED_SCHEMAS.pop(stale, None)
         # kind may carry a |-separated param suffix; only its family name
         # belongs in the path (plan tests grep the scan location)
         root = tempfile.mkdtemp(prefix=f"forgettable-{kind.split('|')[0]}-")
-        write_tables(root)
+        schemas = write_tables(root)
         with open(os.path.join(root, "_SPINE_COMPLETE"), "w") as fh:
             fh.write(corpus_key)
         _MATERIALIZED[key] = root
+        if schemas:
+            _MATERIALIZED_SCHEMAS[key] = schemas
         _MATERIALIZED_DFS.pop(key, None)
     # r12 OPTIMIZATION: memoize the reader DataFrames too — they are
     # lazy, immutable handles onto the parquet files, but creating them
     # costs a py4j round-trip + file listing per table per call
     # (~0.45 s for the 5-table spine), paid by every spine-fed query.
     # The memo key already pins (app, corpus, kind, fingerprint), so a
-    # rebuilt spine gets fresh readers.
+    # rebuilt spine gets fresh readers. r13: the readers take the
+    # build's recorded schema (see _MATERIALIZED_SCHEMAS) so no
+    # inference job runs per table.
     dfs = _MATERIALIZED_DFS.get(key)
     if dfs is None:
-        dfs = {
-            name: spark.read.parquet(os.path.join(root, name))
-            for name in table_names
-        }
+        schemas = _MATERIALIZED_SCHEMAS.get(key, {})
+        dfs = {}
+        for name in table_names:
+            path = os.path.join(root, name)
+            if name in schemas:
+                dfs[name] = spark.read.schema(schemas[name]).parquet(path)
+            else:
+                dfs[name] = spark.read.parquet(path)
         _MATERIALIZED_DFS[key] = dfs
     return dict(dfs)
 
@@ -335,7 +375,7 @@ def materialized_corpus_spine(
 
     from forgettable_spark.extensions.sketches import _sketch_tables_from_base
 
-    def write_tables(root: str) -> None:
+    def write_tables(root: str) -> dict:
         # One text scan for all five writes: persist the tokenized
         # projection for the duration of the build only (a plain
         # .persist(), NOT scoped_cache — the spine's *files* outlive the
@@ -343,32 +383,53 @@ def materialized_corpus_spine(
         # cache itself is released right here). The count() populates
         # the cache BEFORE the concurrent writes so no two jobs race to
         # compute the same partition.
-        base = _full_base(docs, text_col, id_col, block_col).persist()
-        n_docs = base.count()
+        #
         # r12 OPTIMIZATION (guide §2.5 input parallelism): a small corpus
         # arrives as ONE scan split (single file, single row group), so
         # every downstream table build — explode, shingle windows, md5
         # folds, bit votes — inherits a single partition and the thread
-        # pool tops out at 5-way (one core per table). Spread the CACHED
-        # tokenized base by doc_id once (~docs_per_partition docs per
-        # task; keyed, so no sort-before-repartition) and all five
-        # builds parallelize. Gated on the spread RAISING parallelism:
-        # a production corpus arrives pre-split in many files and the
-        # gate never fires — which is also why repartitioning the RAW
-        # text pre-tokenize (the r12 first attempt, reverted) is the
-        # wrong layer: this spread moves the already-tokenized cache,
-        # costs one tiny shuffle of it, and was measured 3.3 -> 2.5 s
-        # at sf0.1 (higher counts regress on per-file write overhead:
-        # P=32 read 8.6 s).
-        target = min(
-            spark.sparkContext.defaultParallelism,
-            max(1, n_docs // _DOCS_PER_BUILD_PARTITION),
-        )
-        if target > base.rdd.getNumPartitions():
-            spread = base.repartition(target, F.col("doc_id")).persist()
-            spread.count()
-            base.unpersist()
-            base = spread
+        # pool tops out at 5-way (one core per table). Spread the
+        # tokenized base by doc_id (~docs_per_partition docs per task;
+        # keyed, so no sort-before-repartition) and all five builds
+        # parallelize. Gated on the spread RAISING parallelism: a
+        # production corpus arrives pre-split in many files and the gate
+        # never fires — which is also why repartitioning the RAW text
+        # pre-tokenize (the r12 first attempt, reverted) is the wrong
+        # layer. Higher local counts regress on per-file write overhead
+        # (P=32 read 8.6 s at sf0.1).
+        #
+        # r13: ONE persist pass — the r12 form persisted + counted the
+        # unspread base just to learn n_docs, then repartitioned and
+        # persisted AGAIN (two cache fills, ~0.3 s of the build). The
+        # doc count now comes from the corpus parquet footers (no data
+        # read; includes NULL-text rows, which only nudges the partition
+        # TARGET — value-neutral), the repartition is applied lazily,
+        # and the single count() fills the one cache the writes share.
+        # No footer (non-parquet/non-statable input) degrades to the
+        # two-pass r12 shape.
+        base = _full_base(docs, text_col, id_col, block_col)
+        n_docs = _input_footer_rows(docs)
+        if n_docs is not None:
+            target = min(
+                spark.sparkContext.defaultParallelism,
+                max(1, n_docs // _DOCS_PER_BUILD_PARTITION),
+            )
+            if target > base.rdd.getNumPartitions():
+                base = base.repartition(target, F.col("doc_id"))
+            base = base.persist()
+            base.count()
+        else:
+            base = base.persist()
+            n = base.count()
+            target = min(
+                spark.sparkContext.defaultParallelism,
+                max(1, n // _DOCS_PER_BUILD_PARTITION),
+            )
+            if target > base.rdd.getNumPartitions():
+                spread = base.repartition(target, F.col("doc_id")).persist()
+                spread.count()
+                base.unpersist()
+                base = spread
         try:
             tables = {
                 **_tables_from_base(base),
@@ -384,6 +445,7 @@ def materialized_corpus_spine(
                 # list() drains the iterator so any write error raises
                 # here, aborting the build before _SPINE_COMPLETE lands
                 list(pool.map(_write, ALL_SPINE_TABLES))
+            return {name: tables[name].schema for name in ALL_SPINE_TABLES}
         finally:
             base.unpersist()
 

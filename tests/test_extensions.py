@@ -928,3 +928,20 @@ def test_rendered_sql_fast_paths(emb):
         col_int_dot(F.col("a._q2"), F.col("b._q2")).alias("o"),
     )
     assert p2.filter(F.col("n") != F.col("o")).count() == 0
+
+
+def test_probe_cells_rendered_matches_column_form(spark):
+    """r13: _probe_cells' string fast path (one F.expr parse) is
+    bit-identical to the Column loop it replaced — including composite
+    ids past 2^53, where the decimal(38,0) division is the load-bearing
+    piece (ADVICE r11)."""
+    from forgettable_spark.extensions.codebook import _probe_cells
+
+    cells = [0, 1, 7, 12, 97, (1 << 53) + 11, (1 << 61) + 5]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    for n_fine, n_flip in ((8, 1), (8, 3), (3, 4), (13, 6)):
+        out = df.select(
+            _probe_cells("cell", n_fine, n_flip).alias("s"),
+            _probe_cells(F.col("cell"), n_fine, n_flip).alias("c"),
+        )
+        assert out.filter(F.col("s") != F.col("c")).count() == 0
