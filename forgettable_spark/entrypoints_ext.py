@@ -252,10 +252,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spine read: the PPJoin prefix index and both verify join-backs
     # scan the parquet sketch table (shd is stored SORTED — exactly the
     # order the prefix filter needs); no cache, nothing persists.
+    # r13: runs under the CPU-dense AQE coalescing floor (the r12
+    # embedding-family device) — the candidate/verify stages carry a few
+    # hundred KB of shingle arrays with an array_intersect fold per
+    # pair, exactly the byte-light/CPU-dense regime the floor exists
+    # for; measured 1.19 -> 0.78 s same-window min-of-3 (the floor is
+    # inert at production volumes — coalescing targets
+    # totalBytes/parallelism). The sibling lsh/minhash/components
+    # queries were measured NEUTRAL under the floor and keep the
+    # default.
     _, sp = _sketch_spine(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs_from_shingled(
-        sp["shingled"].select("doc_id", F.col("lang").alias("_block"), "shd", "nsh"),
-        threshold=JACCARD_THRESHOLD,
+    return run_released_cpu_dense(
+        spark,
+        lambda: dedup.ngram_jaccard_pairs_from_shingled(
+            sp["shingled"].select(
+                "doc_id", F.col("lang").alias("_block"), "shd", "nsh"
+            ),
+            threshold=JACCARD_THRESHOLD,
+        ),
     )
 
 
